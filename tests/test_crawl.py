@@ -1,0 +1,112 @@
+"""End-to-end crawl: Spark BFS rounds vs the pure-Python reference
+simulator — nested results and seen-set membership must match."""
+
+import json
+
+import pytest
+
+from uniparser_spark import JSONRuleStorage, testgen
+from uniparser_spark.crawl import CrawlEngine, simulate_crawl
+from uniparser_spark.urls import canonicalize_url
+
+
+def _page_store(pages_df):
+    return {r["url"]: r["text"] for r in pages_df.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = testgen.generate_pages(spark, n_hosts=3, n_details=15).cache()
+    storage_json = testgen.storage_json(3, keep_first=3)
+    return pages, storage_json, _page_store(pages)
+
+
+def test_crawl_matches_simulator(spark, corpus, tmp_path):
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+
+    engine = CrawlEngine(spark, pages, storage_json, tmp_path / "state", state_partitions=4)
+    engine.seed(seeds)
+    rounds = engine.run(max_rounds=10)
+    assert rounds[-1]["done"] or rounds[-1]["scheduled"] == 0
+    assert len(rounds) == 3  # seeds, details, empty-finish
+
+    got = engine.assemble_results(seeds)
+
+    storage = JSONRuleStorage(**json.loads(storage_json))
+    seen_sim: dict = {}
+    expected = [simulate_crawl(storage, store, u, seen=seen_sim) for u in seeds]
+    assert got == expected
+
+    # seen-set membership identical to the simulator's
+    engine_seen = {r["url_canon"] for r in engine.seen().collect()}
+    assert engine_seen == set(seen_sim.keys())
+
+    # spot-check shape: nested __result__ list with extracted titles in list order
+    host0 = testgen.host_name(0)
+    payload = got[0]["list"]
+    assert payload["__request__"] == [testgen.detail_url(host0, k) for k in range(3)]
+    assert payload["__result__"] == [
+        {"detail": {"title": f"Item {k} – synthetic page on {host0}"}} for k in range(3)
+    ]
+
+
+def test_crawl_resume_from_checkpoint(spark, corpus, tmp_path):
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+    state = tmp_path / "state_resume"
+
+    first = CrawlEngine(spark, pages, storage_json, state, state_partitions=4)
+    first.seed(seeds)
+    first.run_round()  # crawl only the seeds, then "crash"
+
+    resumed = CrawlEngine(spark, pages, storage_json, state, state_partitions=4)
+    assert resumed.read_manifest()["round"] == 1
+    resumed.run(max_rounds=10)
+
+    storage = JSONRuleStorage(**json.loads(storage_json))
+    seen_sim: dict = {}
+    expected = [simulate_crawl(storage, store, u, seen=seen_sim) for u in seeds]
+    assert resumed.assemble_results(seeds) == expected
+    assert {r["url_canon"] for r in resumed.seen().collect()} == set(seen_sim.keys())
+
+
+def test_crawl_politeness_budget_rounds(spark, corpus, tmp_path):
+    """budget=1 on a host => its 3 detail pages take 3 rounds; final
+    results still identical (politeness changes schedule, not results)."""
+    pages, storage_json, store = corpus
+    host0 = testgen.host_name(0)
+    seeds = [testgen.list_url(host0)]
+    budgets = spark.createDataFrame([(host0, 1)], "host string, budget int")
+
+    engine = CrawlEngine(
+        spark, pages, storage_json, tmp_path / "state_budget", budgets=budgets, state_partitions=4
+    )
+    engine.seed(seeds)
+    rounds = engine.run(max_rounds=10)
+    scheduled_per_round = [r["scheduled"] for r in rounds if r["scheduled"]]
+    assert scheduled_per_round == [1, 1, 1, 1]  # list page, then one detail per round
+
+    storage = JSONRuleStorage(**json.loads(storage_json))
+    expected = [simulate_crawl(storage, store, seeds[0], seen={})]
+    assert engine.assemble_results(seeds) == expected
+
+
+def test_crawl_rule_miss_and_fetch_miss(spark, tmp_path):
+    pages = testgen.generate_pages(spark, n_hosts=1, n_details=3)
+    # storage whose list rule requests a page that is absent from the store
+    storage = testgen.build_storage(1, keep_first=3)
+    host = testgen.host_name(0)
+    storage[host]["crawler_rules"]["list"]["parse_rules"][0]["chain_rules"] = [
+        ["udf", f"['https://{host}/item-000000/', 'https://{host}/item-999999/', 'https://other.org/x/']", ""]
+    ]
+    import uniparser_spark.config as cfg
+
+    engine = CrawlEngine(spark, pages, cfg.json_dumps(storage), tmp_path / "state_miss", state_partitions=2)
+    engine.seed([testgen.list_url(host)])
+    engine.run(max_rounds=5)
+    [result] = engine.assemble_results([testgen.list_url(host)])
+    children = result["list"]["__result__"]
+    assert children[0] == {"detail": {"title": f"Item 0 – synthetic page on {host}"}}
+    assert children[1].startswith("FetchMiss")
+    assert children[2].startswith("RuleNotFoundError")

@@ -1,0 +1,102 @@
+"""Frontier components: url keys/canonicalization parity, bloom seen
+filter, politeness scheduling."""
+
+from pyspark.sql import functions as F
+
+from uniparser_spark.frontier import BloomSeenFilter, add_url_keys, schedule_batch
+from uniparser_spark.urls import canonicalize_url
+
+SAMPLE_URLS = [
+    "https://peps.example.org/pep-0001/",
+    "HTTPS://PEPS.Example.ORG:443/pep-0001/",
+    "http://host0001.example.org:80/item-000001/",
+    "http://a.example.org/q?x=1&y=2",
+    "http://a.example.org/q?",
+    "https://a.example.org/#frag",
+    "ftp://weird.example.org/file",
+]
+
+
+def test_canonicalizer_parity(spark):
+    df = spark.createDataFrame([(u,) for u in SAMPLE_URLS], "url string")
+    got = {r["url"]: r["url_canon"] for r in add_url_keys(df).collect()}
+    for u in SAMPLE_URLS:
+        assert got[u] == canonicalize_url(u), u
+    # canonicalization is the identity on reference-style URLs
+    assert got["https://peps.example.org/pep-0001/"] == "https://peps.example.org/pep-0001/"
+    # default ports and case fold to the same key
+    assert got["HTTPS://PEPS.Example.ORG:443/pep-0001/"] == "https://peps.example.org/pep-0001/"
+
+
+def test_bloom_filter_new(spark):
+    n_seen, n_cand = 2000, 1000
+    seen = add_url_keys(
+        spark.range(n_seen).selectExpr("concat('https://h', id % 7, '.org/p/', id, '/') AS url")
+    ).select("url_hash", "url_canon")
+    # candidates: half overlap the seen set, half are new
+    cand = add_url_keys(
+        spark.range(n_cand).selectExpr(
+            "concat('https://h', id % 7, '.org/p/', id * 2 + 1500, '/') AS url"
+        )
+    )
+    bloom = BloomSeenFilter(n_buckets=8)
+    bloom_df = bloom.build(seen)
+    fresh = bloom.filter_new(cand, seen, bloom_df)
+    exact = cand.join(seen.select("url_hash"), "url_hash", "left_anti")
+    assert sorted(r["url"] for r in fresh.collect()) == sorted(r["url"] for r in exact.collect())
+
+
+def test_bloom_probe_rates(spark):
+    seen = add_url_keys(
+        spark.range(5000).selectExpr("concat('https://s.org/', id, '/') AS url")
+    ).select("url_hash", "url_canon")
+    new = add_url_keys(
+        spark.range(5000).selectExpr("concat('https://s.org/', id + 10000, '/') AS url")
+    )
+    bloom = BloomSeenFilter(n_buckets=8)
+    flagged = bloom.probe(new, bloom.build(seen))
+    fp = flagged.filter(F.col("maybe_seen")).count() / 5000
+    assert fp < 0.05, f"bloom false-positive rate too high: {fp}"
+    # all genuinely-seen urls must flag positive (no false negatives)
+    seen_again = add_url_keys(spark.range(5000).selectExpr("concat('https://s.org/', id, '/') AS url"))
+    flagged2 = bloom.probe(seen_again, bloom.build(seen))
+    assert flagged2.filter(~F.col("maybe_seen")).count() == 0
+
+
+def _pending(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "url_canon string, url_hash long, host string, priority int, depth int, "
+        "parent_url string, list_index int, discovered_round int",
+    )
+
+
+def test_schedule_batch_budget_and_order(spark):
+    rows = []
+    for host, n in [("hot.org", 50), ("cold.org", 3)]:
+        for i in range(n):
+            rows.append((f"https://{host}/{i}", i, host, 0, 1, "p", i, 0))
+    pending = _pending(spark, rows)
+    budgets = spark.createDataFrame([("hot.org", 5)], "host string, budget int")
+    decided = schedule_batch(pending, budgets=budgets, default_budget=10, salt_buckets=4)
+    sched = decided.filter("scheduled").collect()
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["hot.org"]) == 5
+    assert len(by_host["cold.org"]) == 3
+    # FIFO within host: list_index order respected
+    assert sorted(r["list_index"] for r in by_host["hot.org"]) == [0, 1, 2, 3, 4]
+    # deferred rows are kept, not dropped
+    assert decided.count() == 53
+    assert decided.filter("NOT scheduled").count() == 45
+
+
+def test_schedule_priority_first(spark):
+    rows = [
+        (f"https://h.org/{i}", i, "h.org", prio, 1, "p", i, 0)
+        for i, prio in enumerate([0, 5, 1, 5, 0])
+    ]
+    decided = schedule_batch(_pending(spark, rows), default_budget=2, salt_buckets=2)
+    sched = sorted(decided.filter("scheduled").collect(), key=lambda r: r["list_index"])
+    assert [r["priority"] for r in sched] == [5, 5]

@@ -1,0 +1,286 @@
+"""Round-based distributed crawl: frontier → schedule → fetch → extract.
+
+Each scheduling round is one Spark job over checkpointed parquet state
+(SURVEY.md §3 EP1 mapping).  The reference's recursive thread fan-out
+(crawler.py:156-189) becomes breadth-first rounds; result nesting is
+restored from (parent_url, list_index) so the final output is
+order-identical to the reference's DFS (verified against
+crawl.simulator).
+
+State layout under ``state_dir`` (Iceberg-style: immutable per-round
+dirs + an atomically swapped manifest):
+
+    manifest.json                    {"round": k, "done": bool, ...}
+    frontier/r{k}/  (parquet)        pending URLs entering round k
+    seen/r{k}/      (parquet)        url_hash/url_canon crawled so far
+    records/r{k}/   (parquet)        extraction outputs of round k
+    metrics/r{k}.json                per-round counters + per-partition lineage
+
+Resume = read manifest, continue from round k; a crashed round leaves
+the previous manifest intact (写 new dirs first, swap manifest last).
+
+Scale notes (10^10-URL design):
+- frontier/seen parquet are written repartitioned by ``pmod(url_hash)``
+  so the anti-join and the next round's schedule shuffle read
+  co-partitioned buckets (real deployments: Iceberg bucket transform);
+- the fetch is an equi-join frontier→pages on url (shuffle hash join;
+  pages side pruned to (url, text/html) columns only);
+- the seen-set anti-join is bloom-accelerated (frontier.seen);
+- per-host politeness/priority runs salted (frontier.politeness).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import config
+from ..engine.extract import extract_pages
+from ..frontier.politeness import schedule_batch
+from ..frontier.seen import BloomSeenFilter, add_url_keys
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_canon", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("host", StringType(), False),
+        StructField("priority", IntegerType(), False),
+        StructField("depth", IntegerType(), False),
+        StructField("parent_url", StringType(), True),
+        StructField("list_index", IntegerType(), False),
+        StructField("discovered_round", IntegerType(), False),
+    ]
+)
+
+_META_COLS = ["url", "url_canon", "url_hash", "host", "priority", "depth", "parent_url", "list_index", "discovered_round"]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        storage_json: str,
+        state_dir: Union[str, Path],
+        budgets: Optional[DataFrame] = None,
+        default_budget: int = 100000,
+        salt_buckets: int = 16,
+        use_bloom: bool = True,
+        bloom_buckets: int = 64,
+        state_partitions: Optional[int] = None,
+        text_col: str = "text",
+        html_col: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.storage_json = storage_json
+        self.state_dir = Path(state_dir)
+        self.budgets = budgets
+        self.default_budget = default_budget
+        self.salt_buckets = salt_buckets
+        self.bloom = BloomSeenFilter(n_buckets=bloom_buckets) if use_bloom else None
+        self.state_partitions = state_partitions or spark.sparkContext.defaultParallelism
+        self.text_col = text_col
+        self.html_col = html_col
+        self.state_dir.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+    @property
+    def _manifest_path(self) -> Path:
+        return self.state_dir / "manifest.json"
+
+    def read_manifest(self) -> dict:
+        if self._manifest_path.is_file():
+            return json.loads(self._manifest_path.read_text())
+        return {"round": -1, "done": False}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self._manifest_path)  # atomic swap = round commit
+
+    def _p(self, kind: str, rnd: int) -> str:
+        return str(self.state_dir / kind / f"r{rnd}")
+
+    # -------------------------------------------------------------- seeding
+    def seed(self, urls: List[str], priority: int = 0) -> None:
+        """Initialize frontier round 0 with the seed list (list order kept
+        via list_index, matching reference seed iteration)."""
+        rows = [(u, priority, 0, None, i, 0) for i, u in enumerate(urls)]
+        df = self.spark.createDataFrame(
+            rows, "url string, priority int, depth int, parent_url string, list_index int, discovered_round int"
+        )
+        frontier = add_url_keys(df).select(*_META_COLS)
+        self._write_state(frontier, self._p("frontier", 0))
+        empty_seen = self.spark.createDataFrame([], "url_hash long, url_canon string")
+        self._write_state(empty_seen, self._p("seen", 0), partitions=1)
+        self._commit_manifest({"round": 0, "done": False, "seeded": len(urls)})
+
+    def _write_state(self, df: DataFrame, path: str, partitions: Optional[int] = None) -> None:
+        # bucket state by url_hash so successive rounds read co-partitioned
+        n = partitions or self.state_partitions
+        df.repartition(n, F.pmod(F.col("url_hash"), F.lit(n)) if "url_hash" in df.columns else F.lit(0)).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    # --------------------------------------------------------------- rounds
+    def run_round(self) -> Dict[str, int]:
+        manifest = self.read_manifest()
+        rnd = manifest["round"]
+        if manifest.get("done"):
+            return {"round": rnd, "scheduled": 0, "done": True}
+        t0 = time.monotonic()
+        pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
+        seen = self.spark.read.parquet(self._p("seen", rnd))
+
+        decided = schedule_batch(
+            pending,
+            budgets=self.budgets,
+            default_budget=self.default_budget,
+            salt_buckets=self.salt_buckets,
+        ).cache()
+        scheduled = decided.filter(F.col("scheduled")).drop("scheduled")
+        deferred = decided.filter(~F.col("scheduled")).drop("scheduled")
+
+        n_scheduled = scheduled.count()
+        if n_scheduled == 0:
+            self._commit_manifest({**manifest, "done": True})
+            decided.unpersist()
+            return {"round": rnd, "scheduled": 0, "done": True}
+
+        # fetch = equi-join against the pages table (no network; the
+        # adapter seam of the reference, parsers.py:1497-1517)
+        page_cols = ["url", self.text_col] + ([self.html_col] if self.html_col else [])
+        fetched = scheduled.join(self.pages.select(*page_cols), "url", "left")
+
+        results = extract_pages(
+            fetched, self.storage_json, text_col=self.text_col, html_col=self.html_col
+        )
+        records = (
+            results.join(scheduled, "url")
+            .withColumn("round", F.lit(rnd))
+            .withColumn("part_id", F.spark_partition_id())  # lineage: which partition produced the row
+        )
+        records.write.mode("overwrite").parquet(self._p("records", rnd))
+        records = self.spark.read.parquet(self._p("records", rnd))
+
+        # frontier expansion: __request__ leaves -> next round candidates
+        exploded = (
+            records.filter(F.col("requests").isNotNull())
+            .select("url", "depth", F.posexplode("requests").alias("list_index", "child_url"))
+            .select(
+                F.col("child_url").alias("url"),
+                F.lit(0).alias("priority"),
+                (F.col("depth") + 1).alias("depth"),
+                F.col("url").alias("parent_url"),
+                F.col("list_index"),
+                F.lit(rnd + 1).alias("discovered_round"),
+            )
+        )
+        candidates = add_url_keys(exploded).select(*_META_COLS)
+        # first-discovery-wins within the round (deterministic order)
+        first_seen = Window.partitionBy("url_hash").orderBy("depth", "parent_url", "list_index")
+        candidates = (
+            candidates.withColumn("_rk", F.row_number().over(first_seen)).filter(F.col("_rk") == 1).drop("_rk")
+        )
+
+        # seen-set update: scheduled URLs are now crawled
+        new_seen = seen.unionByName(
+            scheduled.select("url_hash", "url_canon")
+        ).dropDuplicates(["url_hash"])
+        self._write_state(new_seen, self._p("seen", rnd + 1))
+        new_seen = self.spark.read.parquet(self._p("seen", rnd + 1))
+
+        # dedup: bloom pre-filter + exact anti-join vs seen, then vs the
+        # deferred backlog (already pending)
+        bloom_df = self.bloom.build(new_seen) if self.bloom else None
+        fresh = (
+            BloomSeenFilter(n_buckets=self.bloom.n_buckets).filter_new(candidates, new_seen, bloom_df)
+            if self.bloom
+            else candidates.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+        )
+        fresh = fresh.join(deferred.select("url_hash"), "url_hash", "left_anti")
+
+        next_frontier = deferred.unionByName(fresh.select(*_META_COLS))
+        self._write_state(next_frontier, self._p("frontier", rnd + 1))
+
+        stats = {
+            "round": rnd,
+            "scheduled": n_scheduled,
+            "errors": records.filter(F.col("error").isNotNull()).count(),
+            "new_candidates": fresh.count(),
+            "deferred": deferred.count(),
+            "seen_total": new_seen.count(),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "done": False,
+        }
+        (self.state_dir / "metrics").mkdir(exist_ok=True)
+        (self.state_dir / "metrics" / f"r{rnd}.json").write_text(json.dumps(stats))
+        self._commit_manifest({"round": rnd + 1, "done": False, "last_stats": stats})
+        decided.unpersist()
+        return stats
+
+    def run(self, max_rounds: int = 100) -> List[Dict[str, int]]:
+        out = []
+        for _ in range(max_rounds):
+            stats = self.run_round()
+            out.append(stats)
+            if stats.get("done") or stats["scheduled"] == 0:
+                break
+        return out
+
+    # -------------------------------------------------------------- outputs
+    def records(self) -> DataFrame:
+        rnd = self.read_manifest()["round"]
+        paths = [self._p("records", r) for r in range(rnd + 1) if Path(self._p("records", r)).exists()]
+        return self.spark.read.parquet(*paths)
+
+    def seen(self) -> DataFrame:
+        rnd = self.read_manifest()["round"]
+        for r in range(rnd, -1, -1):
+            p = self._p("seen", r)
+            if Path(p).exists():
+                return self.spark.read.parquet(p)
+        raise FileNotFoundError("no seen state; call seed() first")
+
+    def assemble_results(self, seed_urls: List[str]) -> List[dict]:
+        """Driver-side re-nesting of records into reference-shaped crawl
+        results (test scale only — collect()s all records)."""
+        rows = {r["url"]: r.asDict() for r in self.records().collect()}
+
+        def build(url: str, path: frozenset):
+            rec = rows.get(url)
+            if rec is None or rec["result"] is None:
+                err = rec["error"] if rec else None
+                return err if err else None
+            result = config.json_loads(rec["result"])
+            requests = rec["requests"]
+            if requests is not None and rec["rule_name"]:
+                payload = result[rec["rule_name"]]
+                # scalar __request__ attaches a single result, list a list
+                # (reference crawler.py:176-189)
+                original = payload.get(config.REQUEST_KEY)
+                if isinstance(original, (list, tuple)):
+                    payload[config.RESULT_KEY] = [
+                        None if child in path else build(child, path | {child})
+                        for child in requests
+                    ]
+                else:
+                    child = requests[0]
+                    payload[config.RESULT_KEY] = None if child in path else build(child, path | {child})
+            return result
+
+        return [build(u, frozenset({u})) for u in seed_urls]

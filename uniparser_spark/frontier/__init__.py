@@ -1,0 +1,4 @@
+from .politeness import schedule_batch
+from .seen import BloomSeenFilter, add_url_keys
+
+__all__ = ["BloomSeenFilter", "add_url_keys", "schedule_batch"]

@@ -1,0 +1,82 @@
+"""Per-host politeness + priority scheduling as DataFrame operators.
+
+Reference behavior: ``set_frequency(host, n, interval)`` gates downloads
+with a token bucket of n requests per interval seconds
+(parsers.py:1508-1513, 1582-1592; timing contract
+test_parsers.py:1326-1383).  In the round-based engine one scheduling
+round ≈ one interval tick, so the frequency contract becomes a
+deterministic per-round batch-size cap: host budget = n (from the
+frequency/robots table) URLs per round, FIFO within a host by
+(priority desc, depth, parent, list_index) — the reference's
+``__request__`` list order.
+
+Skew: a hot host (Zipf head) concentrates its pending URLs in one
+window partition.  ``schedule_batch`` therefore pre-trims per
+(host, salt) group — each salted group keeps only ``budget`` rows, so
+the exact per-host ranking that follows sees at most salt_buckets ×
+budget rows per host instead of the host's whole backlog.  Correctness
+is unaffected: any row dropped by the pre-trim ranks below ``budget``
+rows of its own (host, salt) group, hence below ≥budget rows of the
+host.  Deferred rows stay pending for later rounds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+def host_order():
+    """Scheduling order within a host — reference FIFO list order
+    (crawler.py:177-189): higher priority first, then shallower depth,
+    then discovery order within the parent's __request__ list."""
+    return [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("discovered_round").asc(),
+        F.col("parent_url").asc_nulls_first(),
+        F.col("list_index").asc(),
+        F.col("url_canon").asc(),
+    ]
+
+
+def schedule_batch(
+    pending: DataFrame,
+    budgets: Optional[DataFrame] = None,
+    default_budget: int = 1000,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Rank pending URLs per host and mark the fetch batch.
+
+    pending must carry (url_canon, host, priority, depth,
+    discovered_round, parent_url, list_index).  ``budgets`` is a small
+    (host, budget) table — robots crawl-delay divided into the round
+    interval — broadcast-joined; hosts without an entry get
+    ``default_budget``.
+
+    Returns pending + ``scheduled`` boolean.  Callers split on it; the
+    deferred remainder carries over to the next round.
+    """
+    if budgets is not None:
+        pending = pending.join(F.broadcast(budgets), "host", "left")
+        budget_col = F.coalesce(F.col("budget"), F.lit(default_budget))
+    else:
+        budget_col = F.lit(default_budget)
+    pending = pending.withColumn("_budget", budget_col).drop("budget")
+
+    order = host_order()
+    # phase 1: salted pre-trim bounds the exact window's input per host
+    salted = Window.partitionBy("host", F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets))).orderBy(*order)
+    pre = pending.withColumn("_salt_rank", F.row_number().over(salted))
+    survivors = pre.filter(F.col("_salt_rank") <= F.col("_budget"))
+    trimmed = pre.filter(F.col("_salt_rank") > F.col("_budget")).withColumn(
+        "scheduled", F.lit(False)
+    )
+
+    # phase 2: exact per-host ranking over the bounded survivor set
+    host_window = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("_host_rank", F.row_number().over(host_window))
+    decided = ranked.withColumn("scheduled", F.col("_host_rank") <= F.col("_budget"))
+
+    clean = [c for c in pending.columns if not c.startswith("_")]
+    return decided.select(*clean, "scheduled").unionByName(trimmed.select(*clean, "scheduled"))
