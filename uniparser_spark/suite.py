@@ -1,0 +1,619 @@
+"""The driver-facing query suite: Spark queries + DuckDB oracle twins.
+
+Each entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``
+and has a matching ANSI-SQL string in ``ORACLES`` that DuckDB runs over
+the same parquet tables.  Column names and value representations are
+aligned exactly (aggregates via exact decimal sums cast to double,
+ratios rounded at fixed precision, hashes from the portable md5 family)
+so the driver's order-insensitive value-hash comparison passes.
+
+Coverage map (SURVEY.md §2.4 + training-data ops):
+  relational skeleton .... pricing_summary, revenue_by_brand (broadcast
+                           join), customers_without_orders (anti join),
+                           top_events_per_user (window top-k),
+                           politeness_budget (the crawl scheduler's
+                           window+budget shape), host_extract (URL→host),
+                           time_roundtrip, json_props
+  rule engine ............ rule_first3 (compiled chain over documents)
+  text analysis .......... token_stats, quality_scores, langid,
+                           doc_fingerprints
+  dedup .................. dedup_exact, minhash_lsh_pairs,
+                           simhash_groups, ngram_jaccard_pairs
+  similarity ............. cosine_topk, embedding_dup_pairs, ann_lsh_topk
+  multimodal ............. multimodal_features (binary plumbing,
+                           deterministic fake decode)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import config
+from .engine.extract import extract_pages
+from .textops import (
+    cosine_topk,
+    doc_fingerprints,
+    embedding_dup_pairs,
+    exact_dup_groups,
+    langid,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    rhp_lsh_topk,
+    simhash_groups,
+    token_stats,
+)
+from .textops.multimodal import decode_media, docs_as_media
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str, p: int, s: int) -> F.Column:
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------- relational
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single-shuffle groupBy with map-side partial
+    aggregation; exact decimal sums so the oracle matches bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    price = _dec("l_extendedprice", 18, 2)
+    disc = _dec("l_discount", 4, 2)
+    tax = _dec("l_tax", 4, 2)
+    qty = _dec("l_quantity", 8, 2)
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn(
+            "avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6)
+        )
+    )
+    return out
+
+
+def q_revenue_by_brand(spark, sf_dir):
+    """Fact⋈dim with explicit broadcast of the small side — zero shuffle
+    of lineitem for the join; only the final groupBy shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    price = _dec("l_extendedprice", 18, 2)
+    disc = _dec("l_discount", 4, 2)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left anti join — the seen-set dedup primitive of the frontier."""
+    cust = t(spark, sf_dir, "customer")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_top_events_per_user(spark, sf_dir):
+    """Window top-k per partition key (the fetch-batch ranking shape)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def q_politeness_budget(spark, sf_dir):
+    """The politeness scheduler's core shape: rank rows within each
+    host-analog (user_id) by time and split into scheduled (≤ budget)
+    vs deferred."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("rn") <= 5, 1).otherwise(0)).cast("long").alias("n_scheduled"),
+        F.sum(F.when(F.col("rn") > 5, 1).otherwise(0)).cast("long").alias("n_deferred"),
+    )
+
+
+def q_host_extract(spark, sf_dir):
+    """URL synthesis + host extraction (get_host as a relational op)."""
+    o = t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example.com:443/order/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    host = F.regexp_extract(url, "^https?://([^/:]+)", 1)
+    return (
+        o.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+def q_time_roundtrip(spark, sf_dir):
+    """Time encode/decode (the reference TimeParser semantics pinned to
+    UTC): format + epoch-millis extremes per hour bucket."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        )
+        .groupBy("hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ms").alias("first_ms"),
+            F.max("ms").alias("last_ms"),
+        )
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """JSON scalar extraction (the loader/jsonpath fast path)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_k"))
+    )
+
+
+# -------------------------------------------------------------- rule engine
+_DOCS_HOST = "docs.example.org"
+
+
+def _docs_storage() -> str:
+    storage = {
+        _DOCS_HOST: {
+            "host": _DOCS_HOST,
+            "crawler_rules": {
+                "doc": {
+                    "name": "doc",
+                    "request_args": {
+                        "method": "get",
+                        "url": f"https://{_DOCS_HOST}/d/0",
+                    },
+                    "parse_rules": [
+                        {
+                            "name": "first3",
+                            "chain_rules": [
+                                ["re", "[a-z]+", ""],
+                                ["python", "getitem", "[:3]"],
+                                ["python", "join", " "],
+                            ],
+                            "child_rules": [],
+                        }
+                    ],
+                    "regex": rf"^https://docs\.example\.org/d/\d+$",
+                }
+            },
+        }
+    }
+    return config.json_dumps(storage)
+
+
+def q_rule_first3(spark, sf_dir):
+    """The compiled rule-chain engine (re → getitem → join) run as a
+    fused mapInPandas over the documents table — EP2 of the reference."""
+    docs = t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit(f"https://{_DOCS_HOST}/d/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("text"),
+    )
+    res = extract_pages(pages, _docs_storage())
+    return res.select(
+        "url", F.get_json_object("result", "$.doc.first3").alias("first3")
+    )
+
+
+# ------------------------------------------------------------ text analysis
+def q_token_stats(spark, sf_dir):
+    return token_stats(t(spark, sf_dir, "documents"))
+
+
+def q_quality_scores(spark, sf_dir):
+    return quality_scores(t(spark, sf_dir, "documents"))
+
+
+def q_langid(spark, sf_dir):
+    return langid(t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return doc_fingerprints(t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------------- dedup
+def q_dedup_exact(spark, sf_dir):
+    return exact_dup_groups(t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3
+    )
+
+
+def q_simhash_groups(spark, sf_dir):
+    return simhash_groups(t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), shingle_k=2, threshold=0.2, max_id=200
+    )
+
+
+# --------------------------------------------------------------- similarity
+def q_cosine_topk(spark, sf_dir):
+    return cosine_topk(t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    return embedding_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.35, max_id=300
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return rhp_lsh_topk(
+        t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_planes=6, dims=64
+    )
+
+
+# --------------------------------------------------------------- multimodal
+def q_multimodal_features(spark, sf_dir):
+    media = docs_as_media(t(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_brand": q_revenue_by_brand,
+    "customers_without_orders": q_customers_without_orders,
+    "top_events_per_user": q_top_events_per_user,
+    "politeness_budget": q_politeness_budget,
+    "host_extract": q_host_extract,
+    "time_roundtrip": q_time_roundtrip,
+    "json_props": q_json_props,
+    "rule_first3": q_rule_first3,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "langid": q_langid,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_groups": q_simhash_groups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "cosine_topk": q_cosine_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+# ------------------------------------------------------------------ oracles
+# Shared SQL fragments (DuckDB dialect).
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_NTOKS = rf"string_split_regex(trim({_NORM}), '\s+')"
+_HEXV = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _hexbyte(h: str, byte_idx: int) -> str:
+    """SQL for the byte_idx-th byte (0-based) of a hex digest string."""
+    hi = _HEXV.format(h=h, i=2 * byte_idx + 1)
+    lo = _HEXV.format(h=h, i=2 * byte_idx + 2)
+    return f"({hi} * 16 + {lo})"
+
+
+ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+          COUNT(*) AS count_order,
+          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "revenue_by_brand": """
+        SELECT p_brand,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 250000)
+    """,
+    "top_events_per_user": """
+        SELECT user_id, event_id, value, rn FROM (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 2
+    """,
+    "politeness_budget": """
+        SELECT user_id,
+          CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_scheduled,
+          CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+        FROM (
+          SELECT user_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) GROUP BY 1
+    """,
+    "host_extract": """
+        SELECT regexp_extract(
+                 'https://shop-' || (o_custkey % 20) || '.example.com:443/order/' || o_orderkey,
+                 '^https?://([^/:]+)', 1) AS host,
+               COUNT(*) AS n_urls
+        FROM orders GROUP BY 1
+    """,
+    "time_roundtrip": """
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+               COUNT(*) AS n_events,
+               MIN(epoch_ms(ts)) AS first_ms,
+               MAX(epoch_ms(ts)) AS last_ms
+        FROM events GROUP BY 1
+    """,
+    "json_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY 1
+    """,
+    "rule_first3": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               array_to_string(regexp_extract_all(text, '[a-z]+')[1:3], ' ') AS first3
+        FROM documents
+    """,
+    "token_stats": rf"""
+        SELECT doc_id,
+          len({_TOKS}) AS n_tokens,
+          len(list_distinct({_TOKS})) AS n_distinct_tokens,
+          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+          ROUND(CAST(list_sum(list_transform({_TOKS}, t -> len(t))) AS DOUBLE)
+                / len({_TOKS}), 4) AS avg_token_len
+        FROM documents
+    """,
+    "quality_scores": rf"""
+        WITH base AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS n_chars,
+            CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+            CAST(len(list_filter({_TOKS},
+              t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) AS sw,
+            CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) AS punct,
+            CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_distinct
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(n_tok AS BIGINT) AS n_tokens,
+          ROUND(sw / n_tok, 4) AS stopword_ratio,
+          ROUND(punct / n_chars, 4) AS punct_ratio,
+          ROUND(n_distinct / n_tok, 4) AS distinct_ratio,
+          ROUND(0.4 * least(1.0, n_chars / 500.0)
+              + 0.3 * (n_distinct / n_tok)
+              + 0.2 * (1.0 - punct / n_chars)
+              + 0.1 * least(1.0, (sw / n_tok) * 5.0), 4) AS quality
+        FROM base
+    """,
+    "langid": rf"""
+        WITH v AS (
+          SELECT doc_id,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('the','a','of','and','to','in','is','that'))) AS votes_en,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS votes_de,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('le','la','les','et','est','un','une','dans'))) AS votes_fr,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('el','los','las','es','un','una','en','que'))) AS votes_es
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN greatest(votes_en, votes_de, votes_fr, votes_es) = 0 THEN 'und'
+               WHEN votes_en = greatest(votes_en, votes_de, votes_fr, votes_es) THEN 'en'
+               WHEN votes_de = greatest(votes_en, votes_de, votes_fr, votes_es) THEN 'de'
+               WHEN votes_fr = greatest(votes_en, votes_de, votes_fr, votes_es) THEN 'fr'
+               ELSE 'es' END AS pred_lang,
+          votes_en, votes_de, votes_fr, votes_es
+        FROM v
+    """,
+    "doc_fingerprints": rf"""
+        WITH n AS (
+          SELECT doc_id, {_NORM} AS norm,
+                 string_split_regex({_NORM}, '\s+') AS tk
+          FROM documents
+        )
+        SELECT doc_id,
+          substr(md5(norm), 1, 16) AS content_fp,
+          list_min(list_transform(
+            CASE WHEN len(tk) >= 4
+                 THEN list_transform(range(0, len(tk) - 3),
+                                     i -> array_to_string(tk[i+1:i+4], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END,
+            g -> substr(md5(g), 1, 16))) AS min_gram_fp
+        FROM n
+    """,
+    "dedup_exact": rf"""
+        SELECT substr(md5({_NORM}), 1, 16) AS content_fp,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    """,
+    "minhash_lsh_pairs": rf"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(tk) - 2),
+                                i -> array_to_string(tk[i+1:i+3], ' ')) AS s
+          FROM toks WHERE len(tk) >= 3
+        ),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   h -> list_min(list_transform(s,
+                          g -> substr(md5(h || ':' || g), 1, 16)))) AS sg
+          FROM sh WHERE len(s) > 0
+        ),
+        bands AS (
+          SELECT doc_id, j.band_idx,
+                 md5(array_to_string(sg[j.band_idx*2+1:j.band_idx*2+2], ',')) AS band_key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) j
+        )
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b USING (band_idx, band_key)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "simhash_groups": rf"""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(1, 17),
+              j -> CASE WHEN list_sum(list_transform({_TOKS},
+                          t -> ((ascii(substr(md5(t), j, 1)) % 2) * 2 - 1))) >= 0
+                        THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM documents WHERE len({_TOKS}) > 0
+        )
+        SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        FROM s GROUP BY 1
+    """,
+    "ngram_jaccard_pairs": rf"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(tk) - 1),
+                               i -> array_to_string(tk[i+1:i+2], ' '))) AS s
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id < 200)
+          WHERE len(tk) >= 2
+        ),
+        p AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS inter,
+                 CAST(len(a.s) AS DOUBLE) AS la, CAST(len(b.s) AS DOUBLE) AS lb
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+        )
+        SELECT id1, id2, ROUND(inter / (la + lb - inter), 4) AS jaccard
+        FROM p WHERE ROUND(inter / (la + lb - inter), 4) >= 0.2
+    """,
+    "cosine_topk": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        c AS (
+          SELECT qid, vec_id,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS sim
+          FROM e, q WHERE vec_id <> qid
+        )
+        SELECT qid, vec_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+          FROM c
+        ) WHERE rn <= 5
+    """,
+    "embedding_dup_pairs": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 300
+        ),
+        p AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6) AS sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id1, id2, sim FROM p WHERE sim >= 0.35
+    """,
+    "ann_lsh_topk": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, v,
+            CAST(list_sum(list_transform(range(1, 7), p ->
+              CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                     v[d] * ((ascii(substr(md5(p || ':' || d), 1, 1)) % 2) * 2 - 1))) >= 0
+                   THEN CAST(power(2, p - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+          FROM e
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
+        c AS (
+          SELECT qid, b.vec_id,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS sim
+          FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+          FROM c
+        ) WHERE rn <= 5
+    """,
+    "multimodal_features": f"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+                 md5(text) AS h,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+        )
+        SELECT media_id, media_type,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               substr(h, 1, 16) AS content_hash,
+               CASE WHEN media_type IN ('image','video')
+                    THEN CAST(64 + {_hexbyte('h', 0)} % 192 AS INTEGER) END AS width,
+               CASE WHEN media_type IN ('image','video')
+                    THEN CAST(64 + {_hexbyte('h', 1)} % 192 AS INTEGER) END AS height,
+               CASE WHEN media_type = 'video'
+                    THEN CAST(1 + {_hexbyte('h', 2)} % 16 AS INTEGER) END AS n_frames
+        FROM m
+    """,
+}

@@ -1,0 +1,45 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+Everything here is built from JVM-side `pyspark.sql.functions` (incl.
+higher-order array lambdas) — no Python UDFs in the hot path — so plans
+stay inside whole-stage codegen and scale to 100 TB inputs.  Every
+operator has a DuckDB-expressible twin (see ``__spark_entry__.py``
+``oracle_sql``) built on the same md5-based deterministic hashing, which
+is how correctness is checked end-to-end.
+"""
+
+from .dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_groups,
+    with_simhash,
+)
+from .quality import (
+    doc_fingerprints,
+    langid,
+    quality_scores,
+    token_stats,
+)
+from .similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    rhp_lsh_topk,
+)
+
+__all__ = [
+    "exact_dup_groups",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_groups",
+    "with_simhash",
+    "doc_fingerprints",
+    "langid",
+    "quality_scores",
+    "token_stats",
+    "cosine_topk",
+    "embedding_dup_pairs",
+    "rhp_lsh_topk",
+]

@@ -1,0 +1,168 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of running these on Spark):
+
+- exact dedup is one hash-groupBy — partial aggregation map-side, one
+  shuffle on the 16-byte fingerprint, never on the document text;
+- MinHash signatures are computed per-row with array lambdas (no
+  shuffle, no Python); LSH banding explodes to ``bands`` rows per doc
+  and joins docs on (band_idx, band_key) — the shuffle key is a 32-byte
+  hash, uniformly distributed, so no skew; candidate pair volume is
+  controlled by (n_hashes, bands) exactly as in the MinHash-LSH
+  literature;
+- SimHash packs a 16-bit signature per doc; grouping on it is a
+  trivially small shuffle;
+- n-gram Jaccard is the quadratic verifier — only ever run it on LSH
+  candidates (or a capped id range in tests/oracles).
+
+Hashing is the portable md5 family from .exprs so the DuckDB oracle
+reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .exprs import h16, md5_bit, seeded_h16, tokens, word_shingles
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized content hash.
+
+    Returns one row per distinct content: (content_fp, n_docs, keep_id)
+    where keep_id is the smallest doc id (keep-first policy).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), h16(norm).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of n_hashes 16-hex-char minima
+    over word shingle hashes.  Pure narrow transformation."""
+    sh = word_shingles(tokens(F.col(text_col)), shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(F.transform(sh, lambda g: seeded_h16(s, g))),
+    )
+    return df.select(
+        F.col(id_col), sig.alias("sig"), F.size(sh).alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (id1 < id2, distinct).
+
+    bands × rows = n_hashes; a pair is a candidate iff all `rows`
+    signature entries of some band agree (band key = md5 of the band
+    slice).  The join key is (band_idx, band_key) — high-entropy, no
+    skew; the doc text never crosses the shuffle.
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(F.concat_ws(",", F.slice(F.col("sig"), j * rows + 1, rows))),
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_id: int = 200,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over all pairs with id < max_id
+    (the quadratic verifier — cap the id range or feed LSH candidates).
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct word shingles,
+    rounded to 4 dp.
+    """
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_k))
+    docs = (
+        df.filter(F.col(id_col) < max_id)
+        .select(F.col(id_col), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    a = docs.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    b = docs.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size("sh1").cast("double") + F.size("sh2").cast("double") - inter
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """16-bit SimHash per doc: bit j is the sign of the token-frequency-
+    weighted sum of (2·bit_j(md5(token)) − 1).  One narrow projection."""
+    toks = tokens(F.col(text_col))
+    simhash = F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                toks, F.lit(0), lambda a, t: a + (md5_bit(t, j) * 2 - 1)
+            )
+            >= 0,
+            F.pow(F.lit(2.0), j - 1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        df.select(F.col(id_col), F.size(toks).alias("n_tokens"), simhash.alias("simhash"))
+        .filter(F.col("n_tokens") > 0)
+        .drop("n_tokens")
+    )
+
+
+def simhash_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Near-dup clustering proxy: docs bucketed by identical SimHash."""
+    return (
+        with_simhash(df, text_col, id_col, bits)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
