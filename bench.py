@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries + crawl throughput, one JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_CRAWL_PAGES   detail pages for the crawl bench (default 20000)
+
+Usage:
+  python bench.py               # full suite + crawl bench
+  python bench.py --crawl-only  # just the crawl job (scaling runs)
+
+Output: ONE JSON line
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {"urls": N, "wall_sec": s, "urls_per_sec": r, "rounds": k},
+   "cpus": N}
+
+The headline `value` is the total wall seconds of the query suite; the
+north-rule throughput (frontier URLs scheduled+parsed/sec) is reported
+under `crawl.urls_per_sec` and summarized across parallelism levels in
+BENCH.md by tools/scaling_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    from uniparser_spark.suite import QUERIES
+
+    timings = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        # noop sink: full evaluation of every column, nothing collected
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def run_crawl(spark, n_pages: int) -> dict:
+    from uniparser_spark.crawl.engine import CrawlEngine
+    from uniparser_spark.testgen import generate_pages, seed_urls, storage_json
+
+    n_hosts = 32
+    # tmpfs-backed state: the benchmark measures compute/shuffle scaling,
+    # not the sandbox VM's disk write-back jitter (which showed >2×
+    # run-to-run variance on /tmp)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base_dir = tempfile.mkdtemp(prefix="bench_crawl_", dir=shm)
+    try:
+        # materialize the page corpus as parquet first (untimed input
+        # prep): the engine's fetch join then scans a real columnar
+        # table with pushdown/pruning, as it would against Common Crawl.
+        # Fixed 128-way layout so the INPUT is identical at every
+        # parallelism level (fair N vs 4N comparison) and scan splits
+        # never cap parallelism.
+        pages_path = os.path.join(base_dir, "pages")
+        generate_pages(
+            spark, n_hosts=n_hosts, n_details=n_pages, partitions=128
+        ).write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        seeds = seed_urls(n_hosts, n_pages)
+
+        def once(tag: str) -> dict:
+            state_dir = os.path.join(base_dir, tag)
+            eng = CrawlEngine(
+                spark,
+                pages,
+                storage_json(n_hosts),
+                state_dir,
+                default_budget=10**9,
+                use_bloom=True,
+            )
+            t0 = time.monotonic()
+            eng.seed(seeds)
+            stats = eng.run(max_rounds=10)
+            wall = time.monotonic() - t0
+            urls = sum(s.get("scheduled", 0) for s in stats)
+            return {
+                "urls": urls,
+                "wall_sec": round(wall, 3),
+                "urls_per_sec": round(urls / wall, 1),
+                "rounds": len(stats),
+            }
+
+        # first pass warms python workers + JVM JIT; the second is the
+        # measurement (same job, fresh state dir)
+        once("warmup")
+        return once("timed")
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "20000"))
+    crawl_only = "--crawl-only" in sys.argv
+
+    from uniparser_spark.engine.session import get_spark
+
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        local_dir = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
+        extra["spark.local.dir"] = local_dir
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus, **extra)
+    try:
+        timings = {} if crawl_only else run_queries(spark, sf_dir)
+        crawl = run_crawl(spark, n_pages)
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        out = {
+            "metric": "suite_wall_sec",
+            "value": round(sum(timings.values()) + crawl["wall_sec"], 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "crawl": crawl,
+            "cpus": cpus,
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+        if "spark.local.dir" in extra:
+            shutil.rmtree(extra["spark.local.dir"], ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Training-data operator tests: dedup, similarity, quality, multimodal.
+
+Small, deterministic inputs with independently computed expected values
+(hashlib/math in plain Python) — the same invariants the DuckDB oracle
+checks at sf scale.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from uniparser_spark.textops import (
+    cosine_topk,
+    doc_fingerprints,
+    exact_dup_groups,
+    langid,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    rhp_lsh_topk,
+    simhash_groups,
+    token_stats,
+    with_simhash,
+)
+from uniparser_spark.textops.multimodal import decode_media, docs_as_media
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_exact_dup_groups(spark):
+    df = docs_df(
+        spark,
+        [(0, BASE), (1, "  THE quick   brown fox jumps over the lazy dog again and again today "), (2, "something else entirely")],
+    )
+    groups = {r["content_fp"]: r for r in exact_dup_groups(df).collect()}
+    assert len(groups) == 2
+    dup = [g for g in groups.values() if g["n_docs"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+    # fingerprint matches plain-python md5 of the normalized text
+    norm = " ".join(BASE.split())
+    assert hashlib.md5(norm.encode()).hexdigest()[:16] in groups
+
+
+def test_minhash_impls_agree(spark):
+    df = docs_df(spark, [(0, BASE), (1, BASE + " with a small suffix change"), (2, "unrelated words entirely different from anything")])
+    a = {r["doc_id"]: r["sig"] for r in minhash_signatures(df, impl="pandas").collect()}
+    b = {r["doc_id"]: r["sig"] for r in minhash_signatures(df, impl="expr").collect()}
+    assert a == b
+
+
+def test_lsh_finds_near_dup(spark):
+    near = BASE + " tail"
+    far = "completely different vocabulary with no overlap whatsoever in any gram"
+    df = docs_df(spark, [(0, BASE), (1, near), (2, far)])
+    pairs = {(r["id1"], r["id2"]) for r in lsh_candidate_pairs(df).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_deterministic(spark):
+    df = docs_df(spark, [(0, BASE), (1, BASE), (2, "other words here completely")])
+    vals = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    assert vals[0] == vals[1]
+    assert 0 <= vals[0] < 2**16
+    groups = {r["simhash"]: r for r in simhash_groups(df).collect()}
+    assert groups[vals[0]]["n_docs"] == 2 and groups[vals[0]]["keep_id"] == 0
+
+
+def test_ngram_jaccard_value(spark):
+    # doc0: bigrams {a b, b c, c d}; doc1: {a b, b c, c e} -> |∩|=2 |∪|=4
+    df = docs_df(spark, [(0, "a b c d"), (1, "a b c e")])
+    rows = ngram_jaccard_pairs(df, shingle_k=2, threshold=0.0, max_id=10).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(0.5)
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(emb, n_queries=1, k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert top[0]["sim"] == pytest.approx(round(expected, 6), abs=1e-6)
+
+
+def test_rhp_lsh_finds_identical(spark):
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(1, 40)]
+    rows.append((0, rows[5][1]))  # vec 0 duplicates vec 6
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = rhp_lsh_topk(emb, n_queries=1, k=3, n_planes=4, dims=8).collect()
+    assert top and top[0]["vec_id"] == rows[5][0] and top[0]["sim"] == pytest.approx(1.0)
+
+
+def test_token_stats_and_quality(spark):
+    df = docs_df(spark, [(0, "the cat sat on the mat!")])
+    ts = token_stats(df).collect()[0]
+    assert ts["n_tokens"] == 6
+    assert ts["n_distinct_tokens"] == 5
+    assert ts["n_bpe_tokens"] == 7  # 6 words + '!'
+    assert ts["avg_token_len"] == pytest.approx(round(18 / 6, 4))
+    qs = quality_scores(df).collect()[0]
+    assert qs["n_chars"] == 23
+    assert qs["stopword_ratio"] == pytest.approx(round(2 / 6, 4))
+    assert qs["punct_ratio"] == pytest.approx(round(1 / 23, 4))
+    assert 0.0 <= qs["quality"] <= 1.0
+
+
+def test_langid_votes(spark):
+    df = docs_df(
+        spark,
+        [(0, "the cat and the dog in a house"), (1, "der hund und die katze ist nicht da"), (2, "zzz qqq www")],
+    )
+    out = {r["doc_id"]: r for r in langid(df).collect()}
+    assert out[0]["pred_lang"] == "en"
+    assert out[1]["pred_lang"] == "de"
+    assert out[2]["pred_lang"] == "und"
+
+
+def test_doc_fingerprints_match_python(spark):
+    df = docs_df(spark, [(0, "Alpha  Beta gamma DELTA epsilon zeta")])
+    row = doc_fingerprints(df).collect()[0]
+    norm = "alpha beta gamma delta epsilon zeta"
+    assert row["content_fp"] == hashlib.md5(norm.encode()).hexdigest()[:16]
+    toks = norm.split()
+    grams = [" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)]
+    assert row["min_gram_fp"] == min(
+        hashlib.md5(g.encode()).hexdigest()[:16] for g in grams
+    )
+
+
+def test_multimodal_decode_stub(spark):
+    docs = docs_df(spark, [(0, "first doc"), (1, "second doc"), (2, "third doc")])
+    media = docs_as_media(docs)
+    feats = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
+    assert set(feats) == {0, 1, 2}
+    # media types cycle image/audio/video by id
+    assert feats[0]["media_type"] == "image" and feats[2]["media_type"] == "video"
+    digest = hashlib.md5(b"first doc").digest()
+    assert feats[0]["n_bytes"] == len(b"first doc")
+    assert feats[0]["content_hash"] == hashlib.md5(b"first doc").hexdigest()[:16]
+    assert feats[0]["width"] == 64 + digest[0] % 192
+    assert feats[0]["height"] == 64 + digest[1] % 192
+    assert feats[0]["n_frames"] is None  # image has no frames
+    assert feats[2]["n_frames"] == 1 + hashlib.md5(b"third doc").digest()[2] % 16
+    # audio rows carry no dims
+    assert feats[1]["width"] is None and feats[1]["height"] is None
+    # the real-decode seam is explicit
+    with pytest.raises(Exception):
+        decode_media(media, fake=False).collect()

@@ -37,7 +37,7 @@ import time
 from pathlib import Path
 from typing import Dict, List, Optional, Union
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -80,6 +80,7 @@ class CrawlEngine:
         salt_buckets: int = 16,
         use_bloom: bool = True,
         bloom_buckets: int = 64,
+        bloom_min_seen: int = 1_000_000,
         state_partitions: Optional[int] = None,
         text_col: str = "text",
         html_col: Optional[str] = None,
@@ -92,6 +93,7 @@ class CrawlEngine:
         self.default_budget = default_budget
         self.salt_buckets = salt_buckets
         self.bloom = BloomSeenFilter(n_buckets=bloom_buckets) if use_bloom else None
+        self.bloom_min_seen = bloom_min_seen
         self.state_partitions = state_partitions or spark.sparkContext.defaultParallelism
         self.text_col = text_col
         self.html_col = html_col
@@ -118,68 +120,145 @@ class CrawlEngine:
     # -------------------------------------------------------------- seeding
     def seed(self, urls: List[str], priority: int = 0) -> None:
         """Initialize frontier round 0 with the seed list (list order kept
-        via list_index, matching reference seed iteration)."""
+        via list_index, matching reference seed iteration).  Seeds are
+        deduplicated here so the frontier invariant (unique url_hash)
+        holds from round 0 — later rounds rely on it to skip re-dedup."""
+        unique, seen_urls = [], set()
+        for u in urls:
+            if u not in seen_urls:
+                seen_urls.add(u)
+                unique.append(u)
+        urls = unique
         rows = [(u, priority, 0, None, i, 0) for i, u in enumerate(urls)]
         df = self.spark.createDataFrame(
             rows, "url string, priority int, depth int, parent_url string, list_index int, discovered_round int"
         )
         frontier = add_url_keys(df).select(*_META_COLS)
-        self._write_state(frontier, self._p("frontier", 0))
+        self._write_state(frontier, self._p("frontier", 0), rows_hint=len(urls))
         empty_seen = self.spark.createDataFrame([], "url_hash long, url_canon string")
         self._write_state(empty_seen, self._p("seen", 0), partitions=1)
-        self._commit_manifest({"round": 0, "done": False, "seeded": len(urls)})
+        self._commit_manifest(
+            {
+                "round": 0,
+                "done": False,
+                "seeded": len(urls),
+                "n_pending": len(urls),
+                "seen_total": 0,
+            }
+        )
 
-    def _write_state(self, df: DataFrame, path: str, partitions: Optional[int] = None) -> None:
-        # bucket state by url_hash so successive rounds read co-partitioned
+    def _write_state(
+        self,
+        df: DataFrame,
+        path: str,
+        partitions: Optional[int] = None,
+        rows_hint: Optional[int] = None,
+    ) -> None:
+        # bucket state by url_hash so successive rounds read co-partitioned;
+        # partition count scales with the known state size (rows_hint from
+        # the round's observed counters) so small states don't pay
+        # state_partitions-many task launches per write
         n = partitions or self.state_partitions
+        if rows_hint is not None:
+            n = max(1, min(n, rows_hint // 500_000 + 1))
         df.repartition(n, F.pmod(F.col("url_hash"), F.lit(n)) if "url_hash" in df.columns else F.lit(0)).write.mode(
             "overwrite"
         ).parquet(path)
 
     # --------------------------------------------------------------- rounds
     def run_round(self) -> Dict[str, int]:
+        """One scheduling round in exactly THREE Spark actions (records
+        write, seen write, frontier write) — per-round stats ride on the
+        writes via ``Observation`` instead of separate count() jobs, and
+        frontier metadata is carried through the extraction UDF instead
+        of re-joined, so nothing in the round is computed twice."""
         manifest = self.read_manifest()
         rnd = manifest["round"]
         if manifest.get("done"):
+            return {"round": rnd, "scheduled": 0, "done": True}
+        if manifest.get("n_pending") == 0:
+            self._commit_manifest({**manifest, "done": True})
             return {"round": rnd, "scheduled": 0, "done": True}
         t0 = time.monotonic()
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
         seen = self.spark.read.parquet(self._p("seen", rnd))
 
-        decided = schedule_batch(
-            pending,
-            budgets=self.budgets,
-            default_budget=self.default_budget,
-            salt_buckets=self.salt_buckets,
-        ).cache()
-        scheduled = decided.filter(F.col("scheduled")).drop("scheduled")
-        deferred = decided.filter(~F.col("scheduled")).drop("scheduled")
+        # politeness short-circuit: when no per-host budgets are set and
+        # the default budget can't bind (≥ the whole pending backlog,
+        # known from the manifest), the two ranking shuffles are a no-op
+        # — schedule everything, defer nothing.
+        n_pending = manifest.get("n_pending")
+        trivial_budget = (
+            self.budgets is None
+            and n_pending is not None
+            and self.default_budget >= n_pending
+        )
+        if trivial_budget:
+            decided = None
+            scheduled = pending
+            deferred = None
+        else:
+            decided = schedule_batch(
+                pending,
+                budgets=self.budgets,
+                default_budget=self.default_budget,
+                salt_buckets=self.salt_buckets,
+            ).cache()
+            scheduled = decided.filter(F.col("scheduled")).drop("scheduled")
+            deferred = decided.filter(~F.col("scheduled")).drop("scheduled")
 
-        n_scheduled = scheduled.count()
-        if n_scheduled == 0:
-            self._commit_manifest({**manifest, "done": True})
-            decided.unpersist()
-            return {"round": rnd, "scheduled": 0, "done": True}
-
-        # fetch = equi-join against the pages table (no network; the
-        # adapter seam of the reference, parsers.py:1497-1517)
+        # ACTION 1 — fetch + extract + records sink.  Fetch = equi-join
+        # against the pages table (no network; the adapter seam of the
+        # reference, parsers.py:1497-1517); frontier meta rides through
+        # the UDF via passthrough.
         page_cols = ["url", self.text_col] + ([self.html_col] if self.html_col else [])
         fetched = scheduled.join(self.pages.select(*page_cols), "url", "left")
-
-        results = extract_pages(
-            fetched, self.storage_json, text_col=self.text_col, html_col=self.html_col
-        )
         records = (
-            results.join(scheduled, "url")
+            extract_pages(
+                fetched,
+                self.storage_json,
+                text_col=self.text_col,
+                html_col=self.html_col,
+                passthrough=tuple(c for c in _META_COLS if c != "url"),
+            )
             .withColumn("round", F.lit(rnd))
-            .withColumn("part_id", F.spark_partition_id())  # lineage: which partition produced the row
+            .withColumn("part_id", F.spark_partition_id())  # lineage
+        )
+        obs_rec = Observation()
+        records = records.observe(
+            obs_rec,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
         )
         records.write.mode("overwrite").parquet(self._p("records", rnd))
-        records = self.spark.read.parquet(self._p("records", rnd))
+        n_scheduled = int(obs_rec.get["n"])
+        n_errors = int(obs_rec.get["errors"] or 0)
+        if n_scheduled == 0:
+            self._commit_manifest({**manifest, "done": True})
+            if decided is not None:
+                decided.unpersist()
+            return {"round": rnd, "scheduled": 0, "done": True}
+
+        # ACTION 2 — seen-set update: scheduled URLs are now crawled.
+        # No dropDuplicates: the frontier is unique by url_hash (seeds
+        # deduped at seed(); candidates window-deduped, anti-joined vs
+        # seen AND vs the deferred backlog each round) and disjoint from
+        # seen, so the union is already duplicate-free — saves a shuffle.
+        new_seen = seen.unionByName(scheduled.select("url_hash", "url_canon"))
+        obs_seen = Observation()
+        new_seen = new_seen.observe(obs_seen, F.count(F.lit(1)).alias("n"))
+        self._write_state(
+            new_seen,
+            self._p("seen", rnd + 1),
+            rows_hint=int(manifest.get("seen_total", 0)) + n_scheduled,
+        )
+        seen_total = int(obs_seen.get["n"])
+        seen_next = self.spark.read.parquet(self._p("seen", rnd + 1))
 
         # frontier expansion: __request__ leaves -> next round candidates
+        records_df = self.spark.read.parquet(self._p("records", rnd))
         exploded = (
-            records.filter(F.col("requests").isNotNull())
+            records_df.filter(F.col("requests").isNotNull())
             .select("url", "depth", F.posexplode("requests").alias("list_index", "child_url"))
             .select(
                 F.col("child_url").alias("url"),
@@ -197,40 +276,63 @@ class CrawlEngine:
             candidates.withColumn("_rk", F.row_number().over(first_seen)).filter(F.col("_rk") == 1).drop("_rk")
         )
 
-        # seen-set update: scheduled URLs are now crawled
-        new_seen = seen.unionByName(
-            scheduled.select("url_hash", "url_canon")
-        ).dropDuplicates(["url_hash"])
-        self._write_state(new_seen, self._p("seen", rnd + 1))
-        new_seen = self.spark.read.parquet(self._p("seen", rnd + 1))
-
-        # dedup: bloom pre-filter + exact anti-join vs seen, then vs the
-        # deferred backlog (already pending)
-        bloom_df = self.bloom.build(new_seen) if self.bloom else None
-        fresh = (
-            BloomSeenFilter(n_buckets=self.bloom.n_buckets).filter_new(candidates, new_seen, bloom_df)
-            if self.bloom
-            else candidates.join(new_seen.select("url_hash"), "url_hash", "left_anti")
+        # ACTION 3 — dedup (bloom pre-filter + exact anti-join vs seen,
+        # then vs the deferred backlog) and next-frontier sink.  The
+        # bloom is sized from the observed seen_total (no count() job)
+        # and only engaged once the seen set is big enough to repay its
+        # build+probe stages — below the threshold a plain anti-join is
+        # strictly cheaper.
+        use_bloom = self.bloom is not None and seen_total >= self.bloom_min_seen
+        bloom_df = (
+            self.bloom.build(seen_next, expected_total=seen_total) if use_bloom else None
         )
-        fresh = fresh.join(deferred.select("url_hash"), "url_hash", "left_anti")
-
-        next_frontier = deferred.unionByName(fresh.select(*_META_COLS))
-        self._write_state(next_frontier, self._p("frontier", rnd + 1))
+        fresh = (
+            self.bloom.filter_new(candidates, seen_next, bloom_df)
+            if use_bloom
+            else candidates.join(seen_next.select("url_hash"), "url_hash", "left_anti")
+        )
+        if deferred is not None:
+            fresh = fresh.join(deferred.select("url_hash"), "url_hash", "left_anti")
+            next_frontier = deferred.unionByName(fresh.select(*_META_COLS))
+        else:
+            next_frontier = fresh.select(*_META_COLS)
+        obs_front = Observation()
+        next_frontier = next_frontier.observe(
+            obs_front,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("discovered_round") == rnd + 1, 1).otherwise(0)
+            ).alias("fresh"),
+        )
+        self._write_state(
+            next_frontier, self._p("frontier", rnd + 1), rows_hint=n_scheduled * 2
+        )
+        n_pending_next = int(obs_front.get["n"])
+        n_fresh = int(obs_front.get["fresh"] or 0)
 
         stats = {
             "round": rnd,
             "scheduled": n_scheduled,
-            "errors": records.filter(F.col("error").isNotNull()).count(),
-            "new_candidates": fresh.count(),
-            "deferred": deferred.count(),
-            "seen_total": new_seen.count(),
+            "errors": n_errors,
+            "new_candidates": n_fresh,
+            "deferred": n_pending_next - n_fresh,
+            "seen_total": seen_total,
             "wall_sec": round(time.monotonic() - t0, 3),
             "done": False,
         }
         (self.state_dir / "metrics").mkdir(exist_ok=True)
         (self.state_dir / "metrics" / f"r{rnd}.json").write_text(json.dumps(stats))
-        self._commit_manifest({"round": rnd + 1, "done": False, "last_stats": stats})
-        decided.unpersist()
+        self._commit_manifest(
+            {
+                "round": rnd + 1,
+                "done": False,
+                "n_pending": n_pending_next,
+                "seen_total": seen_total,
+                "last_stats": stats,
+            }
+        )
+        if decided is not None:
+            decided.unpersist()
         return stats
 
     def run(self, max_rounds: int = 100) -> List[Dict[str, int]]:

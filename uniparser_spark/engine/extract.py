@@ -140,6 +140,7 @@ def extract_pages(
     text_col: str = "text",
     html_col: Optional[str] = None,
     encoding: str = "utf-8",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """pages DataFrame -> extraction results DataFrame.
 
@@ -147,10 +148,21 @@ def extract_pages(
     ``html_col`` (binary) with ``encoding`` — the CrawlerRule-level
     encoding override (reference utils.py:229-240).  Column pruning: only
     the referenced columns are touched, so the parquet scan stays narrow.
+
+    ``passthrough`` columns are carried through the UDF one-to-one
+    (every input row yields exactly one output row), which lets callers
+    keep frontier metadata attached without a post-extraction join.
     """
     storage_json = storage if isinstance(storage, str) else config.json_dumps(storage)
-    cols = [url_col, text_col] + ([html_col] if html_col else [])
+    extra = [
+        c for c in passthrough if c not in (url_col, text_col, html_col)
+    ]
+    cols = [url_col, text_col] + ([html_col] if html_col else []) + extra
     projected = df.select(*cols)
+    out_schema = StructType(
+        RESULT_SCHEMA.fields
+        + [projected.schema[c] for c in extra]
+    )
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ruleset = compile_ruleset(storage_json)
@@ -177,6 +189,9 @@ def extract_pages(
                 out["result"].append(result_json)
                 out["error"].append(error)
                 out["requests"].append(requests)
-            yield pd.DataFrame(out)
+            result = pd.DataFrame(out)
+            for c in extra:
+                result[c] = batch[c].values
+            yield result
 
-    return projected.mapInPandas(run_batches, schema=RESULT_SCHEMA)
+    return projected.mapInPandas(run_batches, schema=out_schema)

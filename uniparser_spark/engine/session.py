@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # smaller scan splits than the 128MB default: extraction stages
+        # are python-CPU-bound, so split count — not IO — sets the
+        # achievable parallelism when reading page tables directly
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -49,8 +49,11 @@ def host_name(i: int) -> str:
     return f"host{i:04d}.example.org"
 
 
-def list_url(host: str) -> str:
-    return f"https://{host}/"
+def list_url(host: str, page: int = 0) -> str:
+    """Paginated list pages: page 0 is the host root, further pages are
+    /list-NNNN/ — real sites paginate, and a single mega-list page would
+    serialize round-0 parsing on the hot host's one task."""
+    return f"https://{host}/" if page == 0 else f"https://{host}/list-{page:04d}/"
 
 
 def detail_url(host: str, k: int) -> str:
@@ -71,25 +74,72 @@ def zipf_counts(n_hosts: int, n_details: int, s: float = 1.2) -> List[int]:
 
 
 def detail_html(host: str, k: int) -> str:
+    """Deterministic ~15 KB detail page — sized like a typical real web
+    page (nav, article paragraphs with inline markup, metadata table) so
+    the benchmark's parse cost per page is representative of
+    Common-Crawl HTML, not of 50-byte toy fixtures."""
+    nav = "\n".join(
+        f'<li class="nav-item"><a href="/section-{j}/">Section {j}</a></li>'
+        for j in range(24)
+    )
+    paras = "\n".join(
+        (
+            '<p class="para" id="p{j}">Paragraph {j} of item {k} on {host}. '
+            "Deterministic filler sentence number {j} with stable words "
+            "<em>alpha</em> beta <strong>gamma</strong> delta epsilon zeta "
+            "eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau "
+            'for position {pos}. <a href="#p{j}">anchor {pos}</a> and more '
+            "stable filler upsilon phi chi psi omega ending {j}.</p>"
+        ).format(j=j, k=k, host=host, pos=k * 31 + j)
+        for j in range(48)
+    )
+    meta_rows = "\n".join(
+        f'<tr><th>key{j}</th><td class="v">value-{(k + j) % 97}</td></tr>'
+        for j in range(20)
+    )
     return (
         "<html><head><title>Item {k} of {host}</title></head>\n"
         "<body>\n"
+        '<ul class="nav">\n{nav}\n</ul>\n'
         '<h1 class="page-title">Item {k} – synthetic page on {host}</h1>\n'
         '<p class="meta"><span class="ts">{ts}</span></p>\n'
-        "<p>Deterministic body text for item {k}. Lorem factum est verbum {k}.</p>\n"
+        '<div class="article">\n{paras}\n</div>\n'
+        '<table class="meta-table">\n{meta_rows}\n</table>\n'
         "</body></html>"
-    ).format(k=k, host=host, ts=BASE_EPOCH + k)
+    ).format(k=k, host=host, ts=BASE_EPOCH + k, nav=nav, paras=paras, meta_rows=meta_rows)
 
 
-def list_html(host: str, n_details: int) -> str:
+def list_html(host: str, n_details: int, start: int = 0, end: Optional[int] = None) -> str:
+    end = n_details if end is None else min(end, n_details)
     rows = "\n".join(
         f'<tr><td>{k}</td><td>meta</td><td><a class="pep" href="/item-{k:06d}/">Item {k}</a></td></tr>'
-        for k in range(n_details)
+        for k in range(start, end)
     )
     return (
         f"<html><head><title>Index of {host}</title></head>\n"
         f"<body>\n<table>\n{rows}\n</table>\n</body></html>"
     )
+
+
+def list_page_index(counts: List[int], page_size: int) -> List[tuple]:
+    """(host_idx, page_idx, start, end) for every paginated list page."""
+    pages = []
+    for hi, cnt in enumerate(counts):
+        n_pages = max(1, -(-cnt // page_size))
+        for p in range(n_pages):
+            pages.append((hi, p, p * page_size, min((p + 1) * page_size, cnt)))
+    return pages
+
+
+def seed_urls(
+    n_hosts: int, n_details: int, zipf_s: float = 1.2, page_size: int = 200
+) -> List[str]:
+    """All list-page URLs — the crawl's seed list."""
+    counts = zipf_counts(n_hosts, n_details, zipf_s)
+    return [
+        list_url(host_name(hi), p)
+        for hi, p, _, _ in list_page_index(counts, page_size)
+    ]
 
 
 def build_storage(n_hosts: int, keep_first: Optional[int] = None) -> dict:
@@ -114,7 +164,7 @@ def build_storage(n_hosts: int, keep_first: Optional[int] = None) -> dict:
                     "parse_rules": [
                         {"name": "__request__", "chain_rules": chain, "child_rules": []}
                     ],
-                    "regex": f"^https://{host}/$",
+                    "regex": f"^https://{host}/(list-\\d+/)?$",
                 },
                 "detail": {
                     "name": "detail",
@@ -142,27 +192,32 @@ def generate_pages(
     n_details: int = 36,
     zipf_s: float = 1.2,
     partitions: Optional[int] = None,
+    page_size: int = 200,
 ) -> DataFrame:
-    """Pages DataFrame: one list page per host + Zipf-distributed detail
-    pages.  Global page index = [list pages 0..n_hosts) then detail pages
-    ordered by (host, k)."""
+    """Pages DataFrame: paginated list pages per host (``page_size``
+    links each) + Zipf-distributed detail pages.  Global page index =
+    [list pages in (host, page) order) then detail pages ordered by
+    (host, k)."""
     counts = zipf_counts(n_hosts, n_details, zipf_s)
     offsets = [0]
     for c in counts:
         offsets.append(offsets[-1] + c)
-    total = n_hosts + offsets[-1]
+    lp = list_page_index(counts, page_size)
+    n_list = len(lp)
+    total = n_list + offsets[-1]
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             recs = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
             for j in batch["id"].tolist():
-                if j < n_hosts:
-                    host = host_name(j)
-                    url = list_url(host)
-                    html = list_html(host, counts[j])
+                if j < n_list:
+                    hi, p, start, end = lp[j]
+                    host = host_name(hi)
+                    url = list_url(host, p)
+                    html = list_html(host, counts[hi], start, end)
                 else:
-                    d = j - n_hosts
+                    d = j - n_list
                     hi = bisect.bisect_right(offsets, d) - 1
                     host = host_name(hi)
                     k = d - offsets[hi]
