@@ -4,7 +4,7 @@
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
-  BENCH_CRAWL_PAGES   detail pages for the crawl bench (default 20000)
+  BENCH_CRAWL_PAGES   detail pages for the crawl bench (default 100000)
 
 Usage:
   python bench.py               # full suite + crawl bench
@@ -101,7 +101,7 @@ def run_crawl(spark, n_pages: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "20000"))
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "100000"))
     crawl_only = "--crawl-only" in sys.argv
 
     from uniparser_spark.engine.session import get_spark

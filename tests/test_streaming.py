@@ -1,0 +1,78 @@
+"""Structured Streaming extraction: incremental micro-batches produce the
+same results as the batch path, and checkpointed restarts don't
+reprocess (exactly-once file-source semantics)."""
+
+import os
+
+from uniparser_spark.engine.extract import extract_pages
+from uniparser_spark.streaming import (
+    extract_stream,
+    host_rate_metrics,
+    read_pages_stream,
+    run_to_parquet,
+)
+from uniparser_spark.testgen import generate_pages, storage_json
+
+
+def _land_pages(spark, path, n_hosts=2, n_details=10):
+    generate_pages(spark, n_hosts=n_hosts, n_details=n_details).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _land_pages(spark, pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir)
+    assert stream.isStreaming
+    q = run_to_parquet(extract_stream(stream, storage_json(2)), out_dir, ck)
+    q.awaitTermination(120)
+
+    got = {
+        (r["url"], r["result"])
+        for r in spark.read.parquet(out_dir).select("url", "result").collect()
+    }
+    want = {
+        (r["url"], r["result"])
+        for r in extract_pages(spark.read.parquet(pages_dir), storage_json(2))
+        .select("url", "result")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # second trigger with NEW files only: checkpoint prevents reprocessing
+    _land_pages(spark, pages_dir, n_hosts=2, n_details=14)
+    q2 = run_to_parquet(
+        extract_stream(read_pages_stream(spark, pages_dir), storage_json(2)),
+        out_dir,
+        ck,
+    )
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out_dir).count()
+    batch_total = extract_pages(spark.read.parquet(pages_dir), storage_json(2)).count()
+    assert total == batch_total  # no duplicates from the restart
+
+
+def test_host_rate_metrics_stream(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    _land_pages(spark, pages_dir, n_hosts=3, n_details=12)
+
+    metrics = host_rate_metrics(read_pages_stream(spark, pages_dir), window="1 hour")
+    # complete mode to a memory sink: append would hold back the final
+    # (still-open) watermark windows, which is all our tiny fixture has
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("host_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM host_metrics").collect()
+    assert sum(r["n_pages"] for r in rows) == 15  # 3 list + 12 detail pages
+    assert all(r["host"].endswith(".example.org") for r in rows)
+    hosts = {r["host"] for r in rows}
+    assert len(hosts) == 3

@@ -81,6 +81,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_buckets: int = 64,
         bloom_min_seen: int = 1_000_000,
+        broadcast_fetch_max: int = 5_000_000,
         state_partitions: Optional[int] = None,
         text_col: str = "text",
         html_col: Optional[str] = None,
@@ -94,6 +95,7 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.bloom = BloomSeenFilter(n_buckets=bloom_buckets) if use_bloom else None
         self.bloom_min_seen = bloom_min_seen
+        self.broadcast_fetch_max = broadcast_fetch_max
         self.state_partitions = state_partitions or spark.sparkContext.defaultParallelism
         self.text_col = text_col
         self.html_col = html_col
@@ -211,8 +213,34 @@ class CrawlEngine:
         # against the pages table (no network; the adapter seam of the
         # reference, parsers.py:1497-1517); frontier meta rides through
         # the UDF via passthrough.
+        #
+        # Fetch strategy: the page bodies are the heavy side (KBs per
+        # row), the scheduled batch is narrow.  When the batch is small
+        # enough to broadcast, build the join against the *streamed*
+        # pages scan so the HTML never crosses a shuffle; the rows the
+        # pages table misses are recovered with a broadcast anti-join
+        # (cheap: url strings only).  Falls back to a shuffle join for
+        # outsized batches (the 10^10-scale path, where AQE + runtime
+        # bloom filters prune the scan instead).
         page_cols = ["url", self.text_col] + ([self.html_col] if self.html_col else [])
-        fetched = scheduled.join(self.pages.select(*page_cols), "url", "left")
+        pages_proj = self.pages.select(*page_cols)
+        body_cols = [c for c in page_cols if c != "url"]
+        if n_pending is not None and n_pending <= self.broadcast_fetch_max:
+            hits = pages_proj.join(F.broadcast(scheduled), "url", "inner")
+            misses = scheduled.join(
+                F.broadcast(pages_proj.select("url").join(
+                    F.broadcast(scheduled.select("url")), "url", "left_semi"
+                )),
+                "url",
+                "left_anti",
+            )
+            for c in body_cols:
+                misses = misses.withColumn(c, F.lit(None).cast(pages_proj.schema[c].dataType))
+            fetched = hits.select(*scheduled.columns, *body_cols).unionByName(
+                misses.select(*scheduled.columns, *body_cols)
+            )
+        else:
+            fetched = scheduled.join(pages_proj, "url", "left")
         records = (
             extract_pages(
                 fetched,

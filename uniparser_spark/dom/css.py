@@ -273,6 +273,25 @@ def _chain_matches(el: Element, sel: Selector, i: int, scope: Element) -> bool:
 
 def select(scope: Element, selector: str) -> List[Element]:
     groups = compile_selector(selector)
+    if len(groups) == 1:
+        # fast path: pre-filter candidates on the rightmost compound's
+        # tag — skips the full chain matcher for the vast majority of
+        # elements when the selector is tag-anchored (the common case
+        # in extraction rules)
+        sel = groups[0]
+        last_i = len(sel) - 1
+        tag = sel[last_i][1].type
+        if tag and tag != "*":
+            lower = tag.lower()  # XML keeps case; HTML tags are lowercased
+            return [
+                el
+                for el in scope.iter_elements()
+                if (el.tag == tag or el.tag == lower)
+                and _chain_matches(el, sel, last_i, scope)
+            ]
+        return [
+            el for el in scope.iter_elements() if _chain_matches(el, sel, last_i, scope)
+        ]
     out: List[Element] = []
     for el in scope.iter_elements():
         if any(_chain_matches(el, sel, len(sel) - 1, scope) for sel in groups):

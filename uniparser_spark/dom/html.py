@@ -8,9 +8,11 @@ comments, implied end tags for the common block/table/list cases.
 
 from __future__ import annotations
 
+import os
 from html.parser import HTMLParser as _StdHTMLParser
 from typing import List, Optional, Tuple
 
+from . import fasthtml
 from .nodes import Comment, Element, Text
 
 VOID_ELEMENTS = frozenset(
@@ -52,9 +54,11 @@ class HtmlDocument(HtmlElement):
         return self.inner()
 
 
-class _TreeBuilder(_StdHTMLParser):
+class _TreeBuilder:
+    """Parser-agnostic DOM builder: both the fast scanner tokenizer
+    (dom.fasthtml) and the stdlib bridge drive these callbacks."""
+
     def __init__(self):
-        super().__init__(convert_charrefs=True)
         self.root = HtmlDocument("[document]")
         self.stack: List[HtmlElement] = [self.root]
 
@@ -73,14 +77,15 @@ class _TreeBuilder(_StdHTMLParser):
 
     def handle_starttag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]):
         self._implied_end(tag)
-        el = HtmlElement(tag, list(attrs))
-        self.top.append(el)
+        # both tokenizers hand over a freshly built attrs list — owned here
+        el = HtmlElement(tag, attrs)
+        self.stack[-1].append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]):
         self._implied_end(tag)
-        self.top.append(HtmlElement(tag, list(attrs)))
+        self.stack[-1].append(HtmlElement(tag, attrs))
 
     def handle_endtag(self, tag: str):
         for i in range(len(self.stack) - 1, 0, -1):
@@ -96,8 +101,42 @@ class _TreeBuilder(_StdHTMLParser):
         self.top.append(Comment(data))
 
 
-def parse_html(markup: str) -> HtmlDocument:
+class _StdBridge(_StdHTMLParser):
+    """stdlib tokenizer → builder callbacks (the reference engine for
+    the parity tests; also the fallback via UNIPARSER_SPARK_HTML_ENGINE=std)."""
+
+    def __init__(self, builder: _TreeBuilder):
+        super().__init__(convert_charrefs=True)
+        self._b = builder
+
+    def handle_starttag(self, tag, attrs):
+        self._b.handle_starttag(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):
+        self._b.handle_startendtag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        self._b.handle_endtag(tag)
+
+    def handle_data(self, data):
+        self._b.handle_data(data)
+
+    def handle_comment(self, data):
+        self._b.handle_comment(data)
+
+
+def parse_html(markup: str, engine: Optional[str] = None) -> HtmlDocument:
+    """markup → DOM.  engine: 'fast' (default; scanner tokenizer,
+    ~4× faster and allocation-light) or 'std' (stdlib html.parser —
+    the behavioral reference the fast engine is parity-tested against).
+    """
+    if engine is None:
+        engine = os.environ.get("UNIPARSER_SPARK_HTML_ENGINE", "fast")
     builder = _TreeBuilder()
-    builder.feed(markup)
-    builder.close()
+    if engine == "std":
+        bridge = _StdBridge(builder)
+        bridge.feed(markup)
+        bridge.close()
+    else:
+        fasthtml.feed(markup, builder)
     return builder.root

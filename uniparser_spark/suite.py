@@ -236,6 +236,96 @@ def q_rule_first3(spark, sf_dir):
     )
 
 
+def _single_host_storage(host: str, rule_name: str, regex: str, parse_rules: list) -> str:
+    return config.json_dumps(
+        {
+            host: {
+                "host": host,
+                "crawler_rules": {
+                    rule_name: {
+                        "name": rule_name,
+                        "request_args": {"method": "get", "url": f"https://{host}/"},
+                        "parse_rules": parse_rules,
+                        "regex": regex,
+                    }
+                },
+            }
+        }
+    )
+
+
+def q_rule_css(spark, sf_dir):
+    """CSS-selector chains ($text / @attr extraction + join) through the
+    pure-Python DOM engine, validated against an independently
+    constructed oracle (the HTML is synthesized from doc_id, so DuckDB
+    can predict the extraction output exactly)."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><h1 class="title">Doc '), d,
+        F.lit("</h1><ul>"),
+        F.lit('<li><a class="lnk" href="/d/'), (F.col("doc_id") * 3).cast("string"),
+        F.lit('/">one</a></li>'),
+        F.lit('<li><a class="lnk" href="/d/'), (F.col("doc_id") * 3 + 1).cast("string"),
+        F.lit('/">two</a></li>'),
+        F.lit('<li><a class="lnk" href="/d/'), (F.col("doc_id") * 3 + 2).cast("string"),
+        F.lit('/">three</a></li>'),
+        F.lit("</ul></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/h/"), d).alias("url"),
+        html.alias("text"),
+    )
+    storage = _single_host_storage(
+        "docs.example.org",
+        "page",
+        r"^https://docs\.example\.org/h/\d+$",
+        [
+            {
+                "name": "title",
+                "chain_rules": [["css", "h1.title", "$text"], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
+            {
+                "name": "links",
+                "chain_rules": [["css", "li > a.lnk", "@href"], ["python", "join", ","]],
+                "child_rules": [],
+            },
+        ],
+    )
+    res = extract_pages(pages, storage)
+    return res.select(
+        "url",
+        F.get_json_object("result", "$.page.title").alias("title"),
+        F.get_json_object("result", "$.page.links").alias("links"),
+    )
+
+
+def q_rule_json(spark, sf_dir):
+    """loader(json) → jmespath chain over the events props column."""
+    ev = t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(F.lit("https://api.example.org/ev/"), F.col("event_id").cast("string")).alias("url"),
+        F.col("props").alias("text"),
+    )
+    storage = _single_host_storage(
+        "api.example.org",
+        "api",
+        r"^https://api\.example\.org/ev/\d+$",
+        [
+            {
+                "name": "k",
+                "chain_rules": [["loader", "json", ""], ["json", "k", ""]],
+                "child_rules": [],
+            }
+        ],
+    )
+    res = extract_pages(pages, storage)
+    return res.select(
+        "url", F.get_json_object("result", "$.api.k").cast("long").alias("k")
+    )
+
+
 # ------------------------------------------------------------ text analysis
 def q_token_stats(spark, sf_dir):
     return token_stats(t(spark, sf_dir, "documents"))
@@ -307,6 +397,8 @@ QUERIES = {
     "time_roundtrip": q_time_roundtrip,
     "json_props": q_json_props,
     "rule_first3": q_rule_first3,
+    "rule_css": q_rule_css,
+    "rule_json": q_rule_json,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "langid": q_langid,
@@ -406,6 +498,17 @@ ORACLES = {
         SELECT 'https://docs.example.org/d/' || doc_id AS url,
                array_to_string(regexp_extract_all(text, '[a-z]+')[1:3], ' ') AS first3
         FROM documents
+    """,
+    "rule_css": """
+        SELECT 'https://docs.example.org/h/' || doc_id AS url,
+               'Doc ' || doc_id AS title,
+               '/d/' || (doc_id*3) || '/,/d/' || (doc_id*3+1) || '/,/d/' || (doc_id*3+2) || '/' AS links
+        FROM documents
+    """,
+    "rule_json": """
+        SELECT 'https://api.example.org/ev/' || event_id AS url,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
     """,
     "token_stats": rf"""
         SELECT doc_id,
