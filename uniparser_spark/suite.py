@@ -326,6 +326,138 @@ def q_rule_json(spark, sf_dir):
     )
 
 
+def _doc_rule_query(spark, sf_dir, parse_rules, out_cols, rule="r", text_expr=None):
+    """documents-table rule runner: build (url, text), run the compiled
+    chain engine, project result fields with get_json_object."""
+    docs = t(spark, sf_dir, "documents")
+    text = text_expr if text_expr is not None else F.col("text")
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/d/"), F.col("doc_id").cast("string")).alias("url"),
+        text.alias("text"),
+    )
+    storage = _single_host_storage(
+        "docs.example.org", rule, r"^https://docs\.example\.org/d/\d+$", parse_rules
+    )
+    res = extract_pages(pages, storage)
+    return res.select("url", *out_cols)
+
+
+def q_rule_udf(spark, sf_dir):
+    """The sandboxed udf operator (exec-mode lambda) through Spark."""
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [{"name": "n", "chain_rules": [["udf", "parse = lambda input_object: len(input_object)", ""]], "child_rules": []}],
+        [F.get_json_object("result", "$.r.n").cast("long").alias("n_chars_udf")],
+    )
+
+
+def q_rule_regex_sub(spark, sf_dir):
+    """re parser @replacement mode (sub)."""
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [{"name": "s", "chain_rules": [["re", "[aeiou]", "@_"]], "child_rules": []}],
+        [F.get_json_object("result", "$.r.s").alias("devoweled")],
+    )
+
+
+def q_rule_python_ops(spark, sf_dir):
+    """python parser sub-ops: split → sort desc → slice → join."""
+    chain = [
+        ["python", "split", " "],
+        ["python", "sort", "desc"],
+        ["python", "getitem", "[:5]"],
+        ["python", "join", "|"],
+    ]
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [{"name": "t", "chain_rules": chain, "child_rules": []}],
+        [F.get_json_object("result", "$.r.t").alias("top5")],
+    )
+
+
+def q_rule_b64(spark, sf_dir):
+    """python base64_encode sub-op."""
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [{"name": "b", "chain_rules": [["python", "base64_encode", ""]], "child_rules": []}],
+        [F.get_json_object("result", "$.r.b").alias("b64")],
+    )
+
+
+def q_rule_xml(spark, sf_dir):
+    """xml parser ($text op) over synthesized feeds."""
+    xml = F.concat(
+        F.lit('<root><item id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><name>doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</name></item></root>"),
+    )
+    chain = [["xml", "name", "$text"], ["python", "getitem", "[0]"]]
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [{"name": "n", "chain_rules": chain, "child_rules": []}],
+        [F.get_json_object("result", "$.r.n").alias("name")],
+        text_expr=xml,
+    )
+
+
+def q_rule_time(spark, sf_dir):
+    """time parser encode (timestr → epoch, engine tz pinned UTC)."""
+    ev = t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(F.lit("https://api.example.org/ev/"), F.col("event_id").cast("string")).alias("url"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("text"),
+    )
+    storage = _single_host_storage(
+        "api.example.org",
+        "t",
+        r"^https://api\.example\.org/ev/\d+$",
+        [{"name": "epoch", "chain_rules": [["time", "encode", ""]], "child_rules": []}],
+    )
+    res = extract_pages(pages, storage)
+    return res.select(
+        "url", F.get_json_object("result", "$.t.epoch").cast("double").alias("epoch")
+    )
+
+
+def q_rule_paths(spark, sf_dir):
+    """jsonpath and objectpath subset engines over the props JSON."""
+    ev = t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(F.lit("https://api.example.org/ev/"), F.col("event_id").cast("string")).alias("url"),
+        F.col("props").alias("text"),
+    )
+    storage = _single_host_storage(
+        "api.example.org",
+        "p",
+        r"^https://api\.example\.org/ev/\d+$",
+        [
+            {
+                "name": "jp",
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.k", ""], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
+            {
+                "name": "op",
+                "chain_rules": [["loader", "json", ""], ["objectpath", "$.k", ""]],
+                "child_rules": [],
+            },
+        ],
+    )
+    res = extract_pages(pages, storage)
+    return res.select(
+        "url",
+        F.get_json_object("result", "$.p.jp").cast("long").alias("k_jsonpath"),
+        F.get_json_object("result", "$.p.op").cast("long").alias("k_objectpath"),
+    )
+
+
 # ------------------------------------------------------------ text analysis
 def q_token_stats(spark, sf_dir):
     return token_stats(t(spark, sf_dir, "documents"))
@@ -399,6 +531,13 @@ QUERIES = {
     "rule_first3": q_rule_first3,
     "rule_css": q_rule_css,
     "rule_json": q_rule_json,
+    "rule_udf": q_rule_udf,
+    "rule_regex_sub": q_rule_regex_sub,
+    "rule_python_ops": q_rule_python_ops,
+    "rule_b64": q_rule_b64,
+    "rule_xml": q_rule_xml,
+    "rule_time": q_rule_time,
+    "rule_paths": q_rule_paths,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "langid": q_langid,
@@ -508,6 +647,42 @@ ORACLES = {
     "rule_json": """
         SELECT 'https://api.example.org/ev/' || event_id AS url,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+    "rule_udf": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               CAST(length(text) AS BIGINT) AS n_chars_udf
+        FROM documents
+    """,
+    "rule_regex_sub": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+        FROM documents
+    """,
+    "rule_python_ops": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               array_to_string(list_sort(string_split(text, ' '), 'DESC')[1:5], '|') AS top5
+        FROM documents
+    """,
+    "rule_b64": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               to_base64(encode(text)) AS b64
+        FROM documents
+    """,
+    "rule_xml": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               'doc ' || doc_id AS name
+        FROM documents
+    """,
+    "rule_time": """
+        SELECT 'https://api.example.org/ev/' || event_id AS url,
+               CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS epoch
+        FROM events
+    """,
+    "rule_paths": """
+        SELECT 'https://api.example.org/ev/' || event_id AS url,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_jsonpath,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_objectpath
         FROM events
     """,
     "token_stats": rf"""
