@@ -110,3 +110,39 @@ def test_crawl_rule_miss_and_fetch_miss(spark, tmp_path):
     assert children[0] == {"detail": {"title": f"Item 0 – synthetic page on {host}"}}
     assert children[1].startswith("FetchMiss")
     assert children[2].startswith("RuleNotFoundError")
+
+
+def test_crawl_adaptive_paths_agree(spark, corpus, tmp_path):
+    """The adaptive strategy switches (bloom seen-filter engaged,
+    shuffle fetch forced instead of broadcast) must not change any
+    output: records, seen set, and final results are identical."""
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+
+    variants = {
+        "default": {},
+        "bloom": {"bloom_min_seen": 0},
+        "shuffle_fetch": {"broadcast_fetch_max": 0},
+    }
+    outputs = {}
+    for name, kwargs in variants.items():
+        eng = CrawlEngine(
+            spark,
+            pages,
+            storage_json,
+            tmp_path / f"state_{name}",
+            state_partitions=4,
+            **kwargs,
+        )
+        eng.seed(seeds)
+        eng.run(max_rounds=10)
+        recs = {
+            (r["url"], r["rule_name"], r["result"], r["error"])
+            for r in eng.records().collect()
+        }
+        seen = {r["url_canon"] for r in eng.seen().collect()}
+        outputs[name] = (recs, seen, eng.assemble_results(seeds))
+
+    base = outputs["default"]
+    for name in ("bloom", "shuffle_fetch"):
+        assert outputs[name] == base, f"{name} diverged from default"

@@ -1,0 +1,101 @@
+"""robots.txt cache: parsing, disallow filtering, crawl-delay budgets,
+and end-to-end integration with the crawl engine."""
+
+from uniparser_spark import testgen
+from uniparser_spark.crawl import CrawlEngine
+from uniparser_spark.frontier.robots import (
+    apply_robots,
+    budgets_from_robots,
+    parse_robots,
+    robots_table,
+)
+from uniparser_spark.frontier.seen import add_url_keys
+
+ROBOTS_TXT = """\
+# comment line
+User-agent: specialbot
+Disallow: /secret/
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok/
+Crawl-delay: 2.5
+"""
+
+
+def test_parse_robots_groups():
+    delay, dis, allow = parse_robots(ROBOTS_TXT)
+    assert delay == 2.5
+    assert dis == ["/private/", "/tmp"]
+    assert allow == ["/private/ok/"]
+    delay_s, dis_s, _ = parse_robots(ROBOTS_TXT, user_agent="specialbot")
+    assert delay_s is None and dis_s == ["/secret/"]
+    assert parse_robots("") == (None, [], [])
+
+
+def test_robots_table_and_filters(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example.org/robots.txt", ROBOTS_TXT),
+            ("https://a.example.org/private/x", "body"),
+            ("https://b.example.org/index.html", "body"),
+        ],
+        "url string, text string",
+    )
+    robots = robots_table(pages)
+    rows = {r["host"]: r for r in robots.collect()}
+    assert rows["a.example.org"]["crawl_delay"] == 2.5
+
+    cand = add_url_keys(
+        spark.createDataFrame(
+            [
+                ("https://a.example.org/private/x",),
+                ("https://a.example.org/private/ok/y",),  # allow outranks
+                ("https://a.example.org/tmpfile",),       # prefix match, no slash
+                ("https://a.example.org/public/z",),
+                ("https://b.example.org/anything",),      # host without robots
+            ],
+            "url string",
+        )
+    )
+    kept = {r["url"] for r in apply_robots(cand, robots).collect()}
+    assert kept == {
+        "https://a.example.org/private/ok/y",
+        "https://a.example.org/public/z",
+        "https://b.example.org/anything",
+    }
+
+    budgets = {r["host"]: r["budget"] for r in budgets_from_robots(robots, 60).collect()}
+    assert budgets["a.example.org"] == 24  # 60 / 2.5
+
+
+def test_crawl_respects_robots(spark, tmp_path):
+    pages = testgen.generate_pages(spark, n_hosts=2, n_details=12).cache()
+    host0 = testgen.host_name(0)
+    robots_pages = spark.createDataFrame(
+        [
+            (
+                f"https://{host0}/robots.txt",
+                "User-agent: *\nDisallow: /item-000000",
+            )
+        ],
+        "url string, text string",
+    )
+    robots = robots_table(robots_pages)
+    eng = CrawlEngine(
+        spark,
+        pages,
+        testgen.storage_json(2),
+        tmp_path / "state_robots",
+        robots=robots,
+        state_partitions=2,
+    )
+    eng.seed([testgen.list_url(testgen.host_name(i)) for i in range(2)])
+    eng.run(max_rounds=10)
+    crawled = {r["url"] for r in eng.records().collect()}
+    blocked = {u for u in crawled if u.startswith(f"https://{host0}/item-000000")}
+    assert not blocked, blocked
+    # other host0 items and all of host1 still crawled
+    assert any(u.startswith(f"https://{host0}/item-000001") for u in crawled)
+    assert any(testgen.host_name(1) in u for u in crawled)

@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 from .. import config
 from ..engine.extract import extract_pages
 from ..frontier.politeness import schedule_batch
+from ..frontier.robots import apply_robots
 from ..frontier.seen import BloomSeenFilter, add_url_keys
 
 FRONTIER_SCHEMA = StructType(
@@ -76,6 +77,7 @@ class CrawlEngine:
         storage_json: str,
         state_dir: Union[str, Path],
         budgets: Optional[DataFrame] = None,
+        robots: Optional[DataFrame] = None,
         default_budget: int = 100000,
         salt_buckets: int = 16,
         use_bloom: bool = True,
@@ -91,6 +93,7 @@ class CrawlEngine:
         self.storage_json = storage_json
         self.state_dir = Path(state_dir)
         self.budgets = budgets
+        self.robots = robots
         self.default_budget = default_budget
         self.salt_buckets = salt_buckets
         self.bloom = BloomSeenFilter(n_buckets=bloom_buckets) if use_bloom else None
@@ -303,6 +306,10 @@ class CrawlEngine:
         candidates = (
             candidates.withColumn("_rk", F.row_number().over(first_seen)).filter(F.col("_rk") == 1).drop("_rk")
         )
+        if self.robots is not None:
+            # robots disallow filter (broadcast join + prefix match);
+            # crawl-delay budgets flow in separately via `budgets`
+            candidates = apply_robots(candidates, self.robots).select(*_META_COLS)
 
         # ACTION 3 — dedup (bloom pre-filter + exact anti-join vs seen,
         # then vs the deferred backlog) and next-frontier sink.  The

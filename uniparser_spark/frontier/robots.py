@@ -1,0 +1,151 @@
+"""robots.txt cache + crawl-delay integration for the scheduler.
+
+The reference has no robots support (politeness is manual
+``set_frequency``, SURVEY.md §2.3) — the north rule adds it.  Design:
+
+- robots.txt bodies live in the same pages table as everything else
+  (the fetcher downloads them like any URL); :func:`robots_table`
+  distills them into a tiny ``(host, crawl_delay, disallow, allow)``
+  cache table — one row per host, broadcast everywhere it's used;
+- :func:`apply_robots` drops frontier candidates whose path matches a
+  disallow prefix (longest-match wins between allow/disallow, the
+  original REP rule) — an array-lambda filter after a broadcast join,
+  no UDF;
+- :func:`budgets_from_robots` turns crawl-delay into the per-round
+  host budget consumed by ``politeness.schedule_batch``
+  (budget = round_interval / crawl_delay, ≥1).
+
+Parsing is a deterministic hand-rolled subset of the Robots Exclusion
+Protocol (User-agent / Disallow / Allow / Crawl-delay, '*' agent
+groups, comments) — enough for the corpus and byte-stable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ROBOTS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("crawl_delay", DoubleType(), True),
+        StructField("disallow", ArrayType(StringType()), False),
+        StructField("allow", ArrayType(StringType()), False),
+    ]
+)
+
+
+def parse_robots(
+    text: str, user_agent: str = "*"
+) -> Tuple[Optional[float], List[str], List[str]]:
+    """robots.txt body -> (crawl_delay, disallow_prefixes, allow_prefixes)
+    for ``user_agent`` (specific group wins over the '*' group)."""
+    groups: dict = {}
+    current: List[str] = []
+    ua = user_agent.lower()
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            agent = value.lower()
+            groups.setdefault(agent, {"disallow": [], "allow": [], "delay": None})
+            current = [agent]
+        elif field in ("disallow", "allow") and current:
+            if value:
+                for agent in current:
+                    groups[agent][field].append(value)
+        elif field == "crawl-delay" and current:
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for agent in current:
+                groups[agent]["delay"] = delay
+    grp = groups.get(ua) or groups.get("*")
+    if grp is None:
+        return None, [], []
+    return grp["delay"], grp["disallow"], grp["allow"]
+
+
+def robots_table(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    user_agent: str = "*",
+) -> DataFrame:
+    """pages table -> robots cache table (one row per host that serves a
+    /robots.txt).  The scan is pruned to robots URLs before any Python
+    runs; parsing is an Arrow-batched mapInPandas."""
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/:]+)", 1)
+    robots_pages = pages.filter(
+        F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$")
+    ).select(host.alias("host"), F.col(text_col).alias("body"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"host": [], "crawl_delay": [], "disallow": [], "allow": []}
+            for h, body in zip(batch["host"], batch["body"]):
+                delay, dis, allow = parse_robots(body, user_agent)
+                out["host"].append(h)
+                out["crawl_delay"].append(delay)
+                out["disallow"].append(dis)
+                out["allow"].append(allow)
+            yield pd.DataFrame(out)
+
+    return robots_pages.mapInPandas(parse, schema=ROBOTS_SCHEMA)
+
+
+def _path_col(url_col: str = "url_canon") -> F.Column:
+    path = F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)?$", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Filter frontier candidates against the robots cache.
+
+    Longest-prefix-match between allow and disallow decides (REP
+    semantics); hosts without a robots row pass through.  Pure
+    expressions after one broadcast join.
+    """
+    joined = candidates.join(F.broadcast(robots), "host", "left")
+    path = _path_col()
+    longest = lambda rules: F.coalesce(  # noqa: E731
+        F.array_max(
+            F.transform(
+                F.filter(rules, lambda p: path.startswith(p)),
+                lambda p: F.length(p),
+            )
+        ),
+        F.lit(0),
+    )
+    dis_len = longest(F.col("disallow"))
+    allow_len = longest(F.col("allow"))
+    blocked = F.col("disallow").isNotNull() & (dis_len > 0) & (dis_len > allow_len)
+    return joined.filter(~blocked).drop("crawl_delay", "disallow", "allow")
+
+
+def budgets_from_robots(
+    robots: DataFrame, round_interval_sec: float = 60.0, default_budget: int = 1000
+) -> DataFrame:
+    """(host, crawl_delay) -> (host, budget) for schedule_batch: at most
+    interval/delay fetches per round, at least 1."""
+    budget = F.when(
+        F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+        F.greatest(
+            F.lit(1), F.floor(F.lit(round_interval_sec) / F.col("crawl_delay"))
+        ).cast("int"),
+    ).otherwise(F.lit(default_budget))
+    return robots.select("host", budget.alias("budget"))
