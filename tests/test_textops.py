@@ -160,3 +160,16 @@ def test_multimodal_decode_stub(spark):
     # the real-decode seam is explicit
     with pytest.raises(Exception):
         decode_media(media, fake=False).collect()
+
+
+def test_simhash_and_fingerprint_impls_agree(spark):
+    df = docs_df(
+        spark,
+        [(0, BASE), (1, "Mixed CASE  words with   spacing"), (2, "tiny"), (3, "a b c d e f g h")],
+    )
+    sh_p = {r["doc_id"]: r["simhash"] for r in with_simhash(df, impl="pandas").collect()}
+    sh_e = {r["doc_id"]: r["simhash"] for r in with_simhash(df, impl="expr").collect()}
+    assert sh_p == sh_e
+    fp_p = {r["doc_id"]: (r["content_fp"], r["min_gram_fp"]) for r in doc_fingerprints(df, impl="pandas").collect()}
+    fp_e = {r["doc_id"]: (r["content_fp"], r["min_gram_fp"]) for r in doc_fingerprints(df, impl="expr").collect()}
+    assert fp_p == fp_e

@@ -201,28 +201,80 @@ def ngram_jaccard_pairs(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    impl: str = "pandas",
 ) -> DataFrame:
     """16-bit SimHash per doc: bit j is the sign of the token-frequency-
-    weighted sum of (2·bit_j(md5(token)) − 1).  One narrow projection."""
-    toks = tokens(F.col(text_col))
-    simhash = F.aggregate(
-        F.sequence(F.lit(1), F.lit(bits)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.aggregate(
-                toks, F.lit(0), lambda a, t: a + (md5_bit(t, j) * 2 - 1)
+    weighted sum of (2·bit_j(md5(token)) − 1).  Narrow, no shuffle.
+
+    impl='pandas' (default): Arrow UDF with hashlib — identical values,
+    ~20× the interpreted array-lambda path (see minhash_signatures).
+    """
+    if impl == "expr":
+        toks = tokens(F.col(text_col))
+        simhash = F.aggregate(
+            F.sequence(F.lit(1), F.lit(bits)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.aggregate(
+                    toks, F.lit(0), lambda a, t: a + (md5_bit(t, j) * 2 - 1)
+                )
+                >= 0,
+                F.pow(F.lit(2.0), j - 1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return (
+            df.select(F.col(id_col), F.size(toks).alias("n_tokens"), simhash.alias("simhash"))
+            .filter(F.col("n_tokens") > 0)
+            .drop("n_tokens")
+        )
+
+    import hashlib
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+    ws = _re.compile(r"\s+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for batch in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                toks = ws.split(text.strip()) if text and text.strip() else []
+                if not toks:
+                    continue
+                sums = [0] * bits
+                for t in toks:
+                    hexd = md5(t.encode()).hexdigest()
+                    for j in range(bits):
+                        # same pseudo-random bit as exprs.md5_bit:
+                        # parity of the (j+1)-th hex char's codepoint
+                        sums[j] += (ord(hexd[j]) % 2) * 2 - 1
+                sh = 0
+                for j in range(bits):
+                    if sums[j] >= 0:
+                        sh += 1 << j
+                ids.append(int(doc_id))
+                hashes.append(sh)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "simhash": pd.Series(hashes, dtype="int64")}
             )
-            >= 0,
-            F.pow(F.lit(2.0), j - 1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return (
-        df.select(F.col(id_col), F.size(toks).alias("n_tokens"), simhash.alias("simhash"))
-        .filter(F.col("n_tokens") > 0)
-        .drop("n_tokens")
-    )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def simhash_groups(

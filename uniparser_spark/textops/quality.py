@@ -111,16 +111,69 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
 
 
 def doc_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Document fingerprinting: whole-doc content hash over normalized
     text plus a winnowing-style min-gram fingerprint (min of word
-    k-gram hashes — stable under local edits)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    toks = tokens(norm)
-    grams = word_shingles(toks, k)
-    return df.select(
-        F.col(id_col),
-        h16(norm).alias("content_fp"),
-        F.array_min(F.transform(grams, h16)).alias("min_gram_fp"),
+    k-gram hashes — stable under local edits).
+
+    impl='pandas' (default) computes the per-gram md5 minima in an
+    Arrow-batched UDF — Spark's interpreted array lambdas cost ~20µs
+    per element, ~20× hashlib (same tradeoff as MinHash signatures);
+    values are identical either way.
+    """
+    if impl == "expr":
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        toks = tokens(norm)
+        grams = word_shingles(toks, k)
+        return df.select(
+            F.col(id_col),
+            h16(norm).alias("content_fp"),
+            F.array_min(F.transform(grams, h16)).alias("min_gram_fp"),
+        )
+
+    import hashlib
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("content_fp", StringType(), False),
+            StructField("min_gram_fp", StringType(), True),
+        ]
     )
+    ws = _re.compile(r"\s+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for batch in batches:
+            ids, cfps, mfps = [], [], []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                norm = " ".join(ws.split((text or "").lower())).strip()
+                toks = norm.split(" ") if norm else []
+                n_grams = len(toks) - k + 1
+                mfp = (
+                    min(
+                        md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:16]
+                        for i in range(n_grams)
+                    )
+                    if n_grams > 0
+                    else None
+                )
+                ids.append(int(doc_id))
+                cfps.append(md5(norm.encode()).hexdigest()[:16])
+                mfps.append(mfp)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "content_fp": cfps,
+                 "min_gram_fp": mfps}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
