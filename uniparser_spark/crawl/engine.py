@@ -84,6 +84,7 @@ class CrawlEngine:
         bloom_buckets: int = 64,
         bloom_min_seen: int = 1_000_000,
         broadcast_fetch_max: int = 5_000_000,
+        isin_fetch_max: int = 1024,
         state_partitions: Optional[int] = None,
         text_col: str = "text",
         html_col: Optional[str] = None,
@@ -99,6 +100,7 @@ class CrawlEngine:
         self.bloom = BloomSeenFilter(n_buckets=bloom_buckets) if use_bloom else None
         self.bloom_min_seen = bloom_min_seen
         self.broadcast_fetch_max = broadcast_fetch_max
+        self.isin_fetch_max = isin_fetch_max
         self.state_partitions = state_partitions or spark.sparkContext.defaultParallelism
         self.text_col = text_col
         self.html_col = html_col
@@ -228,6 +230,12 @@ class CrawlEngine:
         page_cols = ["url", self.text_col] + ([self.html_col] if self.html_col else [])
         pages_proj = self.pages.select(*page_cols)
         body_cols = [c for c in page_cols if c != "url"]
+        if n_pending is not None and n_pending <= self.isin_fetch_max:
+            # tiny batch (typically the seed round): push the URL list
+            # into the parquet scan as an In filter — row groups whose
+            # url min/max excludes the batch are never decompressed
+            urls = [r["url"] for r in scheduled.select("url").collect()]
+            pages_proj = pages_proj.filter(F.col("url").isin(urls))
         if n_pending is not None and n_pending <= self.broadcast_fetch_max:
             hits = pages_proj.join(F.broadcast(scheduled), "url", "inner")
             misses = scheduled.join(

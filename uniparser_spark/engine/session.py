@@ -54,6 +54,10 @@ def get_spark(
         # are python-CPU-bound, so split count — not IO — sets the
         # achievable parallelism when reading page tables directly
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # push tiny-batch fetch URL lists into parquet as real In filters
+        # (default threshold 10 degrades them to a min/max range filter,
+        # which never prunes a lexically interleaved URL space)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
