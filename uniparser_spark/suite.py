@@ -458,6 +458,25 @@ def q_rule_paths(spark, sf_dir):
     )
 
 
+def q_rule_native(spark, sf_dir):
+    """The SAME chains as rule_first3/rule_python_ops, but compiled to
+    pure Catalyst expressions by engine.native — zero Python in the
+    plan (fallback=False asserts it), demonstrating the whole-stage-
+    codegen path for native-expressible rules."""
+    from .engine.native import extract_columns
+
+    docs = t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    rules = [
+        {"name": "first3", "chain_rules": [["re", "[a-z]+", ""], ["python", "getitem", "[:3]"], ["python", "join", " "]]},
+        {"name": "top5", "chain_rules": [["python", "split", " "], ["python", "sort", "desc"], ["python", "getitem", "[:5]"], ["python", "join", "|"]]},
+    ]
+    return extract_columns(pages, rules, fallback=False)
+
+
 # ------------------------------------------------------------ text analysis
 def q_token_stats(spark, sf_dir):
     return token_stats(t(spark, sf_dir, "documents"))
@@ -538,6 +557,7 @@ QUERIES = {
     "rule_xml": q_rule_xml,
     "rule_time": q_rule_time,
     "rule_paths": q_rule_paths,
+    "rule_native": q_rule_native,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "langid": q_langid,
@@ -684,6 +704,12 @@ ORACLES = {
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_jsonpath,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_objectpath
         FROM events
+    """,
+    "rule_native": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               array_to_string(regexp_extract_all(text, '[a-z]+')[1:3], ' ') AS first3,
+               array_to_string(list_sort(string_split(text, ' '), 'DESC')[1:5], '|') AS top5
+        FROM documents
     """,
     "token_stats": rf"""
         SELECT doc_id,
