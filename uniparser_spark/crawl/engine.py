@@ -142,7 +142,9 @@ class CrawlEngine:
         )
         frontier = add_url_keys(df).select(*_META_COLS)
         self._write_state(frontier, self._p("frontier", 0), rows_hint=len(urls))
-        empty_seen = self.spark.createDataFrame([], "url_hash long, url_canon string")
+        empty_seen = self.spark.createDataFrame(
+            [], "url_hash long, url_canon string, crawled_round int"
+        )
         self._write_state(empty_seen, self._p("seen", 0), partitions=1)
         self._commit_manifest(
             {
@@ -283,7 +285,12 @@ class CrawlEngine:
         # deduped at seed(); candidates window-deduped, anti-joined vs
         # seen AND vs the deferred backlog each round) and disjoint from
         # seen, so the union is already duplicate-free — saves a shuffle.
-        new_seen = seen.unionByName(scheduled.select("url_hash", "url_canon"))
+        # crawled_round enables TTL-based recrawl (expire_and_requeue).
+        new_seen = seen.unionByName(
+            scheduled.select(
+                "url_hash", "url_canon", F.lit(rnd).alias("crawled_round")
+            )
+        )
         obs_seen = Observation()
         new_seen = new_seen.observe(obs_seen, F.count(F.lit(1)).alias("n"))
         self._write_state(
@@ -376,6 +383,72 @@ class CrawlEngine:
         )
         if decided is not None:
             decided.unpersist()
+        return stats
+
+    def expire_and_requeue(self, max_age_rounds: int) -> Dict[str, int]:
+        """TTL recrawl: drop seen entries older than ``max_age_rounds``
+        and requeue their URLs into the frontier (a maintenance round —
+        state advances to round+1 so no path is read and rewritten in
+        place).  The Bloom/cuckoo accelerators are derived state and
+        follow automatically (rebuilt per round here; at 10^10 scale the
+        cuckoo sidecar's delete() patches filters incrementally instead,
+        frontier/cuckoo.py).
+        """
+        manifest = self.read_manifest()
+        rnd = manifest["round"]
+        seen = self.spark.read.parquet(self._p("seen", rnd))
+        pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
+
+        cutoff = rnd - max_age_rounds
+        kept = seen.filter(F.col("crawled_round") > cutoff)
+        expired = seen.filter(F.col("crawled_round") <= cutoff)
+
+        obs_seen = Observation()
+        kept = kept.observe(obs_seen, F.count(F.lit(1)).alias("n"))
+        self._write_state(
+            kept, self._p("seen", rnd + 1), rows_hint=int(manifest.get("seen_total", 0))
+        )
+        seen_kept = int(obs_seen.get["n"])
+
+        requeued = add_url_keys(
+            expired.select(
+                F.col("url_canon").alias("url"),
+                F.lit(-1).alias("priority"),  # recrawls rank below fresh finds
+                F.lit(0).alias("depth"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.lit(0).alias("list_index"),
+                F.lit(rnd + 1).alias("discovered_round"),
+            )
+        ).select(*_META_COLS)
+        # pending URLs win over a requeue of the same canon (rare; only
+        # possible if a URL was both deferred and expired-seen — keep one)
+        requeued = requeued.join(pending.select("url_hash"), "url_hash", "left_anti")
+        next_frontier = pending.unionByName(requeued)
+        obs_front = Observation()
+        next_frontier = next_frontier.observe(obs_front, F.count(F.lit(1)).alias("n"))
+        self._write_state(
+            next_frontier,
+            self._p("frontier", rnd + 1),
+            rows_hint=int(manifest.get("n_pending", 0) or 0) + seen_kept,
+        )
+        n_pending = int(obs_front.get["n"])
+
+        stats = {
+            "round": rnd,
+            "maintenance": "expire_and_requeue",
+            "seen_kept": seen_kept,
+            "requeued": n_pending - (int(manifest.get("n_pending", 0) or 0)),
+            "n_pending": n_pending,
+        }
+        self._commit_manifest(
+            {
+                "round": rnd + 1,
+                "done": n_pending == 0,
+                "n_pending": n_pending,
+                "seen_total": seen_kept,
+                "last_stats": stats,
+            }
+        )
         return stats
 
     def run(self, max_rounds: int = 100) -> List[Dict[str, int]]:
