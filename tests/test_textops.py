@@ -173,3 +173,13 @@ def test_simhash_and_fingerprint_impls_agree(spark):
     fp_p = {r["doc_id"]: (r["content_fp"], r["min_gram_fp"]) for r in doc_fingerprints(df, impl="pandas").collect()}
     fp_e = {r["doc_id"]: (r["content_fp"], r["min_gram_fp"]) for r in doc_fingerprints(df, impl="expr").collect()}
     assert fp_p == fp_e
+
+
+def test_verified_near_dups(spark):
+    from uniparser_spark.textops import verified_near_dups
+    near = BASE + " tail"
+    far = "completely different vocabulary with no overlap whatsoever in any gram"
+    df = docs_df(spark, [(0, BASE), (1, near), (2, far)])
+    rows = {(r["id1"], r["id2"]): r["jaccard"] for r in verified_near_dups(df, threshold=0.5).collect()}
+    assert (0, 1) in rows and rows[(0, 1)] > 0.8
+    assert all(2 not in pair for pair in rows)

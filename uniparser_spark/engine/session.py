@@ -58,6 +58,9 @@ def get_spark(
         # (default threshold 10 degrades them to a min/max range filter,
         # which never prunes a lexically interleaved URL space)
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
+        # page tables carry multi-KB html/text values: the default 4096-row
+        # columnar batches reserve ~100MB/task and OOM wide executors
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -32,6 +32,7 @@ from . import config
 from .engine.extract import extract_pages
 from .textops import (
     cosine_topk,
+    verified_near_dups,
     doc_fingerprints,
     embedding_dup_pairs,
     exact_dup_groups,
@@ -505,6 +506,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_verified_pairs(spark, sf_dir):
+    """LSH candidates → exact Jaccard verification (the composed
+    production near-dup pipeline; quadratic work bounded by LSH)."""
+    return verified_near_dups(
+        t(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3, threshold=0.0
+    )
+
+
 def q_simhash_groups(spark, sf_dir):
     return simhash_groups(t(spark, sf_dir, "documents"))
 
@@ -564,6 +573,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_verified_pairs": q_dedup_verified_pairs,
     "simhash_groups": q_simhash_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
@@ -813,6 +823,41 @@ ORACLES = {
         FROM bands a JOIN bands b USING (band_idx, band_key)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """,
+    "dedup_verified_pairs": rf"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(tk) - 2),
+                                i -> array_to_string(tk[i+1:i+3], ' ')) AS s
+          FROM toks WHERE len(tk) >= 3
+        ),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   h -> list_min(list_transform(s,
+                          g -> substr(md5(h || ':' || g), 1, 16)))) AS sg
+          FROM sh WHERE len(s) > 0
+        ),
+        bands AS (
+          SELECT doc_id, j.band_idx,
+                 md5(array_to_string(sg[j.band_idx*2+1:j.band_idx*2+2], ',')) AS band_key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) j
+        ),
+        cand AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b USING (band_idx, band_key)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        d AS (SELECT doc_id, list_distinct(s) AS sd FROM sh)
+        SELECT id1, id2, ROUND(inter / (la + lb - inter), 4) AS jaccard FROM (
+          SELECT id1, id2,
+                 CAST(len(list_filter(x.sd, e -> list_contains(y.sd, e))) AS DOUBLE) AS inter,
+                 CAST(len(x.sd) AS DOUBLE) AS la, CAST(len(y.sd) AS DOUBLE) AS lb
+          FROM cand JOIN d x ON x.doc_id = id1 JOIN d y ON y.doc_id = id2
+        )
     """,
     "simhash_groups": rf"""
         WITH s AS (

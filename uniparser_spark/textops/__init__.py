@@ -14,6 +14,7 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_groups,
+    verified_near_dups,
     with_simhash,
 )
 from .quality import (
@@ -34,6 +35,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_groups",
+    "verified_near_dups",
     "with_simhash",
     "doc_fingerprints",
     "langid",

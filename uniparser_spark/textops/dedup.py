@@ -200,6 +200,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def verified_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate
+    generation followed by exact n-gram-Jaccard verification of ONLY the
+    candidate pairs.
+
+    This is the composition that scales: the quadratic verifier touches
+    |candidates| pairs (LSH-bounded) instead of |docs|², and the
+    verification join ships shingle sets for candidate ids only.
+    Returns (id1, id2, jaccard) with jaccard ≥ threshold, 4 dp.
+    """
+    pairs = lsh_candidate_pairs(df, text_col, id_col, n_hashes, bands, shingle_k)
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_k))
+    docs = df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+    a = docs.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    b = docs.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size("sh1").cast("double") + F.size("sh2").cast("double") - inter
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select("id1", "id2", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",
