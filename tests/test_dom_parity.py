@@ -86,3 +86,39 @@ def test_selection_on_fast_dom():
     doc = parse_html('<div><a class="x" href="/a">A</a><a href="/b">B</a></div>')
     assert [a.get("href") for a in doc.select("a")] == ["/a", "/b"]
     assert doc.select_one("a.x").text == "A"
+
+
+# ---------------------------------------------------------- property fuzz
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _frag = st.one_of(
+        st.sampled_from(
+            [
+                "<div>", "</div>", "<p>", "</p>", "<a href='x'>", "<a href=\"y\">",
+                "<br/>", "<br />", "<img src=z>", "<span class='c d'>", "</span>",
+                "<!-- c -->", "<!--", "-->", "<ul><li>", "</li></ul>",
+                "<script>", "</script>", "<style>", "</style>",
+                "<td>", "<tr>", "<table>", "</table>", "<input checked>",
+                "&amp;", "&lt;", "&#65;", "&unknown;", "<", ">", "</", "<!",
+                "<?pi ?>", "<!DOCTYPE html>", "<a b=>", "<a b", "=c>", "'", '"',
+            ]
+        ),
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", categories=("L", "N", "P", "Z")
+            ),
+            max_size=12,
+        ),
+    )
+    _soup = st.lists(_frag, max_size=30).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(_soup)
+    def test_fuzz_tokenizer_parity(markup):
+        assert tree(parse_html(markup, engine="fast")) == tree(
+            parse_html(markup, engine="std")
+        )
+
+except ImportError:  # pragma: no cover
+    pass

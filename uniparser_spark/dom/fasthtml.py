@@ -25,13 +25,44 @@ _TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
-_END_RE = re.compile(r"</\s*([a-zA-Z][-.:0-9a-zA-Z]*)\s*>")
+_END_RE = re.compile(r"</\s*([a-zA-Z][-.:_0-9a-zA-Z]*)\s*>")
+_TOLERANT_NAME = re.compile(r"([a-zA-Z][-.:_0-9a-zA-Z]*)")
 
 # script/style content is raw text: scan for the closing tag literally
 _RAW_END = {
     tag: re.compile(rf"</\s*{tag}(?=[\s/>])|</\s*{tag}\s*>", re.IGNORECASE)
     for tag in ("script", "style")
 }
+
+# stdlib allows whitespace between the closing dashes and '>'
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+
+
+def _std_tail(tail: str, builder) -> None:
+    """Unterminated construct at EOF: hand the tail to the stdlib
+    tokenizer so every EOF flush quirk matches exactly.  Runs at most
+    once per document, on (usually tiny) trailing garbage."""
+    from html.parser import HTMLParser
+
+    class _Bridge(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            builder.handle_starttag(tag, attrs)
+
+        def handle_startendtag(self, tag, attrs):
+            builder.handle_startendtag(tag, attrs)
+
+        def handle_endtag(self, tag):
+            builder.handle_endtag(tag)
+
+        def handle_data(self, data):
+            builder.handle_data(data)
+
+        def handle_comment(self, data):
+            builder.handle_comment(data)
+
+    bridge = _Bridge(convert_charrefs=True)
+    bridge.feed(tail)
+    bridge.close()
 
 
 def feed(markup: str, builder) -> None:
@@ -56,37 +87,66 @@ def feed(markup: str, builder) -> None:
         nxt = markup[lt + 1] if lt + 1 < n else ""
         if nxt == "!":
             if markup.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                if end < 0:
-                    # stdlib EOF behavior: incomplete markup flushes as
-                    # text, '<' separately
-                    handle_data("<")
-                    handle_data(markup[lt + 1 :])
+                m = _COMMENT_CLOSE.search(markup, lt + 4)
+                if m is None:
+                    _std_tail(markup[lt:], builder)
                     break
-                handle_comment(markup[lt + 4 : end])
-                i = end + 3
-            else:  # doctype / declaration: skipped (builder has no decl handler)
+                handle_comment(markup[lt + 4 : m.start()])
+                i = m.end()
+            elif markup[lt : lt + 9].lower() == "<!doctype":
+                gt = find(">", lt)  # declaration: skipped (no decl handler)
+                if gt < 0:
+                    _std_tail(markup[lt:], builder)
+                    break
+                i = gt + 1
+            elif markup.startswith("<![", lt):
+                end = find("]>", lt + 3)  # marked section: unknown_decl → ignored
+                if end < 0:
+                    _std_tail(markup[lt:], builder)
+                    break
+                i = end + 2
+            else:  # anything else after '<!' is a bogus comment (stdlib)
                 gt = find(">", lt)
-                i = n if gt < 0 else gt + 1
+                if gt < 0:
+                    _std_tail(markup[lt:], builder)
+                    break
+                handle_comment(markup[lt + 2 : gt])
+                i = gt + 1
         elif nxt == "/":
             m = _END_RE.match(markup, lt)
             if m:
                 handle_end(m.group(1).lower())
                 i = m.end()
-            else:  # bogus end tag: stdlib emits a bogus comment
+            elif markup[lt : lt + 3] == "</>":
+                i = lt + 3  # stdlib: empty end tag is ignored
+            else:
                 gt = find(">", lt)
                 if gt < 0:
-                    handle_data(markup[lt:])
+                    _std_tail(markup[lt:], builder)
                     break
-                handle_comment(markup[lt + 2 : gt])
-                i = gt + 1
+                nm = _TOLERANT_NAME.match(markup, lt + 2)
+                if nm:  # '</x junk>': tolerant-name end tag (stdlib)
+                    handle_end(nm.group(1).lower())
+                    gt2 = find(">", nm.end())
+                    i = n if gt2 < 0 else gt2 + 1
+                else:  # bogus end tag: stdlib emits a bogus comment
+                    handle_comment(markup[lt + 2 : gt])
+                    i = gt + 1
         elif nxt == "?":
             gt = find(">", lt)  # processing instruction: skipped
-            i = n if gt < 0 else gt + 1
+            if gt < 0:
+                _std_tail(markup[lt:], builder)
+                break
+            i = gt + 1
         else:
             m = _TAG_RE.match(markup, lt)
             if m is None:
-                # lone '<' or malformed start: lenient, '<' becomes text
+                if nxt.isalpha():
+                    # incomplete or oddly-formed start tag: let stdlib
+                    # handle the remainder so its quirks match exactly
+                    _std_tail(markup[lt:], builder)
+                    break
+                # '<' followed by non-letter: literal text (stdlib)
                 handle_data("<")
                 i = lt + 1
                 continue
