@@ -51,7 +51,27 @@ TABLES = (
 ).split()
 
 
+_SHIPPED: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship uniparser_spark to executors once per session — the driver
+    harness may build its own SparkSession without --py-files, and the
+    suite's mapInPandas functions are pickled by reference."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    try:
+        from .engine.session import ship_package
+
+        ship_package(spark)
+    except Exception:  # noqa: BLE001 - best-effort (cwd import may suffice)
+        pass
+    _SHIPPED.add(key)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
