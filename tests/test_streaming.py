@@ -76,3 +76,31 @@ def test_host_rate_metrics_stream(spark, tmp_path):
     assert all(r["host"].endswith(".example.org") for r in rows)
     hosts = {r["host"] for r in rows}
     assert len(hosts) == 3
+
+
+def test_dedup_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: repeats within and across
+    micro-batches are dropped; state persists via the checkpoint."""
+    from uniparser_spark.streaming import dedup_stream
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # batch 1: hosts 0-1 (13 pages incl. list pages)
+    _land_pages(spark, pages_dir, n_hosts=2, n_details=11)
+    q = run_to_parquet(
+        dedup_stream(read_pages_stream(spark, pages_dir)), out_dir, ck
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    assert n_first == first.select("url").distinct().count() > 0
+
+    # batch 2: the SAME pages again (duplicates) plus nothing new
+    _land_pages(spark, pages_dir, n_hosts=2, n_details=11)
+    q2 = run_to_parquet(
+        dedup_stream(read_pages_stream(spark, pages_dir)), out_dir, ck
+    )
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out_dir).count()
+    assert total == n_first  # all repeats suppressed by state

@@ -20,8 +20,9 @@ Two operators:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Iterator, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .engine.extract import extract_pages
@@ -81,6 +82,52 @@ def host_rate_metrics(
             "n_pages",
             "bytes_text",
         )
+    )
+
+
+def dedup_stream(
+    pages: DataFrame,
+    url_col: str = "url",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Custom stateful streaming operator: exactly-once URL dedup across
+    micro-batches via ``applyInPandasWithState``.
+
+    State = the set of seen xxhash64 keys per hash bucket (the same
+    sharding as the batch seen-filter, so state volume per group is
+    bounded and the shuffle key is skew-free).  First occurrence of a
+    URL passes through; repeats in the same or any later micro-batch
+    are dropped.  This is the streaming twin of the frontier's
+    anti-join dedup — use it when pages arrive continuously instead of
+    in crawl rounds.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = pages.schema
+    cols = [f.name for f in pages.schema.fields]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: "GroupState") -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            fresh_rows = []
+            for idx, h in zip(pdf.index, pdf["_h"]):
+                h = int(h)
+                if h not in seen:
+                    seen.add(h)
+                    fresh_rows.append(idx)
+            if fresh_rows:
+                yield pdf.loc[fresh_rows, cols]
+        state.update((list(seen),))
+
+    keyed = pages.withColumn("_h", F.xxhash64(F.col(url_col))).withColumn(
+        "_bucket", F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
+    )
+    return keyed.groupBy("_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="hashes array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
