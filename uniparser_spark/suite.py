@@ -322,6 +322,42 @@ def q_rule_css(spark, sf_dir):
     )
 
 
+def q_rule_css1(spark, sf_dir):
+    """Single-match selector variants and their distinct miss
+    semantics: css1 → None (null) on miss, se1 → '' (empty string);
+    selectolax engine for list extraction."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><h1 class="title">Doc '), d,
+        F.lit('</h1><a class="lnk" href="/d/'), d,
+        F.lit('/">link '), d, F.lit("</a></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/s/"), d).alias("url"),
+        html.alias("text"),
+    )
+    storage = _single_host_storage(
+        "docs.example.org",
+        "s1",
+        r"^https://docs\.example\.org/s/\d+$",
+        [
+            {"name": "title", "chain_rules": [["css1", "h1.title", "$text"]], "child_rules": []},
+            {"name": "miss_css1", "chain_rules": [["css1", "h2.missing", "$text"]], "child_rules": []},
+            {"name": "miss_se1", "chain_rules": [["se1", "h2.missing", "$text"]], "child_rules": []},
+            {"name": "href", "chain_rules": [["selectolax", "a.lnk", "@href"], ["python", "getitem", "[0]"]], "child_rules": []},
+        ],
+    )
+    res = extract_pages(pages, storage)
+    return res.select(
+        "url",
+        F.get_json_object("result", "$.s1.title").alias("title"),
+        F.get_json_object("result", "$.s1.miss_css1").alias("miss_css1"),
+        F.get_json_object("result", "$.s1.miss_se1").alias("miss_se1"),
+        F.get_json_object("result", "$.s1.href").alias("href"),
+    )
+
+
 def q_rule_json(spark, sf_dir):
     """loader(json) → jmespath chain over the events props column."""
     ev = t(spark, sf_dir, "events")
@@ -578,6 +614,7 @@ QUERIES = {
     "json_props": q_json_props,
     "rule_first3": q_rule_first3,
     "rule_css": q_rule_css,
+    "rule_css1": q_rule_css1,
     "rule_json": q_rule_json,
     "rule_udf": q_rule_udf,
     "rule_regex_sub": q_rule_regex_sub,
@@ -692,6 +729,14 @@ ORACLES = {
         SELECT 'https://docs.example.org/h/' || doc_id AS url,
                'Doc ' || doc_id AS title,
                '/d/' || (doc_id*3) || '/,/d/' || (doc_id*3+1) || '/,/d/' || (doc_id*3+2) || '/' AS links
+        FROM documents
+    """,
+    "rule_css1": """
+        SELECT 'https://docs.example.org/s/' || doc_id AS url,
+               'Doc ' || doc_id AS title,
+               NULL AS miss_css1,
+               '' AS miss_se1,
+               '/d/' || doc_id || '/' AS href
         FROM documents
     """,
     "rule_json": """
