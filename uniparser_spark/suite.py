@@ -35,12 +35,14 @@ from .textops import (
     verified_near_dups,
     doc_fingerprints,
     embedding_dup_pairs,
+    embedding_verified_pairs,
     exact_dup_groups,
     langid,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     quality_scores,
     rhp_lsh_topk,
+    rhp_multiprobe_topk,
     simhash_groups,
     token_stats,
 )
@@ -597,6 +599,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """OR'd-table ANN: union of 3 independent hash tables' buckets as
+    the candidate set — the recall-at-scale variant of ann_lsh_topk."""
+    return rhp_multiprobe_topk(
+        t(spark, sf_dir, "embeddings"),
+        n_queries=8, k=5, n_planes=6, dims=64, n_tables=3,
+    )
+
+
+def q_embedding_verified_pairs(spark, sf_dir):
+    """RHP-LSH candidates → exact cosine verification — the embedding
+    mirror of dedup_verified_pairs (quadratic work LSH-bounded, vectors
+    fetched for candidate ids only)."""
+    return embedding_verified_pairs(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.35, n_planes=10, dims=64, n_tables=2,
+    )
+
+
 # --------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     media = docs_as_media(t(spark, sf_dir, "documents"))
@@ -636,6 +657,8 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "embedding_verified_pairs": q_embedding_verified_pairs,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1010,6 +1033,59 @@ ORACLES = {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
           FROM c
         ) WHERE rn <= 5
+    """,
+    "ann_multiprobe_topk": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, v, j.tbl AS tbl,
+            CAST(list_sum(list_transform(range(1, 7), p ->
+              CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                     v[d] * ((ascii(substr(md5(j.tbl || ':' || p || ':' || d), 1, 1)) % 2) * 2 - 1))) >= 0
+                   THEN CAST(power(2, p - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+          FROM e, (SELECT unnest(range(0, 3)) AS tbl) j
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv, tbl, bucket FROM b WHERE vec_id < 8),
+        c AS (
+          SELECT DISTINCT qid, b.vec_id,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS sim
+          FROM b JOIN q USING (tbl, bucket) WHERE b.vec_id <> q.qid
+        )
+        SELECT qid, vec_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+          FROM c
+        ) WHERE rn <= 5
+    """,
+    "embedding_verified_pairs": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, j.tbl AS tbl,
+            CAST(list_sum(list_transform(range(1, 11), p ->
+              CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                     v[d] * ((ascii(substr(md5(j.tbl || ':' || p || ':' || d), 1, 1)) % 2) * 2 - 1))) >= 0
+                   THEN CAST(power(2, p - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+          FROM e, (SELECT unnest(range(0, 2)) AS tbl) j
+        ),
+        cand AS (
+          SELECT a.vec_id AS id1, c.vec_id AS id2
+          FROM b a JOIN b c USING (tbl, bucket)
+          WHERE a.vec_id < c.vec_id GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT id1, id2,
+            ROUND(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+                  / (sqrt(list_sum(list_transform(range(1, 65), i -> x.v[i] * x.v[i])))
+                   * sqrt(list_sum(list_transform(range(1, 65), i -> y.v[i] * y.v[i])))), 6) AS sim
+          FROM cand JOIN e x ON x.vec_id = id1 JOIN e y ON y.vec_id = id2
+        )
+        SELECT id1, id2, sim FROM p WHERE sim >= 0.35
     """,
     "multimodal_features": f"""
         WITH m AS (

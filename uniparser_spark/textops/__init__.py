@@ -26,7 +26,11 @@ from .quality import (
 from .similarity import (
     cosine_topk,
     embedding_dup_pairs,
+    embedding_verified_pairs,
+    rhp_candidate_pairs,
     rhp_lsh_topk,
+    rhp_multiprobe_topk,
+    rhp_signatures,
 )
 
 __all__ = [
@@ -43,5 +47,9 @@ __all__ = [
     "token_stats",
     "cosine_topk",
     "embedding_dup_pairs",
+    "embedding_verified_pairs",
+    "rhp_candidate_pairs",
     "rhp_lsh_topk",
+    "rhp_multiprobe_topk",
+    "rhp_signatures",
 ]

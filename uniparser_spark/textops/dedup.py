@@ -142,21 +142,21 @@ def lsh_candidate_pairs(
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    # cache: the 8 band-key slices below would otherwise each inline (and
-    # recompute) the full signature expression via projection collapse
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).cache()
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.md5(F.concat_ws(",", F.slice(F.col("sig"), j * rows + 1, rows))),
     )
+    # Materialize before the self-join: without a barrier the signature
+    # UDF would run on BOTH join branches.  localCheckpoint (lazy) keeps
+    # one computed copy for the two scans and — unlike cache() — is
+    # released when this DataFrame is garbage collected, so repeated
+    # invocations in a long session don't accrete storage (the r1 leak).
+    # At cluster scale this is the point where signatures get written to
+    # a table.
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
-    # Materialize before the self-join: projection collapse would otherwise
-    # inline the 16-hash signature into every band slice on BOTH join
-    # branches (~16× md5 recompute).  At cluster scale this is the point
-    # where signatures get written to a table; locally a cache suffices.
-    banded = banded.cache()
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_idx", "band_key"])
@@ -215,12 +215,26 @@ def verified_near_dups(
 
     This is the composition that scales: the quadratic verifier touches
     |candidates| pairs (LSH-bounded) instead of |docs|², and the
-    verification join ships shingle sets for candidate ids only.
+    verification join ships shingle sets for CANDIDATE ids only — docs
+    is left-semi-joined against the distinct candidate-id set before
+    shingling, so at corpus scale the verify stage shuffles |candidates|
+    shingle sets, not the whole corpus.
     Returns (id1, id2, jaccard) with jaccard ≥ threshold, 4 dp.
     """
-    pairs = lsh_candidate_pairs(df, text_col, id_col, n_hashes, bands, shingle_k)
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, n_hashes, bands, shingle_k
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
     sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_k))
-    docs = df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+    docs = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     a = docs.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     b = docs.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")

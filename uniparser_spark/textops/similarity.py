@@ -3,13 +3,25 @@
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   The query side is tiny and **broadcast**, so the plan is a broadcast
   nested-loop join + per-query window; the corpus is never shuffled.
-- ``rhp_lsh_topk``: the scale path — deterministic random-hyperplane
-  LSH. Each vector gets an n_planes-bit bucket from the signs of dot
-  products against md5-derived ±1 hyperplanes; candidates share a
-  bucket, then exact cosine reranks. Bucket keys are uniform → skew-free
-  shuffle; at 100 TB the corpus-side signature scan is narrow (id +
-  bucket) and the exact rerank touches only same-bucket candidates.
-- ``embedding_dup_pairs``: near-duplicate detection by cosine ≥ τ.
+- ``rhp_signatures`` / ``rhp_lsh_topk`` / ``rhp_multiprobe_topk``: the
+  scale path — deterministic random-hyperplane LSH.  The ±1 hyperplane
+  coefficients depend only on (table, plane, dim), so they are computed
+  ONCE driver-side (md5 parity, identical to what the DuckDB oracle
+  derives inline) and closed over by an Arrow pandas UDF that signs the
+  dot products with a sequential per-dimension fold — bit-identical to
+  the SQL left-fold, but vectorized across rows instead of interpreted
+  per element.  Candidates share a (table, bucket) key, then exact
+  cosine reranks.  Bucket keys are uniform → skew-free shuffle; at
+  100 TB the corpus-side signature table is narrow (id + bucket) and
+  the exact rerank touches only same-bucket candidates.  Multiple OR'd
+  tables (multiprobe) recover the recall a single projection loses.
+- ``embedding_dup_pairs``: near-duplicate detection by cosine ≥ τ over a
+  capped id range (the quadratic verifier).
+- ``rhp_candidate_pairs`` + ``embedding_verified_pairs``: the production
+  embedding near-dup pipeline — LSH-bucketed candidate generation over
+  the NARROW (id, bucket) signature table, candidate-id semi-join to
+  fetch vectors, exact cosine verification of only the candidate pairs
+  (mirror of textops.dedup.verified_near_dups).
 
 All arithmetic is double-precision with sequential fold order so DuckDB
 reproduces values exactly (see .exprs.dot); similarities are rounded to
@@ -17,6 +29,9 @@ reproduces values exactly (see .exprs.dot); similarities are rounded to
 """
 
 from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List, Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -69,8 +84,8 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id1 < id2, sim ≥ threshold) over
-    the capped id range — the quadratic verifier; feed LSH candidates at
-    scale."""
+    the capped id range — the quadratic verifier; the scale composition
+    is ``embedding_verified_pairs`` (LSH candidates → exact verify)."""
     base = emb.filter(F.col(id_col) < max_id).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
@@ -87,29 +102,109 @@ def embedding_dup_pairs(
     )
 
 
-def _plane_coef(p: Column, d: Column) -> Column:
-    """Deterministic ±1 hyperplane coefficient from md5('p:d') parity."""
-    key = F.concat(p.cast("string"), F.lit(":"), d.cast("string"))
-    return ((F.ascii(F.substring(F.md5(key), 1, 1)) % 2) * 2 - 1).cast("double")
+# ------------------------------------------------------- RHP-LSH signatures
 
 
-def rhp_bucket(v: Column, n_planes: int, dims: int) -> Column:
-    """Random-hyperplane LSH bucket: bit p = sign(v · plane_p)."""
-    def plane_dot(p: Column) -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(dims)),
-            F.lit(0.0),
-            lambda acc, d: acc + F.element_at(v, d) * _plane_coef(p, d),
-        )
+def hyperplane_coefs(
+    n_planes: int, dims: int, table: Optional[int] = None
+) -> List[List[float]]:
+    """The ±1 hyperplane coefficient matrix (n_planes × dims).
 
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(n_planes)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(plane_dot(p) >= 0, F.pow(F.lit(2.0), p - 1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+    coef(p, d) = parity of the first hex char of md5("p:d") (or
+    md5("t:p:d") for OR'd table t), mapped to ±1 — exactly the value the
+    DuckDB oracle derives inline with
+    ``(ascii(substr(md5(p||':'||d),1,1)) % 2) * 2 - 1``.  Computing the
+    n_planes×dims constants once on the driver (instead of re-deriving
+    them per row in interpreted array lambdas) is what makes the
+    signature step a handful of vectorized flops per row.
+    """
+    out: List[List[float]] = []
+    for p in range(1, n_planes + 1):
+        row = []
+        for d in range(1, dims + 1):
+            key = f"{p}:{d}" if table is None else f"{table}:{p}:{d}"
+            h = hashlib.md5(key.encode()).hexdigest()
+            row.append(float((ord(h[0]) % 2) * 2 - 1))
+        out.append(row)
+    return out
+
+
+def rhp_signatures(
+    emb: DataFrame,
+    n_planes: int = 6,
+    dims: int = 64,
+    n_tables: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector RHP-LSH bucket(s) via an Arrow pandas UDF.
+
+    Returns (id, v: array<double>, bucket: long) — or, with ``n_tables``,
+    (id, v, buckets: array<long>) with one independent bucket per OR'd
+    table (tables are 0-indexed; table t uses planes seeded "t:p:d").
+
+    Bit parity with the SQL fold: the dot product accumulates per
+    dimension in index order (vectorized across the row batch), and
+    v·(±1) is an exact sign flip, so every partial sum is IEEE-identical
+    to DuckDB's sequential list_sum.  Narrow transformation, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    tables = [None] if n_tables is None else list(range(n_tables))
+    coef_sets = [hyperplane_coefs(n_planes, dims, table=t) for t in tables]
+    multi = n_tables is not None
+    bucket_field = (
+        StructField("buckets", ArrayType(LongType()), False)
+        if multi
+        else StructField("bucket", LongType(), False)
+    )
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("v", ArrayType(DoubleType()), False),
+            bucket_field,
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            V = np.stack(batch["v"].to_numpy())  # (n, dims) float64
+            per_table = []
+            for coefs in coef_sets:
+                bucket = np.zeros(n, dtype=np.int64)
+                for p in range(n_planes):
+                    row = coefs[p]
+                    acc = np.zeros(n, dtype=np.float64)
+                    # sequential per-dim fold == DuckDB list_sum order;
+                    # each step is one vectorized add over the batch
+                    for d in range(dims):
+                        acc = acc + (V[:, d] if row[d] > 0 else -V[:, d])
+                    bucket += (acc >= 0).astype(np.int64) << p
+                per_table.append(bucket)
+            out = {
+                id_col: batch[id_col].astype("int64"),
+                "v": batch["v"],
+            }
+            if multi:
+                stacked = np.stack(per_table, axis=1)  # (n, n_tables)
+                out["buckets"] = list(stacked)
+            else:
+                out["bucket"] = pd.Series(per_table[0])
+            yield pd.DataFrame(out)
+
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    return base.mapInPandas(run, schema=schema)
 
 
 def rhp_lsh_topk(
@@ -121,21 +216,22 @@ def rhp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: LSH-bucket candidate generation + exact
-    cosine rerank within the query's bucket.
+    """Approximate top-k: single-table LSH-bucket candidate generation +
+    exact cosine rerank within the query's bucket.
 
-    Recall < 1 by construction (ANN); the candidate join is an
-    equi-join on the bucket key instead of a full cross join, which is
-    what makes this the 100 TB path.
+    Recall < 1 by construction (ANN); the candidate join is an equi-join
+    on the bucket key instead of a full cross join, which is what makes
+    this the 100 TB path.  ``rhp_multiprobe_topk`` is the
+    recall-hardened variant.
     """
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
-        "bucket", rhp_bucket(F.col("v"), n_planes, dims)
+    sig = rhp_signatures(
+        emb, n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col
     )
-    q = base.filter(F.col(id_col) < n_queries).select(
+    q = sig.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("bucket")
     )
     cands = (
-        base.join(F.broadcast(q), "bucket")
+        sig.join(F.broadcast(q), "bucket")
         .where(F.col(id_col) != F.col("qid"))
         .select(
             "qid",
@@ -148,4 +244,182 @@ def rhp_lsh_topk(
         cands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", id_col, "sim")
+    )
+
+
+def rhp_multiprobe_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 6,
+    dims: int = 64,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-hardened ANN: candidates are the UNION over ``n_tables``
+    independent hash tables of same-bucket vectors (classic OR'd-table
+    LSH), deduped before one exact cosine rerank per candidate.
+
+    Per-table recall loss is independent, so missing a true neighbor in
+    all T tables decays exponentially with T — this is the knob that
+    keeps recall up at corpus scale without widening any single bucket.
+    """
+    sig = rhp_signatures(
+        emb,
+        n_planes=n_planes,
+        dims=dims,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    e = sig.select(
+        F.col(id_col), F.col("v"), F.posexplode("buckets").alias("t", "bucket")
+    )
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), "t", "bucket"
+    )
+    cands = (
+        e.join(F.broadcast(q), ["t", "bucket"])
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        .dropDuplicates(["qid", id_col])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "sim")
+    )
+
+
+# ----------------------------------------- embedding near-dup scale pipeline
+
+
+def rhp_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 10,
+    dims: int = 64,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH near-dup candidate pairs (id1 < id2, distinct): two vectors
+    are candidates iff they share a bucket in ANY of the OR'd tables.
+
+    The self-join runs over the NARROW exploded (t, bucket, id) relation
+    — vectors never cross this shuffle; candidate volume is tuned by
+    n_planes (buckets = 2^n_planes per table).
+    """
+    sig = rhp_signatures(
+        emb,
+        n_planes=n_planes,
+        dims=dims,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    narrow = sig.select(
+        F.col(id_col), F.posexplode("buckets").alias("t", "bucket")
+    ).localCheckpoint(eager=False)
+    a, b = narrow.alias("a"), narrow.alias("b")
+    return (
+        a.join(b, ["t", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def embedding_verified_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 10,
+    dims: int = 64,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production embedding near-dup pipeline: RHP-LSH candidate
+    generation followed by exact cosine verification of ONLY the
+    candidate pairs (the embedding mirror of
+    ``textops.dedup.verified_near_dups``).
+
+    Scale shape: the quadratic work is LSH-bounded; vectors are fetched
+    for candidate ids only (left-semi join before the pair join), and
+    the per-pair cosine is computed by an Arrow pandas UDF with the same
+    sequential per-dimension fold as the SQL oracle (bit-identical),
+    vectorized across the candidate batch.  Rounding to 6 dp happens
+    JVM-side (F.round) to keep decimal-rounding semantics aligned with
+    every other query.  Returns (id1, id2, sim ≥ threshold).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    pairs = rhp_candidate_pairs(
+        emb,
+        n_planes=n_planes,
+        dims=dims,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    vecs = (
+        emb.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    )
+    a = vecs.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"))
+    b = vecs.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"))
+    joined = pairs.join(a, "id1").join(b, "id2")
+
+    schema = StructType(
+        [
+            StructField("id1", LongType(), False),
+            StructField("id2", LongType(), False),
+            StructField("sim_raw", DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            V1 = np.stack(batch["v1"].to_numpy())
+            V2 = np.stack(batch["v2"].to_numpy())
+            dot = np.zeros(n, dtype=np.float64)
+            n1 = np.zeros(n, dtype=np.float64)
+            n2 = np.zeros(n, dtype=np.float64)
+            # sequential per-dim fold == DuckDB list_sum order
+            for d in range(dims):
+                x, y = V1[:, d], V2[:, d]
+                dot = dot + x * y
+                n1 = n1 + x * x
+                n2 = n2 + y * y
+            sim = dot / (np.sqrt(n1) * np.sqrt(n2))
+            yield pd.DataFrame(
+                {
+                    "id1": batch["id1"].astype("int64"),
+                    "id2": batch["id2"].astype("int64"),
+                    "sim_raw": sim,
+                }
+            )
+
+    return (
+        joined.mapInPandas(run, schema=schema)
+        .select("id1", "id2", F.round(F.col("sim_raw"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
