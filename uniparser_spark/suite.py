@@ -536,6 +536,171 @@ def q_rule_native(spark, sf_dir):
     return extract_columns(pages, rules, fallback=False)
 
 
+def q_rule_re_modes(spark, sf_dir):
+    """The remaining re parser modes (reference parsers.py:456-471):
+    $N → finditer group N, '-' → split, '#N' → search().group(N) with ''
+    on miss."""
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [
+            {"name": "g1", "chain_rules": [["re", "([a-z]+) ", "$1"], ["python", "join", ","]], "child_rules": []},
+            {"name": "parts", "chain_rules": [["re", r"\s+", "-"], ["python", "join", "|"]], "child_rules": []},
+            {"name": "first5", "chain_rules": [["re", "[a-z]{5,}", "#0"]], "child_rules": []},
+        ],
+        [
+            F.get_json_object("result", "$.r.g1").alias("g1"),
+            F.get_json_object("result", "$.r.parts").alias("parts"),
+            F.get_json_object("result", "$.r.first5").alias("first5"),
+        ],
+    )
+
+
+def q_rule_loader_yaml(spark, sf_dir):
+    """loader(yaml) → python getitem chain (reference parsers.py:857-871)
+    over synthesized YAML docs, so DuckDB predicts the parsed values."""
+    d = F.col("doc_id").cast("string")
+    yaml_text = F.concat(F.lit("k: "), d, F.lit("\nname: doc-"), d)
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [
+            {"name": "k", "chain_rules": [["loader", "yaml", ""], ["python", "getitem", "k"]], "child_rules": []},
+            {"name": "nm", "chain_rules": [["loader", "yaml", ""], ["python", "getitem", "name"]], "child_rules": []},
+        ],
+        [
+            F.get_json_object("result", "$.r.k").cast("long").alias("k"),
+            F.get_json_object("result", "$.r.nm").alias("nm"),
+        ],
+        text_expr=yaml_text,
+    )
+
+
+def q_rule_loader_toml(spark, sf_dir):
+    """loader(toml) over synthesized TOML docs (parsers.py:873-887)."""
+    d = F.col("doc_id").cast("string")
+    toml_text = F.concat(F.lit("k = "), d, F.lit('\nname = "doc-'), d, F.lit('"'))
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [
+            {"name": "k", "chain_rules": [["loader", "toml", ""], ["python", "getitem", "k"]], "child_rules": []},
+            {"name": "nm", "chain_rules": [["loader", "toml", ""], ["python", "getitem", "name"]], "child_rules": []},
+        ],
+        [
+            F.get_json_object("result", "$.r.k").cast("long").alias("k"),
+            F.get_json_object("result", "$.r.nm").alias("nm"),
+        ],
+        text_expr=toml_text,
+    )
+
+
+def q_rule_python_modes(spark, sf_dir):
+    """The python parser sub-ops not covered by rule_python_ops
+    (reference parsers.py:739-829): template, strip, default, chain,
+    index, const."""
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [
+            {"name": "tmpl", "chain_rules": [["python", "template", "pre:${obj}"]], "child_rules": []},
+            {"name": "strip2", "chain_rules": [["python", "template", "##${obj}##"], ["python", "strip", "#"]], "child_rules": []},
+            {"name": "nospace", "chain_rules": [["python", "split", " "], ["python", "chain", ""], ["python", "join", ""]], "child_rules": []},
+            {"name": "last", "chain_rules": [["python", "split", " "], ["python", "index", "-1"]], "child_rules": []},
+            {"name": "dflt", "chain_rules": [["re", "[a-z]{12,}", "#0"], ["python", "default", "none"]], "child_rules": []},
+            {"name": "konst", "chain_rules": [["python", "const", "K"]], "child_rules": []},
+        ],
+        [
+            F.get_json_object("result", "$.r.tmpl").alias("tmpl"),
+            F.get_json_object("result", "$.r.strip2").alias("strip2"),
+            F.get_json_object("result", "$.r.nospace").alias("nospace"),
+            F.get_json_object("result", "$.r.last").alias("last"),
+            F.get_json_object("result", "$.r.dflt").alias("dflt"),
+            F.get_json_object("result", "$.r.konst").alias("konst"),
+        ],
+    )
+
+
+def q_rule_context(spark, sf_dir):
+    """The context parser (reference parsers.py:958-977): swaps the
+    chain input for the live context dict — extract the per-page url
+    seeded by the engine, and the default-on-miss branch."""
+    return _doc_rule_query(
+        spark,
+        sf_dir,
+        [
+            {"name": "cur", "chain_rules": [["context", "url", ""]], "child_rules": []},
+            {"name": "fb", "chain_rules": [["context", "no_such_key", "fallback"]], "child_rules": []},
+        ],
+        [
+            F.get_json_object("result", "$.r.cur").alias("ctx_url"),
+            F.get_json_object("result", "$.r.fb").alias("ctx_fallback"),
+        ],
+    )
+
+
+def q_rule_children(spark, sf_dir):
+    """Composed rule exercising iter_parse_child (per-element child
+    rules, parsers.py:1352-1361), __object__ input rebinding and the
+    __schema__ assert (parsers.py:1335-1349) in one crawler rule."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><ul>"),
+        F.lit('<li><a class="lnk" href="/d/'), (F.col("doc_id") * 3).cast("string"),
+        F.lit('/">one</a></li>'),
+        F.lit('<li><a class="lnk" href="/d/'), (F.col("doc_id") * 3 + 1).cast("string"),
+        F.lit('/">two</a></li>'),
+        F.lit('<li><a class="lnk" href="/d/'), (F.col("doc_id") * 3 + 2).cast("string"),
+        F.lit('/">three</a></li>'),
+        F.lit("</ul></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/c/"), d).alias("url"),
+        html.alias("text"),
+    )
+    storage = _single_host_storage(
+        "docs.example.org",
+        "page",
+        r"^https://docs\.example\.org/c/\d+$",
+        [
+            {
+                "name": "__schema__",
+                "chain_rules": [["udf", "parse = lambda input_object: isinstance(input_object, str)", "{}"]],
+                "child_rules": [],
+            },
+            {
+                "name": "items",
+                "chain_rules": [["css", "ul > li", "$self"]],
+                "child_rules": [
+                    {"name": "href", "chain_rules": [["css1", "a", "@href"]], "child_rules": []},
+                    {"name": "txt", "chain_rules": [["css1", "a", "$text"]], "child_rules": []},
+                ],
+                "iter_parse_child": True,
+            },
+            {
+                "name": "__object__",
+                "chain_rules": [["re", "[a-z]+", ""], ["python", "join", " "]],
+                "child_rules": [],
+            },
+            {
+                "name": "head",
+                "chain_rules": [["python", "split", " "], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
+        ],
+    )
+    res = extract_pages(pages, storage)
+    return res.select(
+        "url",
+        F.get_json_object("result", "$.page.__schema__").alias("schema_ok"),
+        F.get_json_object("result", "$.page.items[0].href").alias("item0_href"),
+        F.get_json_object("result", "$.page.items[1].href").alias("item1_href"),
+        F.get_json_object("result", "$.page.items[2].txt").alias("item2_txt"),
+        F.get_json_object("result", "$.page.head").alias("head"),
+    )
+
+
 # ------------------------------------------------------------ text analysis
 def q_token_stats(spark, sf_dir):
     return token_stats(t(spark, sf_dir, "documents"))
@@ -645,6 +810,12 @@ QUERIES = {
     "rule_time": q_rule_time,
     "rule_paths": q_rule_paths,
     "rule_native": q_rule_native,
+    "rule_re_modes": q_rule_re_modes,
+    "rule_loader_yaml": q_rule_loader_yaml,
+    "rule_loader_toml": q_rule_loader_toml,
+    "rule_python_modes": q_rule_python_modes,
+    "rule_context": q_rule_context,
+    "rule_children": q_rule_children,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "langid": q_langid,
@@ -807,6 +978,51 @@ ORACLES = {
         SELECT 'https://docs.example.org/d/' || doc_id AS url,
                array_to_string(regexp_extract_all(text, '[a-z]+')[1:3], ' ') AS first3,
                array_to_string(list_sort(string_split(text, ' '), 'DESC')[1:5], '|') AS top5
+        FROM documents
+    """,
+    "rule_re_modes": r"""
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               array_to_string(regexp_extract_all(text, '([a-z]+) ', 1), ',') AS g1,
+               array_to_string(string_split_regex(text, '\s+'), '|') AS parts,
+               regexp_extract(text, '[a-z]{5,}') AS first5
+        FROM documents
+    """,
+    "rule_loader_yaml": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               CAST(doc_id AS BIGINT) AS k,
+               'doc-' || doc_id AS nm
+        FROM documents
+    """,
+    "rule_loader_toml": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               CAST(doc_id AS BIGINT) AS k,
+               'doc-' || doc_id AS nm
+        FROM documents
+    """,
+    "rule_python_modes": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               'pre:' || text AS tmpl,
+               text AS strip2,
+               replace(text, ' ', '') AS nospace,
+               string_split(text, ' ')[-1] AS last,
+               CASE WHEN regexp_extract(text, '[a-z]{12,}') = ''
+                    THEN 'none' ELSE regexp_extract(text, '[a-z]{12,}') END AS dflt,
+               'K' AS konst
+        FROM documents
+    """,
+    "rule_context": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               'https://docs.example.org/d/' || doc_id AS ctx_url,
+               'fallback' AS ctx_fallback
+        FROM documents
+    """,
+    "rule_children": """
+        SELECT 'https://docs.example.org/c/' || doc_id AS url,
+               'true' AS schema_ok,
+               '/d/' || (doc_id*3) || '/' AS item0_href,
+               '/d/' || (doc_id*3+1) || '/' AS item1_href,
+               'three' AS item2_txt,
+               'html' AS head
         FROM documents
     """,
     "token_stats": rf"""
