@@ -45,3 +45,13 @@ def test_cuckoo_delete_readmits(spark):
     assert readmitted >= n_expired * 0.95
     # untouched keys still have no false negatives
     assert cf.probe(kept, updated).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_grows_on_underestimated_capacity(spark):
+    # expected_total lies by 50x: shards must grow-and-rebuild rather
+    # than silently drop keys (the no-false-negatives contract)
+    seen = _urls(spark, 0, 5000)
+    cf = CuckooSeenFilter(n_buckets=2, min_indexes=8)
+    state = cf.build(seen, expected_total=100).cache()
+    flagged = cf.probe(seen, state)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0

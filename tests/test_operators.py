@@ -270,3 +270,19 @@ def test_unknown_operator():
 
     with pytest.raises(UnknownParserNameError):
         op("nope", "x", "y", "z")
+
+
+def test_paths_unsupported_syntax_is_named():
+    # beyond-subset constructs raise a clear UnsupportedPathError (which
+    # the chain executor surfaces as an error value, never empty output)
+    import pytest as _pytest
+
+    from uniparser_spark.operators import apply_operator
+    from uniparser_spark.paths import UnsupportedPathError, jsonpath_values
+
+    for bad in ("$.a[0,1]", "$.a[(@.length-1)]", "$..book[?(@.price)]"):
+        with _pytest.raises(UnsupportedPathError, match="unsupported"):
+            jsonpath_values({"a": [1, 2]}, bad)
+    # error-as-data through the operator layer
+    err = apply_operator("jsonpath", {"a": [1, 2]}, "$.a[0,1]", "")
+    assert isinstance(err, UnsupportedPathError)

@@ -99,3 +99,17 @@ def test_crawl_respects_robots(spark, tmp_path):
     # other host0 items and all of host1 still crawled
     assert any(u.startswith(f"https://{host0}/item-000001") for u in crawled)
     assert any(testgen.host_name(1) in u for u in crawled)
+
+
+def test_parse_robots_consecutive_user_agents():
+    # RFC 9309: consecutive User-agent lines form ONE group — the rules
+    # that follow apply to every agent named above them.
+    txt = "User-agent: a\nUser-agent: *\nDisallow: /x\nCrawl-delay: 3"
+    for ua in ("a", "*", "unlisted-bot"):
+        delay, dis, allow = parse_robots(txt, ua)
+        assert dis == ["/x"], (ua, dis)
+        assert delay == 3.0
+    # a rule line ends the UA run: the next UA starts a fresh group
+    txt2 = "User-agent: a\nDisallow: /a-only\nUser-agent: b\nDisallow: /b-only"
+    assert parse_robots(txt2, "a")[1] == ["/a-only"]
+    assert parse_robots(txt2, "b")[1] == ["/b-only"]

@@ -231,6 +231,15 @@ def extract_columns(
     the Python chain executor inside a pandas UDF (or raise when
     ``fallback=False``).  This is the analytics-projection surface; the
     byte-identical nested-JSON surface remains engine.extract.
+
+    Known miss-representation divergence: a native ``getitem [i]``
+    compiles to ``try_element_at``, which yields NULL on an
+    out-of-bounds index, while the Python chain executor returns the
+    IndexError as an error value (error-as-data).  Per-row bounds can't
+    be checked at compile time; callers that need the Python error
+    surface for possibly-out-of-bounds indexes should run those rules
+    through ``engine.extract.extract_pages`` (the differential test in
+    tests/test_native.py documents and pins this).
     """
     cols = [F.col(c) for c in keep]
     pending_fallback: List[dict] = []

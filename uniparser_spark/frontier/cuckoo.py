@@ -13,9 +13,12 @@ Standard 2-choice cuckoo hashing over 16-bit fingerprints, 4 slots per
 index, partial-key eviction (Fan et al., "Cuckoo Filter: Practically
 Better Than Bloom").  All parameters derive from xxhash64(url_canon) —
 the same 64-bit key the rest of the frontier uses — split as
-``fp = key & 0xFFFF`` (never 0) and ``i1 = (key >> 16) % m``;
+``fp = (key >> 48) & 0xFFFF`` (never 0) and ``i1 = (key >> 16) % m``;
 ``i2 = i1 ^ (h(fp) % m)`` with a splitmix-style fingerprint hash, so
-membership is reproducible from the key alone on any executor.
+membership is reproducible from the key alone on any executor.  The
+fingerprint comes from the HIGH 16 bits so it shares no entropy with
+the shard key (``pmod(key, n_buckets)``, low bits) or the index bits
+(16..), keeping the full ~2^-13 per-probe FP rate within a shard.
 """
 
 from __future__ import annotations
@@ -47,7 +50,8 @@ CUCKOO_SCHEMA = StructType(
 
 def _fp_and_index(keys: np.ndarray, m: int) -> Tuple[np.ndarray, np.ndarray]:
     k = keys.astype(np.uint64)
-    fp = (k & np.uint64(0xFFFF)).astype(np.uint16)
+    # high 16 bits: disjoint from the shard key (low bits) and i1 bits
+    fp = ((k >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
     fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks an empty slot
     i1 = ((k >> np.uint64(16)) % np.uint64(m)).astype(np.int64)
     return fp, i1
@@ -145,14 +149,22 @@ class CuckooSeenFilter:
         m = self._m_indexes(expected_total // self.n_buckets + 1)
 
         def build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = _Shard(m)
-            fps, i1s = _fp_and_index(pdf["url_hash"].to_numpy(), m)
-            for fp, i1 in zip(fps, i1s):
-                shard.insert(int(fp), int(i1))
+            # Grow-and-rebuild on MAX_KICKS overflow: a caller-supplied
+            # expected_total that underestimates the real seen size must
+            # not silently drop keys (the no-false-negatives contract);
+            # m_indexes is stored per shard row, so shards may differ.
+            keys = pdf["url_hash"].to_numpy()
+            m_local = m
+            while True:
+                shard = _Shard(m_local)
+                fps, i1s = _fp_and_index(keys, m_local)
+                if all(shard.insert(int(fp), int(i1)) for fp, i1 in zip(fps, i1s)):
+                    break
+                m_local *= 2
             return pd.DataFrame(
                 {
                     "bucket": [int(pdf["bucket"].iloc[0])],
-                    "m_indexes": [m],
+                    "m_indexes": [m_local],
                     "table": [shard.table.tobytes()],
                 }
             )

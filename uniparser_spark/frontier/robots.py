@@ -51,6 +51,7 @@ def parse_robots(
     for ``user_agent`` (specific group wins over the '*' group)."""
     groups: dict = {}
     current: List[str] = []
+    prev_was_ua = False
     ua = user_agent.lower()
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -62,8 +63,16 @@ def parse_robots(
         if field == "user-agent":
             agent = value.lower()
             groups.setdefault(agent, {"disallow": [], "allow": [], "delay": None})
-            current = [agent]
-        elif field in ("disallow", "allow") and current:
+            # RFC 9309 grouping: consecutive User-agent lines share one
+            # rule group, so the rules that follow apply to all of them
+            if prev_was_ua:
+                current.append(agent)
+            else:
+                current = [agent]
+            prev_was_ua = True
+            continue
+        prev_was_ua = False
+        if field in ("disallow", "allow") and current:
             if value:
                 for agent in current:
                     groups[agent][field].append(value)

@@ -13,6 +13,12 @@ Results are lists of matches carrying ``value`` and ``full_path``.
 ObjectPath: ``$.a.b``, recursive ``$..k``, ``[n]``, filters
 ``[@.k op literal]`` with ops ``> < >= <= == = is not_is !=``.
 Plain paths return a scalar; recursive/filter steps return lists.
+
+Anything beyond the subset — unions ``[a,b]``, script expressions
+``[(...)]``, nested filters, functions — raises
+:class:`UnsupportedPathError` with the offending construct named, so a
+rule author sees "unsupported path syntax" as the error value instead
+of a silently-empty result.
 """
 
 from __future__ import annotations
@@ -20,6 +26,11 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 from typing import Any, List, NamedTuple, Optional, Tuple
+
+
+class UnsupportedPathError(ValueError):
+    """Path uses syntax outside the implemented JSONPath/ObjectPath
+    subset (unions, script expressions, functions, ...)."""
 
 
 class PathRepr:
@@ -90,11 +101,11 @@ _OPS = {
 def _filter_pred(expr: str):
     m = _FILTER.match(expr)
     if not m:
-        raise ValueError(f"unsupported filter expression: {expr!r}")
+        raise UnsupportedPathError(f"unsupported filter expression: {expr!r}")
     key, op, lit = m.group("key"), re.sub(r"\s+", " ", m.group("op")), _parse_literal(m.group("lit"))
     fn = _OPS.get(op)
     if fn is None:
-        raise ValueError(f"unsupported filter op: {op!r}")
+        raise UnsupportedPathError(f"unsupported filter op: {op!r}")
 
     def pred(item: Any) -> bool:
         if not isinstance(item, dict) or key not in item:
@@ -127,7 +138,9 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
     while pos < len(s):
         m = _STEP.match(s, pos)
         if not m:
-            raise ValueError(f"bad path {path!r} at {pos}")
+            raise UnsupportedPathError(
+                f"unsupported path syntax in {path!r} at offset {pos}: {s[pos:pos+20]!r}"
+            )
         pos = m.end()
         if m.group("rfield") is not None:
             steps.append(Step("rfield", m.group("rfield")))
@@ -147,11 +160,22 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
             if b == "*":
                 steps.append(Step("wild", None))
             elif ":" in b:
-                parts = [p.strip() for p in b.split(":")]
-                ints = [int(p) if p else None for p in parts] + [None, None]
+                try:
+                    parts = [p.strip() for p in b.split(":")]
+                    ints = [int(p) if p else None for p in parts] + [None, None]
+                except ValueError as err:
+                    raise UnsupportedPathError(
+                        f"unsupported path syntax: slice {b!r} in {path!r}"
+                    ) from err
                 steps.append(Step("slice", slice(ints[0], ints[1], ints[2])))
             else:
-                steps.append(Step("index", int(b)))
+                try:
+                    steps.append(Step("index", int(b)))
+                except ValueError as err:
+                    # unions '[a,b]', scripts '[(...)]', functions, ...
+                    raise UnsupportedPathError(
+                        f"unsupported path syntax: bracket step {b!r} in {path!r}"
+                    ) from err
     return tuple(steps), rooted
 
 
