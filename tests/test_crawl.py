@@ -176,3 +176,46 @@ def test_expire_and_requeue_recrawls(spark, corpus, tmp_path):
     assert {u for u, _, _ in second_pass} == {u for u, _, _ in first_pass}
     assert second_pass == first_pass  # byte-identical re-extraction
     assert eng.seen().count() == n_seen
+
+
+def test_crawl_with_pluggable_adapter(spark, corpus, tmp_path):
+    """The Adapter seam: a dict-backed FakeAdapter (with retry wrapper)
+    must reproduce the join-based engine's crawl exactly — same nested
+    results, same seen set."""
+    from uniparser_spark.adapters import FakeAdapter, RetryingAdapter
+
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+
+    class FlakyOnce(FakeAdapter):
+        # first ask for each URL fails; RetryingAdapter must recover
+        def __init__(self, bodies):
+            super().__init__(bodies)
+            self.asked = set()
+
+        def fetch_batch(self, requests):
+            results = super().fetch_batch(requests)
+            for i, req in enumerate(requests):
+                if req["url"] not in self.asked:
+                    self.asked.add(req["url"])
+                    r = results[i]
+                    results[i] = type(r)(r.url, None, 599, "FlakyError")
+            return results
+
+    adapter = RetryingAdapter(FlakyOnce(store), retries=2)
+    engine = CrawlEngine(
+        spark, None, storage_json, tmp_path / "state_adapter",
+        adapter=adapter, state_partitions=2,
+    )
+    engine.seed(seeds)
+    engine.run(max_rounds=10)
+    got = engine.assemble_results(seeds)
+
+    ref = CrawlEngine(spark, pages, storage_json, tmp_path / "state_join", state_partitions=2)
+    ref.seed(seeds)
+    ref.run(max_rounds=10)
+    assert got == ref.assemble_results(seeds)
+    assert (
+        {r["url_canon"] for r in engine.seen().collect()}
+        == {r["url_canon"] for r in ref.seen().collect()}
+    )

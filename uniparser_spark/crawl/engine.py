@@ -17,7 +17,7 @@ dirs + an atomically swapped manifest):
     metrics/r{k}.json                per-round counters + per-partition lineage
 
 Resume = read manifest, continue from round k; a crashed round leaves
-the previous manifest intact (写 new dirs first, swap manifest last).
+the previous manifest intact (write new dirs first, swap manifest last).
 
 Scale notes (10^10-URL design):
 - frontier/seen parquet are written repartitioned by ``pmod(url_hash)``
@@ -88,7 +88,18 @@ class CrawlEngine:
         state_partitions: Optional[int] = None,
         text_col: str = "text",
         html_col: Optional[str] = None,
+        adapter=None,
     ):
+        """``adapter``: an :class:`uniparser_spark.adapters.Adapter` to
+        fetch page bodies with, replacing the pages-table join (the
+        production seam; see adapters.py).  ``TableAdapter``/None keep
+        the optimized join strategies."""
+        from ..adapters import TableAdapter
+
+        if adapter is not None and isinstance(adapter, TableAdapter):
+            pages = adapter.pages
+            adapter = None
+        self.adapter = adapter
         self.spark = spark
         self.pages = pages
         self.storage_json = storage_json
@@ -230,36 +241,47 @@ class CrawlEngine:
         # outsized batches (the 10^10-scale path, where AQE + runtime
         # bloom filters prune the scan instead).
         page_cols = ["url", self.text_col] + ([self.html_col] if self.html_col else [])
-        pages_proj = self.pages.select(*page_cols)
         body_cols = [c for c in page_cols if c != "url"]
-        if n_pending is not None and n_pending <= self.isin_fetch_max:
-            # tiny batch (typically the seed round): push the URL list
-            # into the parquet scan as an In filter — row groups whose
-            # url min/max excludes the batch are never decompressed
-            urls = [r["url"] for r in scheduled.select("url").collect()]
-            pages_proj = pages_proj.filter(F.col("url").isin(urls))
-        if n_pending is not None and n_pending <= self.broadcast_fetch_max:
-            hits = pages_proj.join(F.broadcast(scheduled), "url", "inner")
-            misses = scheduled.join(
-                F.broadcast(pages_proj.select("url").join(
-                    F.broadcast(scheduled.select("url")), "url", "left_semi"
-                )),
-                "url",
-                "left_anti",
-            )
-            for c in body_cols:
-                misses = misses.withColumn(c, F.lit(None).cast(pages_proj.schema[c].dataType))
-            fetched = hits.select(*scheduled.columns, *body_cols).unionByName(
-                misses.select(*scheduled.columns, *body_cols)
-            )
+        if self.adapter is not None:
+            # pluggable adapter path (production HTTP seam, adapters.py):
+            # one mapInPandas crossing per batch; real fetchers pool
+            # connections per partition inside fetch_batch
+            from ..adapters import fetch_with_adapter
+
+            fetched = fetch_with_adapter(
+                scheduled, self.adapter, text_col=self.text_col
+            ).drop("fetch_error")
         else:
-            fetched = scheduled.join(pages_proj, "url", "left")
+            pages_proj = self.pages.select(*page_cols)
+            if n_pending is not None and n_pending <= self.isin_fetch_max:
+                # tiny batch (typically the seed round): push the URL list
+                # into the parquet scan as an In filter — row groups whose
+                # url min/max excludes the batch are never decompressed
+                urls = [r["url"] for r in scheduled.select("url").collect()]
+                pages_proj = pages_proj.filter(F.col("url").isin(urls))
+            if n_pending is not None and n_pending <= self.broadcast_fetch_max:
+                hits = pages_proj.join(F.broadcast(scheduled), "url", "inner")
+                misses = scheduled.join(
+                    F.broadcast(pages_proj.select("url").join(
+                        F.broadcast(scheduled.select("url")), "url", "left_semi"
+                    )),
+                    "url",
+                    "left_anti",
+                )
+                for c in body_cols:
+                    misses = misses.withColumn(c, F.lit(None).cast(pages_proj.schema[c].dataType))
+                fetched = hits.select(*scheduled.columns, *body_cols).unionByName(
+                    misses.select(*scheduled.columns, *body_cols)
+                )
+            else:
+                fetched = scheduled.join(pages_proj, "url", "left")
         records = (
             extract_pages(
                 fetched,
                 self.storage_json,
                 text_col=self.text_col,
-                html_col=self.html_col,
+                # adapter fetches deliver decoded text; no binary column
+                html_col=None if self.adapter is not None else self.html_col,
                 passthrough=tuple(c for c in _META_COLS if c != "url"),
             )
             .withColumn("round", F.lit(rnd))
