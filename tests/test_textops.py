@@ -183,3 +183,41 @@ def test_verified_near_dups(spark):
     rows = {(r["id1"], r["id2"]): r["jaccard"] for r in verified_near_dups(df, threshold=0.5).collect()}
     assert (0, 1) in rows and rows[(0, 1)] > 0.8
     assert all(2 not in pair for pair in rows)
+
+
+def test_rhp_multiprobe_recall_beats_single_table(spark):
+    from uniparser_spark.textops import rhp_lsh_topk, rhp_multiprobe_topk
+
+    rows = [(i, [float((i * 13 + d * 5) % 17 - 8) for d in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk(emb, n_queries=4, k=3).collect()
+    }
+
+    def recall(df):
+        got = {(r["qid"], r["vec_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r1 = recall(rhp_lsh_topk(emb, n_queries=4, k=3, n_planes=5, dims=8))
+    r3 = recall(
+        rhp_multiprobe_topk(emb, n_queries=4, k=3, n_planes=5, dims=8, n_tables=3)
+    )
+    assert r3 >= r1  # OR'd tables can only add candidates
+    assert r3 >= 0.5
+
+
+def test_embedding_verified_pairs_finds_planted_dup(spark):
+    from uniparser_spark.textops import embedding_verified_pairs
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(1, 50)]
+    rows.append((0, rows[5][1]))  # vec 0 duplicates vec 6
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in embedding_verified_pairs(
+            emb, threshold=0.999, n_planes=6, dims=8, n_tables=2
+        ).collect()
+    }
+    assert (0, 6) in pairs
+    assert pairs[(0, 6)] == pytest.approx(1.0)

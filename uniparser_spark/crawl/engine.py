@@ -68,6 +68,12 @@ FRONTIER_SCHEMA = StructType(
 
 _META_COLS = ["url", "url_canon", "url_hash", "host", "priority", "depth", "parent_url", "list_index", "discovered_round"]
 
+# explicit read schemas: a schemaless parquet read costs a footer
+# file-listing/inference job per round — pure scheduling latency that
+# never scales with cores
+SEEN_SCHEMA = "url_hash long, url_canon string, crawled_round int"
+_RECORDS_EXPAND_SCHEMA = "url string, depth int, requests array<string>"
+
 
 class CrawlEngine:
     def __init__(
@@ -177,10 +183,15 @@ class CrawlEngine:
         # bucket state by url_hash so successive rounds read co-partitioned;
         # partition count scales with the known state size (rows_hint from
         # the round's observed counters) so small states don't pay
-        # state_partitions-many task launches per write
+        # state_partitions-many task launches per write.  Floor of
+        # min(8, n): rows_hint is only a hint (frontier fan-out can blow
+        # past it 100×), and a 1-partition write serializes the parquet
+        # encode — a measured ~2 s Amdahl tax per round that never
+        # scales with cores.  Eight tasks keep small-state writes cheap
+        # while bounding the serial fraction.
         n = partitions or self.state_partitions
         if rows_hint is not None:
-            n = max(1, min(n, rows_hint // 500_000 + 1))
+            n = max(min(8, n), min(n, rows_hint // 500_000 + 1))
         df.repartition(n, F.pmod(F.col("url_hash"), F.lit(n)) if "url_hash" in df.columns else F.lit(0)).write.mode(
             "overwrite"
         ).parquet(path)
@@ -201,7 +212,7 @@ class CrawlEngine:
             return {"round": rnd, "scheduled": 0, "done": True}
         t0 = time.monotonic()
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
-        seen = self.spark.read.parquet(self._p("seen", rnd))
+        seen = self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", rnd))
 
         # politeness short-circuit: when no per-host budgets are set and
         # the default budget can't bind (≥ the whole pending backlog,
@@ -321,10 +332,14 @@ class CrawlEngine:
             rows_hint=int(manifest.get("seen_total", 0)) + n_scheduled,
         )
         seen_total = int(obs_seen.get["n"])
-        seen_next = self.spark.read.parquet(self._p("seen", rnd + 1))
+        seen_next = self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", rnd + 1))
 
         # frontier expansion: __request__ leaves -> next round candidates
-        records_df = self.spark.read.parquet(self._p("records", rnd))
+        # (partial schema = projection: only the three expansion columns
+        # are read back, and no inference job runs)
+        records_df = self.spark.read.schema(_RECORDS_EXPAND_SCHEMA).parquet(
+            self._p("records", rnd)
+        )
         exploded = (
             records_df.filter(F.col("requests").isNotNull())
             .select("url", "depth", F.posexplode("requests").alias("list_index", "child_url"))
@@ -418,7 +433,7 @@ class CrawlEngine:
         """
         manifest = self.read_manifest()
         rnd = manifest["round"]
-        seen = self.spark.read.parquet(self._p("seen", rnd))
+        seen = self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", rnd))
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
 
         cutoff = rnd - max_age_rounds

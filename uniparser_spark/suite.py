@@ -14,12 +14,21 @@ Coverage map (SURVEY.md §2.4 + training-data ops):
                            politeness_budget (the crawl scheduler's
                            window+budget shape), host_extract (URL→host),
                            time_roundtrip, json_props
-  rule engine ............ rule_first3 (compiled chain over documents)
+  rule engine ............ rule_first3 (compiled chain over documents),
+                           rule_css/css1/json/udf/regex_sub/python_ops/
+                           b64/xml/time/paths/native, rule_re_modes,
+                           rule_loader_yaml/toml, rule_python_modes,
+                           rule_context, rule_children (iter_parse_child
+                           + __object__ + __schema__)
   text analysis .......... token_stats, quality_scores, langid,
                            doc_fingerprints
   dedup .................. dedup_exact, minhash_lsh_pairs,
+                           dedup_verified_pairs (LSH→verify),
                            simhash_groups, ngram_jaccard_pairs
-  similarity ............. cosine_topk, embedding_dup_pairs, ann_lsh_topk
+  similarity ............. cosine_topk, embedding_dup_pairs,
+                           ann_lsh_topk, ann_multiprobe_topk (OR'd
+                           tables), embedding_verified_pairs
+                           (LSH→verify)
   multimodal ............. multimodal_features (binary plumbing,
                            deterministic fake decode)
 """

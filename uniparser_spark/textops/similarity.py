@@ -227,9 +227,13 @@ def rhp_lsh_topk(
     sig = rhp_signatures(
         emb, n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col
     )
-    q = sig.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("bucket")
-    )
+    # filter BEFORE the signature UDF on the query branch: Catalyst
+    # cannot push a filter through mapInPandas, so building q from sig
+    # would re-sign the whole corpus just to keep n_queries rows
+    q = rhp_signatures(
+        emb.filter(F.col(id_col) < n_queries),
+        n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("bucket"))
     cands = (
         sig.join(F.broadcast(q), "bucket")
         .where(F.col(id_col) != F.col("qid"))
@@ -276,8 +280,15 @@ def rhp_multiprobe_topk(
     e = sig.select(
         F.col(id_col), F.col("v"), F.posexplode("buckets").alias("t", "bucket")
     )
-    q = e.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("qid"), F.col("v").alias("qv"), "t", "bucket"
+    # query branch: filter below the signature UDF (see rhp_lsh_topk)
+    q = rhp_signatures(
+        emb.filter(F.col(id_col) < n_queries),
+        n_planes=n_planes, dims=dims, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("qid"),
+        F.col("v").alias("qv"),
+        F.posexplode("buckets").alias("t", "bucket"),
     )
     cands = (
         e.join(F.broadcast(q), ["t", "bucket"])
