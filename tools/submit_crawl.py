@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -37,6 +38,18 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=100)
     ap.add_argument("--budget", type=int, default=100000, help="default per-host URLs per round")
     ap.add_argument("--robots", action="store_true", help="honor robots.txt found in the pages table")
+    ap.add_argument(
+        "--round-interval",
+        type=float,
+        default=0.0,
+        help="minimum wall-clock seconds between round STARTS. This is "
+        "what makes per-round politeness budgets real rates: with "
+        "budgets = interval/crawl_delay (budgets_from_robots), a host "
+        "is fetched at most budget URLs per interval — the engine's "
+        "deterministic per-round budget becomes the reference's "
+        "wall-clock Frequency (reference parsers.py:1508-1513). 0 = "
+        "run rounds back-to-back (batch/backfill mode).",
+    )
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--html-col", default=None)
     args = ap.parse_args()
@@ -60,7 +73,11 @@ def main() -> None:
     robots = budgets = None
     if args.robots:
         robots = robots_table(pages, text_col=args.text_col).cache()
-        budgets = budgets_from_robots(robots, default_budget=args.budget)
+        budgets = budgets_from_robots(
+            robots,
+            round_interval_sec=args.round_interval or 60.0,
+            default_budget=args.budget,
+        )
 
     eng = CrawlEngine(
         spark,
@@ -88,8 +105,18 @@ def main() -> None:
         eng.seed(seeds)
         print(json.dumps({"seeded": len(seeds)}))
 
-    for stats in eng.run(max_rounds=args.rounds):
-        print(json.dumps(stats))
+    # paced round loop: each round starts no earlier than
+    # --round-interval after the previous round's start, so crawl-delay
+    # budgets translate into true fetch rates
+    for _ in range(args.rounds):
+        t_start = time.monotonic()
+        stats = eng.run_round()
+        print(json.dumps(stats), flush=True)
+        if stats.get("done") or stats.get("scheduled", 0) == 0:
+            break
+        wait = args.round_interval - (time.monotonic() - t_start)
+        if wait > 0:
+            time.sleep(wait)
 
 
 if __name__ == "__main__":
