@@ -219,3 +219,30 @@ def test_crawl_with_pluggable_adapter(spark, corpus, tmp_path):
         {r["url_canon"] for r in engine.seen().collect()}
         == {r["url_canon"] for r in ref.seen().collect()}
     )
+
+
+def test_seen_deltas_are_append_only_and_compact(spark, corpus, tmp_path):
+    """Seen state is an append-only delta log: seen/r{k+1} holds exactly
+    round k's scheduled URLs (O(round) I/O, never O(total)), and TTL
+    maintenance compacts the log and advances seen_base."""
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+    eng = CrawlEngine(spark, pages, storage_json, tmp_path / "state_delta", state_partitions=2)
+    eng.seed(seeds)
+    rounds = eng.run(max_rounds=10)
+
+    # delta r1 = round 0's scheduled set (the seeds), delta r2 = round 1's
+    d1 = spark.read.parquet(str(tmp_path / "state_delta/seen/r1"))
+    assert {r["url_canon"] for r in d1.collect()} == {canonicalize_url(u) for u in seeds}
+    assert d1.select("crawled_round").distinct().collect()[0][0] == 0
+    d2 = spark.read.parquet(str(tmp_path / "state_delta/seen/r2"))
+    assert d2.count() == rounds[1]["scheduled"]
+    total = eng.seen().count()
+    assert total == d1.count() + d2.count()  # union of disjoint deltas
+
+    # maintenance compacts: seen_base advances, membership unchanged
+    # (max_age large → nothing expires)
+    eng.expire_and_requeue(max_age_rounds=100)
+    m = eng.read_manifest()
+    assert m["seen_base"] == m["round"]
+    assert eng.seen().count() == total

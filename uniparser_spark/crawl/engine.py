@@ -10,9 +10,16 @@ crawl.simulator).
 State layout under ``state_dir`` (Iceberg-style: immutable per-round
 dirs + an atomically swapped manifest):
 
-    manifest.json                    {"round": k, "done": bool, ...}
+    manifest.json                    {"round": k, "done": bool, "seen_base": b, ...}
     frontier/r{k}/  (parquet)        pending URLs entering round k
-    seen/r{k}/      (parquet)        url_hash/url_canon crawled so far
+    seen/r{k}/      (parquet)        APPEND-ONLY delta: URLs crawled IN
+                                     round k-1 (the live seen set is the
+                                     union of deltas r{seen_base}..r{k};
+                                     TTL maintenance compacts and bumps
+                                     seen_base).  Per-round seen I/O is
+                                     O(round size), never O(total) — at
+                                     a 10^10-URL seen set a full rewrite
+                                     per round would dominate everything
     records/r{k}/   (parquet)        extraction outputs of round k
     metrics/r{k}.json                per-round counters + per-partition lineage
 
@@ -141,6 +148,21 @@ class CrawlEngine:
     def _p(self, kind: str, rnd: int) -> str:
         return str(self.state_dir / kind / f"r{rnd}")
 
+    def _seen_view(self, manifest: dict, upto_rnd: int) -> DataFrame:
+        """The live seen set: union of the append-only deltas from the
+        last compaction (manifest seen_base) through ``upto_rnd``.  Each
+        delta is bucket-repartitioned parquet; the union preserves the
+        narrow (url_hash, url_canon, crawled_round) schema."""
+        base = int(manifest.get("seen_base", 0) or 0)
+        paths = [
+            self._p("seen", r)
+            for r in range(base, upto_rnd + 1)
+            if Path(self._p("seen", r)).exists()
+        ]
+        if not paths:
+            raise FileNotFoundError("no seen state; call seed() first")
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
+
     # -------------------------------------------------------------- seeding
     def seed(self, urls: List[str], priority: int = 0) -> None:
         """Initialize frontier round 0 with the seed list (list order kept
@@ -170,6 +192,7 @@ class CrawlEngine:
                 "seeded": len(urls),
                 "n_pending": len(urls),
                 "seen_total": 0,
+                "seen_base": 0,
             }
         )
 
@@ -212,7 +235,6 @@ class CrawlEngine:
             return {"round": rnd, "scheduled": 0, "done": True}
         t0 = time.monotonic()
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
-        seen = self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", rnd))
 
         # politeness short-circuit: when no per-host budgets are set and
         # the default budget can't bind (≥ the whole pending backlog,
@@ -313,26 +335,27 @@ class CrawlEngine:
                 decided.unpersist()
             return {"round": rnd, "scheduled": 0, "done": True}
 
-        # ACTION 2 — seen-set update: scheduled URLs are now crawled.
-        # No dropDuplicates: the frontier is unique by url_hash (seeds
-        # deduped at seed(); candidates window-deduped, anti-joined vs
-        # seen AND vs the deferred backlog each round) and disjoint from
-        # seen, so the union is already duplicate-free — saves a shuffle.
-        # crawled_round enables TTL-based recrawl (expire_and_requeue).
-        new_seen = seen.unionByName(
-            scheduled.select(
-                "url_hash", "url_canon", F.lit(rnd).alias("crawled_round")
-            )
+        # ACTION 2 — seen-set DELTA: only this round's scheduled URLs
+        # are written (append-only log; the live set is the union of
+        # deltas, see _seen_view).  No dropDuplicates: the frontier is
+        # unique by url_hash (seeds deduped at seed(); candidates
+        # window-deduped, anti-joined vs seen AND vs the deferred
+        # backlog each round) and disjoint from seen, so the deltas are
+        # pairwise disjoint by construction.  crawled_round enables
+        # TTL-based recrawl (expire_and_requeue compacts + bumps
+        # seen_base).  Per-round seen I/O is O(n_scheduled), not
+        # O(seen_total) — the difference between a 10^10-row rewrite
+        # per round and a round-sized append.
+        delta = scheduled.select(
+            "url_hash", "url_canon", F.lit(rnd).alias("crawled_round")
         )
         obs_seen = Observation()
-        new_seen = new_seen.observe(obs_seen, F.count(F.lit(1)).alias("n"))
+        delta = delta.observe(obs_seen, F.count(F.lit(1)).alias("n"))
         self._write_state(
-            new_seen,
-            self._p("seen", rnd + 1),
-            rows_hint=int(manifest.get("seen_total", 0)) + n_scheduled,
+            delta, self._p("seen", rnd + 1), rows_hint=n_scheduled
         )
-        seen_total = int(obs_seen.get["n"])
-        seen_next = self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", rnd + 1))
+        seen_total = int(manifest.get("seen_total", 0)) + int(obs_seen.get["n"])
+        seen_next = self._seen_view(manifest, rnd + 1)
 
         # frontier expansion: __request__ leaves -> next round candidates
         # (partial schema = projection: only the three expansion columns
@@ -415,6 +438,7 @@ class CrawlEngine:
                 "done": False,
                 "n_pending": n_pending_next,
                 "seen_total": seen_total,
+                "seen_base": int(manifest.get("seen_base", 0) or 0),
                 "last_stats": stats,
             }
         )
@@ -433,7 +457,10 @@ class CrawlEngine:
         """
         manifest = self.read_manifest()
         rnd = manifest["round"]
-        seen = self.spark.read.schema(SEEN_SCHEMA).parquet(self._p("seen", rnd))
+        # maintenance doubles as COMPACTION: the kept set is written as
+        # one delta at r+1 and seen_base advances past the old deltas,
+        # bounding the union width the hot rounds read
+        seen = self._seen_view(manifest, rnd)
         pending = self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
 
         cutoff = rnd - max_age_rounds
@@ -483,6 +510,7 @@ class CrawlEngine:
                 "done": n_pending == 0,
                 "n_pending": n_pending,
                 "seen_total": seen_kept,
+                "seen_base": rnd + 1,  # compaction: old deltas superseded
                 "last_stats": stats,
             }
         )
@@ -504,12 +532,10 @@ class CrawlEngine:
         return self.spark.read.parquet(*paths)
 
     def seen(self) -> DataFrame:
-        rnd = self.read_manifest()["round"]
-        for r in range(rnd, -1, -1):
-            p = self._p("seen", r)
-            if Path(p).exists():
-                return self.spark.read.parquet(p)
-        raise FileNotFoundError("no seen state; call seed() first")
+        manifest = self.read_manifest()
+        if manifest["round"] < 0:
+            raise FileNotFoundError("no seen state; call seed() first")
+        return self._seen_view(manifest, manifest["round"])
 
     def assemble_results(self, seed_urls: List[str]) -> List[dict]:
         """Driver-side re-nesting of records into reference-shaped crawl
