@@ -73,19 +73,19 @@ def run_crawl(spark, n_pages: int) -> dict:
         pages = spark.read.parquet(pages_path)
         seeds = seed_urls(n_hosts, n_pages)
 
-        def once(tag: str) -> dict:
+        def once(tag: str, budget: int = 10**9) -> dict:
             state_dir = os.path.join(base_dir, tag)
             eng = CrawlEngine(
                 spark,
                 pages,
                 storage_json(n_hosts),
                 state_dir,
-                default_budget=10**9,
+                default_budget=budget,
                 use_bloom=True,
             )
             t0 = time.monotonic()
             eng.seed(seeds)
-            stats = eng.run(max_rounds=10)
+            stats = eng.run(max_rounds=40)
             wall = time.monotonic() - t0
             urls = sum(s.get("scheduled", 0) for s in stats)
             # free the tmpfs state immediately: accumulated state dirs
@@ -106,6 +106,15 @@ def run_crawl(spark, n_pages: int) -> dict:
         runs = [once(f"timed{i}") for i in range(int(os.environ.get("BENCH_CRAWL_RUNS", "2")))]
         best = max(runs, key=lambda r: r["urls_per_sec"])
         best["all_runs_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+        # politeness-BOUND variant: a per-host budget that actually binds
+        # (Zipf head host needs many rounds), so the ranking/deferral
+        # shuffles are in the measured path — the trivial-budget
+        # short-circuit is NOT exercising them above.  Skipped in
+        # scaling runs (BENCH_POLITENESS=0): the efficiency metric uses
+        # the unbound job.
+        if os.environ.get("BENCH_POLITENESS", "1") == "1":
+            budget = max(500, n_pages // 25)
+            best["politeness_bound"] = once("polite", budget=budget) | {"budget": budget}
         return best
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)

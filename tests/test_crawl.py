@@ -246,3 +246,30 @@ def test_seen_deltas_are_append_only_and_compact(spark, corpus, tmp_path):
     m = eng.read_manifest()
     assert m["seen_base"] == m["round"]
     assert eng.seen().count() == total
+
+
+def test_seen_inline_autocompaction(spark, corpus, tmp_path):
+    """With seen_compact_every=2 the second productive round folds the
+    whole log into its delta and advances seen_base — deep crawls never
+    read an unbounded union of deltas."""
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+    eng = CrawlEngine(
+        spark, pages, storage_json, tmp_path / "state_autocompact",
+        state_partitions=2, seen_compact_every=2,
+    )
+    eng.seed(seeds)
+    rounds = eng.run(max_rounds=10)
+    m = eng.read_manifest()
+    assert m["seen_base"] == 2
+    d2 = spark.read.parquet(str(tmp_path / "state_autocompact/seen/r2"))
+    assert d2.count() == sum(s.get("scheduled", 0) for s in rounds)  # full log
+    assert eng.seen().count() == d2.count()
+    # parity with the un-compacted engine
+    ref = CrawlEngine(spark, pages, storage_json, tmp_path / "state_nocompact", state_partitions=2)
+    ref.seed(seeds)
+    ref.run(max_rounds=10)
+    assert (
+        {r["url_canon"] for r in eng.seen().collect()}
+        == {r["url_canon"] for r in ref.seen().collect()}
+    )

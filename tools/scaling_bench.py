@@ -31,6 +31,7 @@ def run(cpus: int, pages: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_CRAWL_PAGES"] = str(pages)
+    env.setdefault("BENCH_POLITENESS", "0")  # efficiency metric = unbound job
     proc = subprocess.run(
         [sys.executable, "bench.py", "--crawl-only"],
         capture_output=True,

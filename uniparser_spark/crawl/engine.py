@@ -102,6 +102,7 @@ class CrawlEngine:
         text_col: str = "text",
         html_col: Optional[str] = None,
         adapter=None,
+        seen_compact_every: int = 64,
     ):
         """``adapter``: an :class:`uniparser_spark.adapters.Adapter` to
         fetch page bodies with, replacing the pages-table join (the
@@ -128,6 +129,9 @@ class CrawlEngine:
         self.state_partitions = state_partitions or spark.sparkContext.defaultParallelism
         self.text_col = text_col
         self.html_col = html_col
+        # bound the delta-log width: after this many un-compacted rounds
+        # the seen write compacts inline (TTL maintenance also compacts)
+        self.seen_compact_every = seen_compact_every
         self.state_dir.mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------ manifest
@@ -349,13 +353,26 @@ class CrawlEngine:
         delta = scheduled.select(
             "url_hash", "url_canon", F.lit(rnd).alias("crawled_round")
         )
+        seen_base = int(manifest.get("seen_base", 0) or 0)
+        compacting = rnd + 1 - seen_base >= self.seen_compact_every
+        if compacting:
+            # inline compaction: fold the whole log into this delta so
+            # deep crawls never read an unbounded union
+            delta = self._seen_view(manifest, rnd).unionByName(delta)
         obs_seen = Observation()
         delta = delta.observe(obs_seen, F.count(F.lit(1)).alias("n"))
         self._write_state(
-            delta, self._p("seen", rnd + 1), rows_hint=n_scheduled
+            delta,
+            self._p("seen", rnd + 1),
+            rows_hint=(int(manifest.get("seen_total", 0)) if compacting else 0)
+            + n_scheduled,
         )
-        seen_total = int(manifest.get("seen_total", 0)) + int(obs_seen.get["n"])
-        seen_next = self._seen_view(manifest, rnd + 1)
+        if compacting:
+            seen_total = int(obs_seen.get["n"])
+            seen_base = rnd + 1
+        else:
+            seen_total = int(manifest.get("seen_total", 0)) + int(obs_seen.get["n"])
+        seen_next = self._seen_view({"seen_base": seen_base}, rnd + 1)
 
         # frontier expansion: __request__ leaves -> next round candidates
         # (partial schema = projection: only the three expansion columns
@@ -438,7 +455,7 @@ class CrawlEngine:
                 "done": False,
                 "n_pending": n_pending_next,
                 "seen_total": seen_total,
-                "seen_base": int(manifest.get("seen_base", 0) or 0),
+                "seen_base": seen_base,
                 "last_stats": stats,
             }
         )
