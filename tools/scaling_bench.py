@@ -51,10 +51,10 @@ def main() -> None:
     # shows ±10-30% between runs and a mild in-JVM degradation across
     # back-to-back crawls, so fresh processes give the fairest sample
     repeat = int(os.environ.get("SCALING_REPEATS", "1"))
-    lo = max((run(n, pages) for _ in range(repeat)),
-             key=lambda r: r["crawl"]["urls_per_sec"])
-    hi = max((run(4 * n, pages) for _ in range(repeat)),
-             key=lambda r: r["crawl"]["urls_per_sec"])
+    lo_runs = [run(n, pages) for _ in range(repeat)]
+    hi_runs = [run(4 * n, pages) for _ in range(repeat)]
+    lo = max(lo_runs, key=lambda r: r["crawl"]["urls_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["crawl"]["urls_per_sec"])
     r_lo = lo["crawl"]["urls_per_sec"]
     r_hi = hi["crawl"]["urls_per_sec"]
     eff = round((r_hi / r_lo) / 4, 3)
@@ -66,6 +66,10 @@ def main() -> None:
         "urls_per_sec_4n": r_hi,
         "scaling_efficiency": eff,
         "level_repeats": repeat,
+        # every sample (best-of within each fresh-JVM invocation), for
+        # variance transparency
+        "samples_n": [r["crawl"]["all_runs_urls_per_sec"] for r in lo_runs],
+        "samples_4n": [r["crawl"]["all_runs_urls_per_sec"] for r in hi_runs],
         "crawl_n": lo["crawl"],
         "crawl_4n": hi["crawl"],
     }
