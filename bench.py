@@ -104,7 +104,11 @@ def run_crawl(spark, n_pages: int) -> dict:
         # staged JIT), so a single sample under-reports capability
         once("warmup")
         runs = [once(f"timed{i}") for i in range(int(os.environ.get("BENCH_CRAWL_RUNS", "2")))]
-        best = max(runs, key=lambda r: r["urls_per_sec"])
+        # headline = the MEDIAN run (robust to this VM's +-10-30% noise,
+        # not upward-biased); best-of kept as a secondary field
+        ordered = sorted(runs, key=lambda r: r["urls_per_sec"])
+        best = dict(ordered[(len(ordered) - 1) // 2])  # lower median
+        best["best_urls_per_sec"] = ordered[-1]["urls_per_sec"]
         best["all_runs_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
         # politeness-BOUND variant: a per-host budget that actually binds
         # (Zipf head host needs many rounds), so the ranking/deferral

@@ -128,8 +128,8 @@ def fetch_with_adapter(
     text_col: str = "text",
     method: str = "get",
 ) -> DataFrame:
-    """scheduled(url, ...meta) -> same rows + ``text_col`` (+
-    ``fetch_status``/``fetch_error``) via one mapInPandas crossing.
+    """scheduled(url, ...meta) -> same rows + ``text_col`` and
+    ``fetch_error`` via one mapInPandas crossing.
 
     One output row per input row, so frontier metadata rides through
     exactly like the engine's join path.
@@ -146,6 +146,12 @@ def fetch_with_adapter(
         for batch in batches:
             reqs = [{"method": method, "url": u} for u in batch["url"]]
             results = adapter.fetch_batch(reqs)
+            if len(results) != len(reqs):
+                raise RuntimeError(
+                    f"adapter {type(adapter).__name__}.fetch_batch returned "
+                    f"{len(results)} results for {len(reqs)} requests; the "
+                    "Adapter contract is exactly one FetchResult per request"
+                )
             out = batch.copy()
             out[text_col] = [r.text for r in results]
             out["fetch_error"] = [r.error for r in results]

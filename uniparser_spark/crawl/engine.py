@@ -113,6 +113,12 @@ class CrawlEngine:
         if adapter is not None and isinstance(adapter, TableAdapter):
             pages = adapter.pages
             adapter = None
+        if adapter is not None and html_col is not None:
+            raise ValueError(
+                "adapter and html_col are mutually exclusive: adapter "
+                "fetches deliver decoded text, so the html column would "
+                "be silently ignored (pass one or the other)"
+            )
         self.adapter = adapter
         self.spark = spark
         self.pages = pages
@@ -158,11 +164,18 @@ class CrawlEngine:
         delta is bucket-repartitioned parquet; the union preserves the
         narrow (url_hash, url_canon, crawled_round) schema."""
         base = int(manifest.get("seen_base", 0) or 0)
-        paths = [
-            self._p("seen", r)
-            for r in range(base, upto_rnd + 1)
-            if Path(self._p("seen", r)).exists()
-        ]
+        wanted = [(r, self._p("seen", r)) for r in range(base, upto_rnd + 1)]
+        missing = [r for r, p in wanted if not Path(p).exists()]
+        if missing and len(missing) < len(wanted):
+            # every committed round writes its delta: a hole inside
+            # [seen_base, upto_rnd] means lost/corrupted state, and
+            # silently shrinking the seen set would re-crawl URLs
+            raise FileNotFoundError(
+                f"seen delta missing for round(s) {missing} "
+                f"(seen_base={base}, upto={upto_rnd}) — state is "
+                "corrupted, restore or re-seed"
+            )
+        paths = [p for _, p in wanted] if not missing else []
         if not paths:
             raise FileNotFoundError("no seen state; call seed() first")
         return self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)

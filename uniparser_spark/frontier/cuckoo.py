@@ -153,13 +153,24 @@ class CuckooSeenFilter:
             # expected_total that underestimates the real seen size must
             # not silently drop keys (the no-false-negatives contract);
             # m_indexes is stored per shard row, so shards may differ.
-            keys = pdf["url_hash"].to_numpy()
+            # duplicate url_hash keys can never co-exist beyond 2*SLOTS
+            # copies, so dedupe first — growing the table cannot fix
+            # duplicates and would double forever
+            keys = np.unique(pdf["url_hash"].to_numpy())
             m_local = m
+            # cap the doubling: a table with >= 2x slots per key should
+            # always succeed; past that something is structurally wrong
+            m_cap = max(m_local, 1 << (max(1, 2 * len(keys) - 1).bit_length())) * 4
             while True:
                 shard = _Shard(m_local)
                 fps, i1s = _fp_and_index(keys, m_local)
                 if all(shard.insert(int(fp), int(i1)) for fp, i1 in zip(fps, i1s)):
                     break
+                if m_local >= m_cap:
+                    raise RuntimeError(
+                        f"cuckoo build failed to place {len(keys)} unique "
+                        f"keys even at m_indexes={m_local} (cap {m_cap})"
+                    )
                 m_local *= 2
             return pd.DataFrame(
                 {
