@@ -1,0 +1,167 @@
+"""Oracle-gated Structured Streaming queries (driver-contract entries).
+
+Each function runs a REAL streaming query (``readStream`` file source →
+transformation → checkpointed sink with ``availableNow``) and returns
+the drained result as a batch DataFrame, so the driver's DuckDB oracle
+can value-check the streaming surface exactly like the batch operators:
+
+- ``stream_host_rates`` — :func:`~uniparser_spark.streaming.host_rate_metrics`
+  (event-time window + watermark agg) over a documents-derived page
+  stream; final ``complete``-mode state must equal the batch group-by.
+- ``stream_extract``    — :func:`~uniparser_spark.streaming.extract_stream`
+  (the fused compiled-rule mapInPandas) incrementally over micro-batches;
+  the parquet sink must hold byte-identical extractions.
+- ``stream_dedup``      — :func:`~uniparser_spark.streaming.dedup_stream`
+  (``applyInPandasWithState``): the same rows landed twice as separate
+  files are drained in multiple micro-batches and the stateful operator
+  must emit each URL exactly once (cross-batch state), i.e. DISTINCT.
+
+Reference semantics: the crawl loop's incremental fetch+parse
+(crawler.py:156-189) — pages arrive continuously, extraction and seen
+state update incrementally with exactly-once restarts.
+
+Everything here derives deterministically from the driver's
+``documents`` table (no wall-clock, no randomness in data), so the
+oracles are plain ANSI SQL over the same parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .streaming import dedup_stream, extract_stream, host_rate_metrics, run_to_parquet
+from .testgen import BASE_EPOCH
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (explicit schema: the
+    streaming source cannot infer, and an explicit schema doubles as
+    projection).  The file-stream source requires a DIRECTORY, so the
+    single parquet file is symlinked into a scratch dir (no copy)."""
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="us_docs_stream_")
+    os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def _doc_url(host_expr) -> F.Column:
+    return F.concat(F.lit("https://"), host_expr, F.lit("/d/"), F.col("doc_id").cast("string"))
+
+
+def _await(query, timeout: int = 300) -> None:
+    if not query.awaitTermination(timeout):
+        query.stop()
+        raise TimeoutError("streaming query did not drain within timeout")
+
+
+def q_stream_host_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed per-host page rates with a watermark, drained
+    with ``availableNow`` into a complete-mode memory sink; the final
+    state is the oracle-checkable aggregate.  Timestamps derive from
+    doc_id (BASE_EPOCH + doc_id minutes) so window starts are
+    SQL-computable; session tz pinned UTC so the tz-aware window op is
+    wall-clock-stable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org"))
+    ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("doc_id") * 60)
+    pages = _docs_stream(spark, sf_dir).select(
+        _doc_url(host).alias("url"), ts.alias("warc_ts"), F.col("text")
+    )
+    metrics = host_rate_metrics(pages, window="1 hour", watermark="2 hours")
+    name = f"stream_host_rates_{uuid.uuid4().hex[:8]}"
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.table(name).select(
+        F.col("win_start").cast("timestamp_ntz").cast("string").alias("win_start"),
+        "host",
+        "n_pages",
+        "bytes_text",
+    )
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused compiled-rule extraction running INSIDE a streaming
+    query (micro-batched mapInPandas) with a checkpointed parquet sink;
+    the drained sink must match the batch regex oracle byte-for-byte."""
+    from .suite import _single_host_storage  # lazy: suite imports this module
+
+    pages = _docs_stream(spark, sf_dir).select(
+        _doc_url(F.lit("docs.example.org")).alias("url"), F.col("text")
+    )
+    storage = _single_host_storage(
+        "docs.example.org",
+        "r",
+        r"^https://docs\.example\.org/d/\d+$",
+        [{"name": "s", "chain_rules": [["re", "[aeiou]", "@_"]], "child_rules": []}],
+    )
+    base = tempfile.mkdtemp(prefix="us_stream_extract_")
+    out_dir, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    _await(run_to_parquet(extract_stream(pages, storage), out_dir, ck))
+    return spark.read.parquet(out_dir).select(
+        "url", F.get_json_object("result", "$.r.s").alias("devoweled")
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful cross-micro-batch URL dedup: the same URL set is landed
+    TWICE as separate files, drained in >=2 micro-batches
+    (maxFilesPerTrigger), and ``applyInPandasWithState`` must pass each
+    URL through exactly once — the streaming twin of the frontier's
+    seen anti-join.  Output (one row per distinct URL) is order- and
+    winner-independent, hence oracle-stable."""
+    urls = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(_doc_url(F.lit("docs.example.org")).alias("url"))
+    )
+    base = tempfile.mkdtemp(prefix="us_stream_dedup_")
+    in_dir, out_dir, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    for _ in range(2):  # two lands = duplicate arrivals in later batches
+        urls.coalesce(2).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    _await(run_to_parquet(dedup_stream(stream, n_buckets=8), out_dir, ck))
+    return spark.read.parquet(out_dir).select("url")
+
+
+STREAM_QUERIES = {
+    "stream_host_rates": q_stream_host_rates,
+    "stream_extract": q_stream_extract,
+    "stream_dedup": q_stream_dedup,
+}
+
+STREAM_ORACLES = {
+    # Spark's tumbling window aligns to the epoch: floor(epoch/3600)*3600.
+    "stream_host_rates": f"""
+        SELECT CAST(make_timestamp(
+                 (({BASE_EPOCH} + doc_id * 60) // 3600) * 3600 * 1000000
+               ) AS VARCHAR) AS win_start,
+               'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+               COUNT(*) AS n_pages,
+               SUM(length(text)) AS bytes_text
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "stream_extract": """
+        SELECT 'https://docs.example.org/d/' || doc_id AS url,
+               regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+        FROM documents
+    """,
+    "stream_dedup": """
+        SELECT DISTINCT 'https://docs.example.org/d/' || doc_id AS url
+        FROM documents
+    """,
+}

@@ -1332,3 +1332,12 @@ ORACLES = {
         FROM m
     """,
 }
+
+
+# ------------------------------------------------------- streaming surface
+# Oracle-gated Structured Streaming queries (real readStream -> sink ->
+# drained-result pipelines); see streaming_suite.py for semantics.
+from .streaming_suite import STREAM_ORACLES, STREAM_QUERIES  # noqa: E402
+
+QUERIES.update(STREAM_QUERIES)
+ORACLES.update(STREAM_ORACLES)
