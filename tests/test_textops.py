@@ -144,7 +144,7 @@ def test_doc_fingerprints_match_python(spark):
 def test_multimodal_decode_stub(spark):
     docs = docs_df(spark, [(0, "first doc"), (1, "second doc"), (2, "third doc")])
     media = docs_as_media(docs)
-    feats = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
+    feats = {r["media_id"]: r for r in decode_media(media, mode="fake").collect()}
     assert set(feats) == {0, 1, 2}
     # media types cycle image/audio/video by id
     assert feats[0]["media_type"] == "image" and feats[2]["media_type"] == "video"
@@ -157,9 +157,39 @@ def test_multimodal_decode_stub(spark):
     assert feats[2]["n_frames"] == 1 + hashlib.md5(b"third doc").digest()[2] % 16
     # audio rows carry no dims
     assert feats[1]["width"] is None and feats[1]["height"] is None
-    # the real-decode seam is explicit
+    # the codec seam (pixel/sample decode) is explicit
     with pytest.raises(Exception):
-        decode_media(media, fake=False).collect()
+        decode_media(media, mode="codec").collect()
+    # legacy bool kwarg still maps
+    assert decode_media(media, fake=True).columns == decode_media(media, mode="fake").columns
+    with pytest.raises(ValueError):
+        decode_media(media, mode="nope")
+
+
+def test_multimodal_header_decode(spark):
+    """REAL stdlib container decode: synthesized valid PNG/GIF/JPEG/WAV
+    round-trip their id-derived dims through the struct/zlib/wave
+    parsers, and non-container payloads yield NULL dims (errors as
+    data)."""
+    from uniparser_spark.textops.multimodal import synth_media
+
+    docs = docs_df(spark, [(i, f"doc {i}") for i in range(12)])
+    media = synth_media(docs)
+    feats = {r["media_id"]: r for r in decode_media(media, mode="header").collect()}
+    assert set(feats) == set(range(12))
+    for mid, r in feats.items():
+        fmt = ("png", "gif", "jpeg", "wav")[mid % 4]
+        assert r["fmt"] == fmt
+        if fmt == "wav":
+            assert r["width"] is None and r["duration_ms"] == 1000 + mid % 1000
+        else:
+            assert r["width"] == 16 + mid % 240
+            assert r["height"] == 16 + (7 * mid) % 240
+        if fmt == "gif":
+            assert r["n_frames"] == 1 + (mid // 4) % 4
+    # text bytes are not a recognized container: NULLs, not a crash
+    junk = decode_media(docs_as_media(docs), mode="header").collect()
+    assert all(r["fmt"] is None and r["width"] is None for r in junk)
 
 
 def test_simhash_and_fingerprint_impls_agree(spark):

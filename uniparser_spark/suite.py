@@ -795,7 +795,20 @@ def q_embedding_verified_pairs(spark, sf_dir):
 # --------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
     media = docs_as_media(t(spark, sf_dir, "documents"))
-    return decode_media(media, fake=True)
+    return decode_media(media, mode="fake")
+
+
+def q_media_dims(spark, sf_dir):
+    """REAL stdlib container decode: synthesize valid PNG/GIF/JPEG/WAV
+    binaries (dims derived from doc_id) and recover width/height/frames/
+    duration by parsing the actual bytes (struct/zlib/wave) — the
+    codec-seam closure for formats the stdlib can carry."""
+    from .textops.multimodal import synth_media
+
+    media = synth_media(t(spark, sf_dir, "documents"))
+    return decode_media(media, mode="header").select(
+        "media_id", "media_type", "fmt", "width", "height", "n_frames", "duration_ms"
+    )
 
 
 QUERIES = {
@@ -840,6 +853,7 @@ QUERIES = {
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
     "embedding_verified_pairs": q_embedding_verified_pairs,
     "multimodal_features": q_multimodal_features,
+    "media_dims": q_media_dims,
 }
 
 
@@ -1330,6 +1344,24 @@ ORACLES = {
                CASE WHEN media_type = 'video'
                     THEN CAST(1 + {_hexbyte('h', 2)} % 16 AS INTEGER) END AS n_frames
         FROM m
+    """,
+    # real header decode over synthesized valid containers: the oracle
+    # predicts what the struct/zlib/wave parsers must recover from bytes
+    "media_dims": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                               WHEN 2 THEN 'image' ELSE 'audio' END AS media_type,
+               (['png','gif','jpeg','wav'])[(doc_id % 4) + 1] AS fmt,
+               CASE WHEN doc_id % 4 <> 3
+                    THEN CAST(16 + doc_id % 240 AS INTEGER) END AS width,
+               CASE WHEN doc_id % 4 <> 3
+                    THEN CAST(16 + (7 * doc_id) % 240 AS INTEGER) END AS height,
+               CASE WHEN doc_id % 4 = 1 THEN CAST(1 + (doc_id // 4) % 4 AS INTEGER)
+                    WHEN doc_id % 4 IN (0, 2) THEN CAST(1 AS INTEGER)
+                    END AS n_frames,
+               CASE WHEN doc_id % 4 = 3
+                    THEN CAST(1000 + doc_id % 1000 AS BIGINT) END AS duration_ms
+        FROM documents
     """,
 }
 

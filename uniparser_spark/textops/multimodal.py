@@ -2,18 +2,34 @@
 
 Media (image/audio/video) ride through the engine as ``binary`` columns
 with a typed metadata struct — the schema, partitioning, Arrow batch
-shape, and UDF signatures here are the real production plumbing.  The
-actual codec step is STUBBED (no image/audio libraries in this
-container): ``decode_media`` with ``fake=True`` produces deterministic
-features derived from the bytes; with ``fake=False`` it raises
-NotImplementedError at the exact seam where Pillow/ffmpeg decode would
-plug in.
+shape, and UDF signatures here are the real production plumbing
+(reference input-object flexibility: parsers.py:93-105).
+
+Decode has three explicit modes (no silent fake):
+
+- ``mode="header"`` (default) — REAL container parsing with stdlib
+  ``struct``/``zlib``: PNG IHDR, GIF logical-screen + frame walk, JPEG
+  SOFn marker walk, WAV RIFF chunk walk.  Unrecognized payloads yield
+  NULL dims plus a ``fmt`` of NULL — errors as data, never a crash.
+- ``mode="fake"``   — deterministic pseudo-features derived from the
+  content hash (the hermetic stand-in used where payloads are not real
+  containers).
+- ``mode="codec"``  — the seam where Pillow / soundfile / pyav pixel
+  decode would plug in; raises NotImplementedError in this container.
+
+``synth_media`` builds VALID minimal PNG/GIF/JPEG/WAV binaries whose
+dimensions derive from the row id, so a SQL oracle can predict what the
+header parser must recover — the decode is tested against real bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import struct
+import wave
+import zlib
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -41,13 +57,222 @@ FEATURE_SCHEMA = StructType(
         StructField("media_type", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("content_hash", StringType(), False),
-        StructField("width", IntegerType(), True),  # fake-decoded dims
+        StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
     ]
 )
 
+# header mode adds what a container parse can actually recover
+HEADER_SCHEMA = StructType(
+    FEATURE_SCHEMA.fields
+    + [
+        StructField("fmt", StringType(), True),  # png|gif|jpeg|wav|NULL
+        StructField("duration_ms", LongType(), True),  # audio only
+    ]
+)
 
+
+# ----------------------------------------------------- container parsers
+def _parse_png(b: bytes) -> Optional[dict]:
+    # signature + IHDR is mandatory and first (PNG spec 5.2/11.2.2)
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return {"fmt": "png", "width": w, "height": h, "n_frames": 1}
+
+
+def _parse_gif(b: bytes) -> Optional[dict]:
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    n = len(b)
+    while pos < n:
+        tag = b[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < n and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif tag == 0x2C:  # image descriptor
+            frames += 1
+            if pos + 9 > n:
+                break
+            lpacked = b[pos + 8]
+            pos += 9
+            if lpacked & 0x80:  # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1  # LZW minimum code size
+            while pos < n and b[pos] != 0:  # data sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+        else:  # corrupt stream: stop, keep what we have
+            break
+    return {"fmt": "gif", "width": w, "height": h, "n_frames": max(frames, 1)}
+
+
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def _parse_jpeg(b: bytes) -> Optional[dict]:
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no payload
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if marker in _JPEG_SOF:
+            if pos + 9 > n:
+                break
+            h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+            return {"fmt": "jpeg", "width": w, "height": h, "n_frames": 1}
+        pos += 2 + seg_len
+    return None
+
+
+def _parse_wav(b: bytes) -> Optional[dict]:
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(b)
+    byte_rate = data_size = None
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 16 <= n:
+            byte_rate = struct.unpack("<I", b[pos + 16 : pos + 20])[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        return None
+    return {
+        "fmt": "wav",
+        "duration_ms": int(data_size * 1000 // byte_rate),
+    }
+
+
+def parse_media_header(blob: bytes) -> dict:
+    """Sniff + parse a media container header; {} when unrecognized."""
+    for parser in (_parse_png, _parse_gif, _parse_jpeg, _parse_wav):
+        meta = parser(blob)
+        if meta is not None:
+            return meta
+    return {}
+
+
+# ------------------------------------------------------ synthetic binaries
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def make_png(w: int, h: int) -> bytes:
+    """A fully valid 8-bit grayscale PNG of zero pixels (CRCs included)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" * (1 + w) for _ in range(h))  # filter byte + row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 1))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_gif(w: int, h: int, frames: int = 1) -> bytes:
+    """Minimal GIF89a with ``frames`` 1x1 image blocks (2-color GCT)."""
+    out = [b"GIF89a", struct.pack("<HH", w, h), bytes([0x80, 0, 0]), b"\x00" * 6]
+    img = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"  # descriptor
+        + b"\x02" + b"\x02\x44\x01" + b"\x00"  # LZW min size + 1 sub-block
+    )
+    out.extend(img for _ in range(frames))
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    """JPEG header stream: SOI + JFIF APP0 + SOF0 + EOI (enough for any
+    dimension sniffer; no entropy-coded scan)."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def make_wav(n_samples: int, rate: int = 8000) -> bytes:
+    """A real (stdlib ``wave``-written) mono 8-bit PCM file of silence."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x80" * n_samples)
+    return buf.getvalue()
+
+
+def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """documents → media table of VALID container binaries whose dims
+    derive from the id (``id%4`` picks png/gif/jpeg/wav; width
+    ``16+id%240``, height ``16+(7*id)%240``, gif frames ``1+(id//4)%4``, wav
+    samples ``8*(1000+id%1000)`` @8kHz → ``1000+id%1000`` ms) — the SQL
+    oracle predicts exactly what the header parser must recover."""
+    fmts = ("png", "gif", "jpeg", "wav")
+    types = {"png": "image", "gif": "video", "jpeg": "image", "wav": "audio"}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                fmt = fmts[mid % 4]
+                w, h = 16 + mid % 240, 16 + (7 * mid) % 240
+                if fmt == "png":
+                    blob = make_png(w, h)
+                elif fmt == "gif":
+                    blob = make_gif(w, h, 1 + (mid // 4) % 4)
+                elif fmt == "jpeg":
+                    blob = make_jpeg(w, h)
+                else:
+                    blob = make_wav(8 * (1000 + mid % 1000))
+                rows["media_id"].append(mid)
+                rows["media_type"].append(types[fmt])
+                rows["content"].append(blob)
+                rows["mime"].append(f"image/{fmt}" if types[fmt] == "image" else f"{types[fmt]}/{fmt}")
+            yield pd.DataFrame(rows)
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- decode
 def _fake_dims(digest: bytes) -> tuple:
     """Deterministic fake decode: dims from the content hash."""
     w = 64 + digest[0] % 192
@@ -56,41 +281,59 @@ def _fake_dims(digest: bytes) -> tuple:
     return w, h, frames
 
 
-def decode_media(df: DataFrame, fake: bool = True, batch_rows: int = 1024) -> DataFrame:
+def decode_media(
+    df: DataFrame, mode: str = "header", batch_rows: int = 1024, fake: Optional[bool] = None
+) -> DataFrame:
     """binary media table → per-item features via mapInPandas.
 
-    One Arrow batch crosses the boundary per `batch_rows` items; heavy
-    payloads stay in executor memory, never on the driver.  Real codecs
-    plug in at the marked seam.
+    One Arrow batch crosses the boundary per ``batch_rows`` items; heavy
+    payloads stay in executor memory, never on the driver.  ``mode``
+    selects header (real stdlib container parse), fake (hash-derived
+    pseudo-features), or codec (the NotImplementedError seam for pixel
+    decode).  The legacy ``fake=`` bool maps True→fake, False→codec.
     """
+    if fake is not None:  # legacy signature
+        mode = "fake" if fake else "codec"
+    if mode not in ("header", "fake", "codec"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+    schema = HEADER_SCHEMA if mode == "header" else FEATURE_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = {k.name: [] for k in FEATURE_SCHEMA.fields}
+            out = {k.name: [] for k in schema.fields}
             for mid, mtype, content in zip(
                 batch["media_id"], batch["media_type"], batch["content"]
             ):
                 blob = bytes(content) if content is not None else b""
                 # md5 (not sha) so the DuckDB oracle can recompute it
                 digest = hashlib.md5(blob).digest()
-                if not fake:
+                if mode == "codec":
                     # >>> codec seam: Pillow / soundfile / pyav decode here
                     raise NotImplementedError(
-                        "real media decode requires image/audio libraries "
-                        "not present in this environment"
+                        "pixel/sample decode requires image/audio libraries "
+                        "not present in this environment (header mode "
+                        "parses container metadata with the stdlib)"
                     )
-                w, h, frames = _fake_dims(digest)
                 out["media_id"].append(int(mid))
                 out["media_type"].append(mtype)
                 out["n_bytes"].append(len(blob))
                 out["content_hash"].append(digest.hex()[:16])
-                out["width"].append(w if mtype in ("image", "video") else None)
-                out["height"].append(h if mtype in ("image", "video") else None)
-                out["n_frames"].append(frames if mtype == "video" else None)
+                if mode == "fake":
+                    w, h, frames = _fake_dims(digest)
+                    out["width"].append(w if mtype in ("image", "video") else None)
+                    out["height"].append(h if mtype in ("image", "video") else None)
+                    out["n_frames"].append(frames if mtype == "video" else None)
+                else:
+                    meta = parse_media_header(blob)
+                    out["fmt"].append(meta.get("fmt"))
+                    out["width"].append(meta.get("width"))
+                    out["height"].append(meta.get("height"))
+                    out["n_frames"].append(meta.get("n_frames"))
+                    out["duration_ms"].append(meta.get("duration_ms"))
             yield pd.DataFrame(out)
 
     projected = df.select("media_id", "media_type", "content")
-    return projected.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return projected.mapInPandas(run, schema=schema)
 
 
 def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
