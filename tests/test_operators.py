@@ -280,9 +280,25 @@ def test_paths_unsupported_syntax_is_named():
     from uniparser_spark.operators import apply_operator
     from uniparser_spark.paths import UnsupportedPathError, jsonpath_values
 
-    for bad in ("$.a[0,1]", "$.a[(@.length-1)]", "$..book[?(@.price)]"):
+    for bad in ("$.a[b,c]", "$.a[(@.length-1)]", "$..book[?(@.price)]"):
         with _pytest.raises(UnsupportedPathError, match="unsupported"):
             jsonpath_values({"a": [1, 2]}, bad)
     # error-as-data through the operator layer
-    err = apply_operator("jsonpath", {"a": [1, 2]}, "$.a[0,1]", "")
+    err = apply_operator("jsonpath", {"a": [1, 2]}, "$.a[(1+1)]", "")
     assert isinstance(err, UnsupportedPathError)
+
+
+def test_paths_unions_and_recursive_wildcard():
+    """Round-2 grammar gap closed: quoted field unions, index unions,
+    and the recursive wildcard (jsonpath-rw parity shapes)."""
+    from uniparser_spark.paths import jsonpath_values, objectpath_execute
+
+    data = {"a": {"b": [{"k": 1}, {"k": 2}], "k": 0}, "names": {"first": "ann", "last": "lee"}}
+    assert jsonpath_values(data, "$.names['first','last']") == ["ann", "lee"]
+    assert jsonpath_values(data, '$.names["last","first"]') == ["lee", "ann"]
+    assert jsonpath_values(data, "$.a.b[1,0]") == [{"k": 2}, {"k": 1}]
+    assert jsonpath_values(data, "$.a.b[0,9]") == [{"k": 1}]  # oob skipped
+    assert jsonpath_values(data, "$..k") == [1, 2, 0]
+    everything = jsonpath_values(data, "$..*")
+    assert data["a"] in everything and "lee" in everything
+    assert objectpath_execute(data, "$.names['first','last']") == ["ann", "lee"]

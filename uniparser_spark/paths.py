@@ -6,16 +6,17 @@ available here, so these evaluators implement exactly the query subset
 its test corpus exercises (/root/reference/test_parsers.py:407-470 and
 config.py demo rules):
 
-JSONPath: bare fields, ``$.a.b``, recursive ``$..k``, ``[n]``,
-``[a:b]`` slices, ``[*]``, filters ``[?(@.k op literal)]``.
+JSONPath: bare fields, ``$.a.b``, recursive ``$..k`` and ``$..*``,
+``[n]``, ``[a:b]`` slices, ``[*]``, field unions ``['a','b']``, index
+unions ``[0,2]``, filters ``[?(@.k op literal)]``.
 Results are lists of matches carrying ``value`` and ``full_path``.
 
-ObjectPath: ``$.a.b``, recursive ``$..k``, ``[n]``, filters
+ObjectPath: ``$.a.b``, recursive ``$..k``, ``[n]``, unions, filters
 ``[@.k op literal]`` with ops ``> < >= <= == = is not_is !=``.
-Plain paths return a scalar; recursive/filter steps return lists.
+Plain paths return a scalar; recursive/filter/union steps return lists.
 
-Anything beyond the subset — unions ``[a,b]``, script expressions
-``[(...)]``, nested filters, functions — raises
+Anything beyond the subset — bare-word unions ``[a,b]``, script
+expressions ``[(...)]``, nested filters, functions — raises
 :class:`UnsupportedPathError` with the offending construct named, so a
 rule author sees "unsupported path syntax" as the error value instead
 of a silently-empty result.
@@ -57,12 +58,15 @@ _STEP = re.compile(
   | \.(?P<field>[^.\[]+)
   | \[\?\((?P<jfilter>[^)]*)\)\]
   | \[(?P<ofilter>@[^\]]*)\]
+  | \[(?P<funion>(?:'[^']*'|"[^"]*")(?:\s*,\s*(?:'[^']*'|"[^"]*"))+)\]
   | \['(?P<qfield>[^']*)'\]
   | \["(?P<qqfield>[^"]*)"\]
   | \[(?P<bracket>[^\]]*)\]
     """,
     re.VERBOSE,
 )
+
+_QUOTED = re.compile(r"""'([^']*)'|"([^"]*)\"""")
 
 _FILTER = re.compile(
     r"""\s*@\.(?P<key>[\w.-]+)\s*(?P<op>==|=|!=|>=|<=|>|<|\bis\s+not\b|\bis\b|\bnot\s+in\b|\bin\b)\s*(?P<lit>.+?)\s*$""",
@@ -143,7 +147,8 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
             )
         pos = m.end()
         if m.group("rfield") is not None:
-            steps.append(Step("rfield", m.group("rfield")))
+            f = m.group("rfield")
+            steps.append(Step("rwild", None) if f == "*" else Step("rfield", f))
         elif m.group("field") is not None:
             f = m.group("field")
             steps.append(Step("wild", None) if f == "*" else Step("field", f))
@@ -151,6 +156,12 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
             steps.append(Step("filter", _filter_pred(m.group("jfilter"))))
         elif m.group("ofilter") is not None:
             steps.append(Step("filter", _filter_pred(m.group("ofilter"))))
+        elif m.group("funion") is not None:
+            names = tuple(
+                q.group(1) if q.group(1) is not None else q.group(2)
+                for q in _QUOTED.finditer(m.group("funion"))
+            )
+            steps.append(Step("fields", names))
         elif m.group("qfield") is not None:
             steps.append(Step("field", m.group("qfield")))
         elif m.group("qqfield") is not None:
@@ -168,11 +179,19 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
                         f"unsupported path syntax: slice {b!r} in {path!r}"
                     ) from err
                 steps.append(Step("slice", slice(ints[0], ints[1], ints[2])))
+            elif "," in b:
+                try:
+                    steps.append(Step("indexes", tuple(int(p) for p in b.split(","))))
+                except ValueError as err:
+                    # mixed unions '[0,'a']', scripts, functions, ...
+                    raise UnsupportedPathError(
+                        f"unsupported path syntax: bracket step {b!r} in {path!r}"
+                    ) from err
             else:
                 try:
                     steps.append(Step("index", int(b)))
                 except ValueError as err:
-                    # unions '[a,b]', scripts '[(...)]', functions, ...
+                    # scripts '[(...)]', functions, bare-word unions, ...
                     raise UnsupportedPathError(
                         f"unsupported path syntax: bracket step {b!r} in {path!r}"
                     ) from err
@@ -190,6 +209,18 @@ def _descend(obj: Any, key: str, acc: List[Any]) -> None:
             _descend(v, key, acc)
 
 
+def _descend_all(obj: Any, acc: List[Any]) -> None:
+    """``$..*``: every descendant value, DFS pre-order, root excluded."""
+    children = (
+        list(obj.values()) if isinstance(obj, dict)
+        else list(obj) if isinstance(obj, (list, tuple))
+        else ()
+    )
+    for v in children:
+        acc.append(v)
+        _descend_all(v, acc)
+
+
 def _apply_step(values: List[Any], step: Step) -> List[Any]:
     out: List[Any] = []
     for v in values:
@@ -198,6 +229,18 @@ def _apply_step(values: List[Any], step: Step) -> List[Any]:
                 out.append(v[step.arg])
         elif step.kind == "rfield":
             _descend(v, step.arg, out)
+        elif step.kind == "rwild":
+            _descend_all(v, out)
+        elif step.kind == "fields":
+            if isinstance(v, dict):
+                out.extend(v[k] for k in step.arg if k in v)
+        elif step.kind == "indexes":
+            if isinstance(v, (list, tuple)):
+                for i in step.arg:
+                    try:
+                        out.append(v[i])
+                    except IndexError:
+                        pass
         elif step.kind == "index":
             if isinstance(v, (list, tuple)):
                 try:
@@ -246,7 +289,10 @@ def jsonpath_values(data: Any, path: str, attr: str = "value") -> List[Any]:
 
 def objectpath_execute(data: Any, path: str) -> Any:
     steps, _ = _compile(path)
-    multi = any(s.kind in ("rfield", "filter", "wild", "slice") for s in steps)
+    multi = any(
+        s.kind in ("rfield", "rwild", "filter", "wild", "slice", "fields", "indexes")
+        for s in steps
+    )
     values = [data]
     for step in steps:
         values = _apply_step(values, step)

@@ -495,11 +495,24 @@ def q_rule_time(spark, sf_dir):
 
 
 def q_rule_paths(spark, sf_dir):
-    """jsonpath and objectpath subset engines over the props JSON."""
+    """jsonpath and objectpath engines over nested JSON built from the
+    props column: dotted paths, recursive descent ``$..k``, quoted field
+    unions ``['k','zz']`` and index unions ``[1,0]`` (the grammar the
+    reference gets from jsonpath-rw-ext, paths.py from scratch)."""
     ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    nested = F.concat(
+        F.lit('{"a": {"b": '),
+        F.col("props"),
+        F.lit('}, "l": ['),
+        (k + 1).cast("string"),
+        F.lit(", "),
+        k.cast("string"),
+        F.lit("]}"),
+    )
     pages = ev.select(
         F.concat(F.lit("https://api.example.org/ev/"), F.col("event_id").cast("string")).alias("url"),
-        F.col("props").alias("text"),
+        nested.alias("text"),
     )
     storage = _single_host_storage(
         "api.example.org",
@@ -508,12 +521,27 @@ def q_rule_paths(spark, sf_dir):
         [
             {
                 "name": "jp",
-                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.k", ""], ["python", "getitem", "[0]"]],
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.a.b.k", ""], ["python", "getitem", "[0]"]],
                 "child_rules": [],
             },
             {
                 "name": "op",
-                "chain_rules": [["loader", "json", ""], ["objectpath", "$.k", ""]],
+                "chain_rules": [["loader", "json", ""], ["objectpath", "$.a.b.k", ""]],
+                "child_rules": [],
+            },
+            {
+                "name": "rk",
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$..k", ""], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
+            {
+                "name": "un",
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.a.b['k','zz']", ""], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
+            {
+                "name": "iu",
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.l[1,0]", ""], ["python", "getitem", "[0]"]],
                 "child_rules": [],
             },
         ],
@@ -523,6 +551,9 @@ def q_rule_paths(spark, sf_dir):
         "url",
         F.get_json_object("result", "$.p.jp").cast("long").alias("k_jsonpath"),
         F.get_json_object("result", "$.p.op").cast("long").alias("k_objectpath"),
+        F.get_json_object("result", "$.p.rk").cast("long").alias("k_recursive"),
+        F.get_json_object("result", "$.p.un").cast("long").alias("k_union"),
+        F.get_json_object("result", "$.p.iu").cast("long").alias("k_idx_union"),
     )
 
 
@@ -994,7 +1025,10 @@ ORACLES = {
     "rule_paths": """
         SELECT 'https://api.example.org/ev/' || event_id AS url,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_jsonpath,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_objectpath
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_objectpath,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_recursive,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_union,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_idx_union
         FROM events
     """,
     "rule_native": """
