@@ -27,6 +27,13 @@ NATIVE_CHAINS = [
     [["python", "base64_encode", ""]],
     [["python", "split", ","], ["python", "getitem", "[1]"]],
     [["python", "const", "fixed"]],
+    [["python", "template", "val=$input_object!"]],
+    [["python", "template", "$obj + ${input_object} + $unknown $$ 100%"]],
+    [["re", "[a-z]+", ""], ["python", "join", "-"], ["python", "template", "<$obj>"]],
+    [["loader", "b64encode", ""]],
+    [["loader", "b64encode", ""], ["loader", "b64decode", ""]],
+    [["loader", "b16encode", ""]],
+    [["loader", "b16encode", ""], ["loader", "b16decode", ""]],
 ]
 
 
@@ -76,8 +83,17 @@ def test_non_native_chains_rejected():
     assert compile_chain([["udf", "parse = lambda x: x", ""]]) is None
     assert compile_chain([["re", "(grouped)", ""]]) is None  # findall-group divergence
     assert compile_chain([["re", "x", "-"]]) is None  # trailing-empty divergence
-    assert compile_chain([["python", "template", "$x"]]) is None
+    assert compile_chain([["loader", "json", ""]]) is None  # loads a Python object
+    assert compile_chain([["loader", "b85encode", ""]]) is None  # no native codec
     assert compile_chain([["python", "split", ","], ["json", "k", ""]]) is None  # mid-chain json
+    # template/loader on a LIST would silently diverge (Template str()s
+    # the list; loader maps element-wise) -> refused via arr tracking
+    assert compile_chain([["python", "split", ","], ["python", "template", "$obj"]]) is None
+    assert compile_chain([["re", "[a-z]+", ""], ["loader", "b64encode", ""]]) is None
+    # ...but after re-scalarizing the chain they compile again
+    assert compile_chain(
+        [["python", "split", ","], ["python", "join", "-"], ["python", "template", "$obj"]]
+    ) is not None
 
 
 def test_extract_columns_plan_is_pure_jvm(spark):

@@ -251,3 +251,57 @@ def test_embedding_verified_pairs_finds_planted_dup(spark):
     }
     assert (0, 6) in pairs
     assert pairs[(0, 6)] == pytest.approx(1.0)
+
+
+def test_xxhash64_impl_pair_set_parity(spark):
+    """Dual-impl parity on what dedup EMITS (pair sets), not hash
+    values: md5 (oracle path) and native-xxhash64 (production path)
+    verified near-dup pipelines recover the same planted pairs, and the
+    xxhash64 plan contains no Python evaluation."""
+    from uniparser_spark.textops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_signatures_xx,
+        verified_near_dups,
+        with_simhash,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(12):
+        text = " ".join(words[j % 10] for j in range(i, i + 8))
+        rows.append((i, text))
+        rows.append((100 + i, text))  # planted exact near-dup partner
+    rows.append((300, "entirely different content with no partner at all"))
+    docs = docs_df(spark, rows)
+
+    planted = {(i, 100 + i) for i in range(12)}
+    by_impl = {}
+    for impl in ("pandas", "xxhash64"):
+        by_impl[impl] = {
+            (r["id1"], r["id2"])
+            for r in verified_near_dups(
+                docs, n_hashes=16, bands=8, shingle_k=3, threshold=0.9, impl=impl
+            ).collect()
+        }
+        assert planted <= by_impl[impl], (impl, planted - by_impl[impl])
+    # the two hash families emit the SAME verified pair set
+    assert by_impl["pandas"] == by_impl["xxhash64"]
+
+    # n_shingles agrees between impls; xx signatures have the right shape
+    md5_counts = {
+        r["doc_id"]: r["n_shingles"]
+        for r in minhash_signatures(docs, n_hashes=4, shingle_k=3).collect()
+    }
+    xx = minhash_signatures_xx(docs, n_hashes=4, shingle_k=3).collect()
+    assert {r["doc_id"]: r["n_shingles"] for r in xx} == md5_counts
+    assert all(len(r["sig"]) == 4 for r in xx)
+
+    # identical texts -> identical xxhash64 simhash
+    sh = {r["doc_id"]: r["simhash"] for r in with_simhash(docs, impl="xxhash64").collect()}
+    assert all(sh[i] == sh[100 + i] for i in range(12))
+
+    # production plan is Python-free: no Arrow/pickle eval operators
+    plan = lsh_candidate_pairs(docs, impl="xxhash64")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

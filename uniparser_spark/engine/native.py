@@ -24,19 +24,28 @@ executor in tests/test_native.py):
   empties, where Java and Python disagree).
 - ``python``: split (literal sep, \\Q..\\E-quoted) / join / strip /
   getitem with '[a:b]' slices and non-negative '[i]' indexes / sort /
-  chain (flatten) / const / base64_encode / base64_decode.
+  chain (flatten) / const / base64_encode / base64_decode / template
+  ($input_object/$obj substitution → format_string; unknown names stay
+  literal exactly like Template.safe_substitute).
+- ``loader``: the pure string↔string codecs — b64encode/b64decode
+  (base64/unbase64) and b16encode/b16decode (hex/unhex); json/yaml/toml
+  produce Python objects and stay on the fused-UDF path.
 - ``time``: encode/decode for strftime formats made of the common
   directives (%Y %m %d %H %M %S), engine timezone = UTC.
 - ``json`` (jmespath) / ``jsonpath`` on JSON *text* for simple
   dotted identifier paths → get_json_object.
 
 Everything else (css/xml/selectolax — DOM-bound; udf — arbitrary
-Python; loader; objectpath; context) compiles to None.
+Python; object-producing loaders; objectpath; context) compiles to
+None, as do template/loader steps whose input may be a LIST (Python
+maps loaders element-wise and Template str()s the list — a scalar
+Column expression would silently diverge; see ``_arr_after``).
 """
 
 from __future__ import annotations
 
 import re as _re
+from string import Template
 from typing import Callable, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -146,10 +155,59 @@ def _compile_python(param: str, value: str) -> Optional[ChainFn]:
             return lambda c: F.lit(value)
         return lambda c: c
     if param == "base64_encode":
-        return lambda c: F.base64(F.encode(c, "utf-8"))
+        return _b64_encode
     if param == "base64_decode":
         return lambda c: F.decode(F.unbase64(c), "utf-8")
+    if param == "template":
+        return _compile_template(value)
     return None
+
+
+
+def _b64_encode(c: Column) -> Column:
+    # Spark's base64 MIME-chunks long output with \r\n every 76 chars;
+    # Python's b64encode never does — strip the breaks for parity
+    return F.regexp_replace(F.base64(F.encode(c, "utf-8")), "[\\r\\n]", "")
+
+
+def _compile_template(value: str) -> Optional[ChainFn]:
+    """``python template`` → format_string: $input_object/$obj (and the
+    braced forms) become %s slots bound to the chain column; unknown
+    names and invalid $-sequences stay literal, matching
+    ``Template.safe_substitute``; $$ unescapes to $."""
+    fmt_parts: List[str] = []
+    n_args = 0
+    pos = 0
+    for m in Template.pattern.finditer(value):
+        fmt_parts.append(value[pos : m.start()].replace("%", "%%"))
+        pos = m.end()
+        name = m.group("named") or m.group("braced")
+        if m.group("escaped") is not None:
+            fmt_parts.append("$")
+        elif name in ("input_object", "obj"):
+            fmt_parts.append("%s")
+            n_args += 1
+        else:
+            fmt_parts.append(m.group(0).replace("%", "%%"))
+    fmt_parts.append(value[pos:].replace("%", "%%"))
+    fmt = "".join(fmt_parts)
+    if n_args == 0:
+        return lambda c: F.lit(fmt.replace("%%", "%"))
+    return lambda c: F.format_string(fmt, *([c] * n_args))
+
+
+def _compile_loader(param: str, value: str) -> Optional[ChainFn]:
+    if value:
+        return None  # loader kwargs (JSON-decoded) need the Python path
+    if param == "b64encode":
+        return _b64_encode
+    if param == "b64decode":
+        return lambda c: F.decode(F.unbase64(c), "utf-8")
+    if param == "b16encode":
+        return lambda c: F.hex(F.encode(c, "utf-8"))
+    if param == "b16decode":
+        return lambda c: F.decode(F.unhex(c), "utf-8")
+    return None  # json/yaml/toml load to Python objects
 
 
 _JSON_PATH_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
@@ -194,20 +252,47 @@ def compile_step(parser: str, param: str, value) -> Optional[ChainFn]:
         return _compile_time(param, value)
     if parser in ("json", "jmespath", "jsonpath"):
         return _compile_jsonish(param, value, "jsonpath" if parser == "jsonpath" else "jmespath")
+    if parser == "loader":
+        return _compile_loader(param, value)
     return None
+
+
+def _arr_after(parser: str, param: str, value: str, was_arr: bool) -> bool:
+    """Crude list/scalar tracking through a chain (enough to refuse the
+    compiles that would SILENTLY diverge on list inputs)."""
+    if parser == "re":
+        return value == "" or value.startswith("$")
+    if parser in ("python", "py"):
+        if param == "split":
+            return True
+        if param in ("getitem", "get"):
+            return bool(_SLICE_RE.match(value or ""))
+        if param in ("sort", "chain"):
+            return True
+        return False
+    return False
 
 
 def compile_chain(chain_rules: Sequence[Sequence]) -> Optional[ChainFn]:
     """Fuse a whole chain into one Column transformation, or None if any
     step is outside the native subset."""
     steps: List[ChainFn] = []
+    is_arr = False
     for i, (parser, param, value) in enumerate(chain_rules):
         if parser in ("json", "jmespath", "jsonpath") and i != 0:
             return None  # mid-chain JSON needs a parsed object, not text
+        if is_arr and (
+            parser == "loader" or (parser in ("python", "py") and param == "template")
+        ):
+            # Python maps loader element-wise over lists, and Template
+            # str()s the whole list — both would silently diverge from
+            # the scalar Column expression; refuse the compile.
+            return None
         fn = compile_step(parser, param, value)
         if fn is None:
             return None
         steps.append(fn)
+        is_arr = _arr_after(parser, param, "" if value is None else str(value), is_arr)
 
     def run(col: Column) -> Column:
         for fn in steps:

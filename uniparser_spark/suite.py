@@ -86,6 +86,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table load for COMPUTE-heavy queries (rule chains, hashing,
+    vector math).  The driver's test tables are single-row-group
+    parquet files, so the scan yields ONE task and per-doc compute
+    serializes on one core no matter the cluster size; a guarded
+    round-robin repartition restores compute parallelism.  At
+    production scale the scan already splits to >= cores partitions
+    and this is a no-op — the guard, not the repartition, is the
+    load-bearing part.  Catalyst still pushes filters/pruning through
+    the Repartition to the scan."""
+    df = t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _dec(col: str, p: int, s: int) -> F.Column:
     return F.col(col).cast(f"decimal({p},{s})")
 
@@ -255,7 +272,7 @@ def _docs_storage() -> str:
 def q_rule_first3(spark, sf_dir):
     """The compiled rule-chain engine (re → getitem → join) run as a
     fused mapInPandas over the documents table — EP2 of the reference."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     pages = docs.select(
         F.concat(
             F.lit(f"https://{_DOCS_HOST}/d/"), F.col("doc_id").cast("string")
@@ -291,7 +308,7 @@ def q_rule_css(spark, sf_dir):
     pure-Python DOM engine, validated against an independently
     constructed oracle (the HTML is synthesized from doc_id, so DuckDB
     can predict the extraction output exactly)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit('<html><body><h1 class="title">Doc '), d,
@@ -337,7 +354,7 @@ def q_rule_css1(spark, sf_dir):
     """Single-match selector variants and their distinct miss
     semantics: css1 → None (null) on miss, se1 → '' (empty string);
     selectolax engine for list extraction."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit('<html><body><h1 class="title">Doc '), d,
@@ -371,7 +388,7 @@ def q_rule_css1(spark, sf_dir):
 
 def q_rule_json(spark, sf_dir):
     """loader(json) → jmespath chain over the events props column."""
-    ev = t(spark, sf_dir, "events")
+    ev = tp(spark, sf_dir, "events")
     pages = ev.select(
         F.concat(F.lit("https://api.example.org/ev/"), F.col("event_id").cast("string")).alias("url"),
         F.col("props").alias("text"),
@@ -397,7 +414,7 @@ def q_rule_json(spark, sf_dir):
 def _doc_rule_query(spark, sf_dir, parse_rules, out_cols, rule="r", text_expr=None):
     """documents-table rule runner: build (url, text), run the compiled
     chain engine, project result fields with get_json_object."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     text = text_expr if text_expr is not None else F.col("text")
     pages = docs.select(
         F.concat(F.lit("https://docs.example.org/d/"), F.col("doc_id").cast("string")).alias("url"),
@@ -477,7 +494,7 @@ def q_rule_xml(spark, sf_dir):
 
 def q_rule_time(spark, sf_dir):
     """time parser encode (timestr → epoch, engine tz pinned UTC)."""
-    ev = t(spark, sf_dir, "events")
+    ev = tp(spark, sf_dir, "events")
     pages = ev.select(
         F.concat(F.lit("https://api.example.org/ev/"), F.col("event_id").cast("string")).alias("url"),
         F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("text"),
@@ -499,7 +516,7 @@ def q_rule_paths(spark, sf_dir):
     props column: dotted paths, recursive descent ``$..k``, quoted field
     unions ``['k','zz']`` and index unions ``[1,0]`` (the grammar the
     reference gets from jsonpath-rw-ext, paths.py from scratch)."""
-    ev = t(spark, sf_dir, "events")
+    ev = tp(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     nested = F.concat(
         F.lit('{"a": {"b": '),
@@ -564,7 +581,7 @@ def q_rule_native(spark, sf_dir):
     codegen path for native-expressible rules."""
     from .engine.native import extract_columns
 
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     pages = docs.select(
         F.concat(F.lit("https://docs.example.org/d/"), F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
@@ -572,6 +589,9 @@ def q_rule_native(spark, sf_dir):
     rules = [
         {"name": "first3", "chain_rules": [["re", "[a-z]+", ""], ["python", "getitem", "[:3]"], ["python", "join", " "]]},
         {"name": "top5", "chain_rules": [["python", "split", " "], ["python", "sort", "desc"], ["python", "getitem", "[:5]"], ["python", "join", "|"]]},
+        {"name": "templ", "chain_rules": [["re", "[a-z]+", ""], ["python", "getitem", "[0]"], ["python", "template", "w=$obj ($unknown)"]]},
+        {"name": "b64", "chain_rules": [["loader", "b64encode", ""]]},
+        {"name": "b16rt", "chain_rules": [["loader", "b16encode", ""], ["loader", "b16decode", ""]]},
     ]
     return extract_columns(pages, rules, fallback=False)
 
@@ -683,7 +703,7 @@ def q_rule_children(spark, sf_dir):
     """Composed rule exercising iter_parse_child (per-element child
     rules, parsers.py:1352-1361), __object__ input rebinding and the
     __schema__ assert (parsers.py:1335-1349) in one crawler rule."""
-    docs = t(spark, sf_dir, "documents")
+    docs = tp(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><body><ul>"),
@@ -743,29 +763,29 @@ def q_rule_children(spark, sf_dir):
 
 # ------------------------------------------------------------ text analysis
 def q_token_stats(spark, sf_dir):
-    return token_stats(t(spark, sf_dir, "documents"))
+    return token_stats(tp(spark, sf_dir, "documents"))
 
 
 def q_quality_scores(spark, sf_dir):
-    return quality_scores(t(spark, sf_dir, "documents"))
+    return quality_scores(tp(spark, sf_dir, "documents"))
 
 
 def q_langid(spark, sf_dir):
-    return langid(t(spark, sf_dir, "documents"))
+    return langid(tp(spark, sf_dir, "documents"))
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    return doc_fingerprints(t(spark, sf_dir, "documents"))
+    return doc_fingerprints(tp(spark, sf_dir, "documents"))
 
 
 # -------------------------------------------------------------------- dedup
 def q_dedup_exact(spark, sf_dir):
-    return exact_dup_groups(t(spark, sf_dir, "documents"))
+    return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(
-        t(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3
+        tp(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3
     )
 
 
@@ -773,34 +793,56 @@ def q_dedup_verified_pairs(spark, sf_dir):
     """LSH candidates → exact Jaccard verification (the composed
     production near-dup pipeline; quadratic work bounded by LSH)."""
     return verified_near_dups(
-        t(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3, threshold=0.0
+        tp(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3, threshold=0.0
+    )
+
+
+def q_minhash_lsh_pairs_xx(spark, sf_dir):
+    """PRODUCTION hash variant of minhash_lsh_pairs: native xxhash64
+    inside whole-stage codegen (explode → map-side-combined groupBy →
+    band keys over the per-seed min columns).  No oracle row — DuckDB
+    has no Spark-compatible xxhash64, so the driver records the weaker
+    rows-only check; the md5 twin stays fully oracle-gated and the
+    dual-impl pair-set parity test pins the semantics."""
+    return lsh_candidate_pairs(
+        tp(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3,
+        impl="xxhash64",
+    )
+
+
+def q_dedup_verified_pairs_xx(spark, sf_dir):
+    """xxhash64 candidates → hash-free exact-Jaccard verify (production
+    twin of dedup_verified_pairs; rows-only driver check, see above)."""
+    return verified_near_dups(
+        tp(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3,
+        threshold=0.0, impl="xxhash64",
     )
 
 
 def q_simhash_groups(spark, sf_dir):
-    return simhash_groups(t(spark, sf_dir, "documents"))
+    return simhash_groups(tp(spark, sf_dir, "documents"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), shingle_k=2, threshold=0.2, max_id=200
+        tp(spark, sf_dir, "documents"), shingle_k=2, threshold=0.2, max_id=200
     )
 
 
 # --------------------------------------------------------------- similarity
 def q_cosine_topk(spark, sf_dir):
-    return cosine_topk(t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+    return cosine_topk(tp(spark, sf_dir, "embeddings"), n_queries=8, k=5)
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.35, max_id=300
+        tp(spark, sf_dir, "embeddings"), threshold=0.35, max_id=300
     )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     return rhp_lsh_topk(
-        t(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_planes=6, dims=64
+        tp(spark, sf_dir, "embeddings"), n_queries=8, k=5, n_planes=6, dims=64
     )
 
 
@@ -808,7 +850,7 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     """OR'd-table ANN: union of 3 independent hash tables' buckets as
     the candidate set — the recall-at-scale variant of ann_lsh_topk."""
     return rhp_multiprobe_topk(
-        t(spark, sf_dir, "embeddings"),
+        tp(spark, sf_dir, "embeddings"),
         n_queries=8, k=5, n_planes=6, dims=64, n_tables=3,
     )
 
@@ -818,14 +860,14 @@ def q_embedding_verified_pairs(spark, sf_dir):
     mirror of dedup_verified_pairs (quadratic work LSH-bounded, vectors
     fetched for candidate ids only)."""
     return embedding_verified_pairs(
-        t(spark, sf_dir, "embeddings"),
+        tp(spark, sf_dir, "embeddings"),
         threshold=0.35, n_planes=10, dims=64, n_tables=2,
     )
 
 
 # --------------------------------------------------------------- multimodal
 def q_multimodal_features(spark, sf_dir):
-    media = docs_as_media(t(spark, sf_dir, "documents"))
+    media = docs_as_media(tp(spark, sf_dir, "documents"))
     return decode_media(media, mode="fake")
 
 
@@ -836,7 +878,7 @@ def q_media_dims(spark, sf_dir):
     codec-seam closure for formats the stdlib can carry."""
     from .textops.multimodal import synth_media
 
-    media = synth_media(t(spark, sf_dir, "documents"))
+    media = synth_media(tp(spark, sf_dir, "documents"))
     return decode_media(media, mode="header").select(
         "media_id", "media_type", "fmt", "width", "height", "n_frames", "duration_ms"
     )
@@ -875,7 +917,9 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_lsh_pairs_xx": q_minhash_lsh_pairs_xx,
     "dedup_verified_pairs": q_dedup_verified_pairs,
+    "dedup_verified_pairs_xx": q_dedup_verified_pairs_xx,
     "simhash_groups": q_simhash_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
@@ -1034,7 +1078,10 @@ ORACLES = {
     "rule_native": """
         SELECT 'https://docs.example.org/d/' || doc_id AS url,
                array_to_string(regexp_extract_all(text, '[a-z]+')[1:3], ' ') AS first3,
-               array_to_string(list_sort(string_split(text, ' '), 'DESC')[1:5], '|') AS top5
+               array_to_string(list_sort(string_split(text, ' '), 'DESC')[1:5], '|') AS top5,
+               'w=' || regexp_extract(text, '[a-z]+') || ' ($unknown)' AS templ,
+               to_base64(encode(text)) AS b64,
+               text AS b16rt
         FROM documents
     """,
     "rule_re_modes": r"""

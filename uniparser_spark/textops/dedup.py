@@ -15,8 +15,17 @@ Scale design (the point of running these on Spark):
 - n-gram Jaccard is the quadratic verifier — only ever run it on LSH
   candidates (or a capped id range in tests/oracles).
 
-Hashing is the portable md5 family from .exprs so the DuckDB oracle
-reproduces every value bit-for-bit.
+Hashing has two implementations:
+
+- ``impl='pandas'``/``'expr'`` — the portable md5 family from .exprs,
+  so the DuckDB oracle reproduces every value bit-for-bit (the
+  correctness-gate path);
+- ``impl='xxhash64'`` — the PRODUCTION path: Spark's native xxhash64
+  inside whole-stage codegen, structured as explode → map-side-combined
+  groupBy so no interpreted array lambda and no Python worker touches
+  the hot loop.  Signatures/band keys differ from md5 by construction;
+  the dual-impl parity tests assert agreement on the VERIFIED PAIR SET
+  (what dedup actually emits), not on hash values.
 """
 
 from __future__ import annotations
@@ -125,6 +134,42 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def _xx_minhash_cols(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int, shingle_k: int
+) -> DataFrame:
+    """Native MinHash: one row per (doc, shingle) via explode, then
+    ``min(xxhash64(seed, shingle))`` per seed in ONE map-side-combined
+    groupBy — every hash evaluates inside whole-stage codegen, and the
+    shuffle carries one partially-aggregated row per (doc, partition),
+    never the shingles.  This is the 100 TB shape: no Python, no
+    interpreted lambdas, shuffle volume O(docs), not O(shingles)."""
+    sh = word_shingles(tokens(F.col(text_col)), shingle_k)
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("g"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(s), F.col("g"))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(
+        *aggs, F.count(F.lit(1)).cast("int").alias("n_shingles")
+    )
+
+
+def minhash_signatures_xx(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """xxhash64 MinHash signatures: (id, sig array<long>, n_shingles)."""
+    cols = _xx_minhash_cols(df, text_col, id_col, n_hashes, shingle_k)
+    return cols.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{s}") for s in range(n_hashes)]).alias("sig"),
+        "n_shingles",
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -132,17 +177,42 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    impl: str = "pandas",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (id1 < id2, distinct).
 
     bands × rows = n_hashes; a pair is a candidate iff all `rows`
-    signature entries of some band agree (band key = md5 of the band
+    signature entries of some band agree (band key = a hash of the band
     slice).  The join key is (band_idx, band_key) — high-entropy, no
     skew; the doc text never crosses the shuffle.
+
+    ``impl='pandas'`` hashes with md5 (oracle-reproducible);
+    ``impl='xxhash64'`` is the all-codegen production path: band keys
+    are ``xxhash64(band_idx, h_i..h_j)`` computed directly over the
+    per-seed min columns — zero Python, zero interpreted lambdas.
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    if impl == "xxhash64":
+        cols = _xx_minhash_cols(df, text_col, id_col, n_hashes, shingle_k)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band_idx"),
+                    F.xxhash64(
+                        F.lit(j), *[F.col(f"h{j * rows + r}") for r in range(rows)]
+                    ).alias("band_key"),
+                )
+                for j in range(bands)
+            ]
+        )
+        banded = (
+            cols.select(F.col(id_col), F.explode(band_structs).alias("b"))
+            .select(id_col, "b.band_idx", "b.band_key")
+            .localCheckpoint(eager=False)
+        )
+        return _band_self_join(banded, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, impl=impl)
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.md5(F.concat_ws(",", F.slice(F.col("sig"), j * rows + 1, rows))),
@@ -157,6 +227,11 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
     ).localCheckpoint(eager=False)
+    return _band_self_join(banded, id_col)
+
+
+def _band_self_join(banded: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_key) self-equi-join → distinct id1<id2 pairs."""
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_idx", "band_key"])
@@ -208,10 +283,14 @@ def verified_near_dups(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    impl: str = "pandas",
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash-LSH candidate
     generation followed by exact n-gram-Jaccard verification of ONLY the
-    candidate pairs.
+    candidate pairs.  ``impl`` selects the signature hash (md5 for
+    oracle parity, xxhash64 for the all-codegen production path); the
+    verification stage is hash-free exact Jaccard either way, so both
+    impls emit the same verified pairs whenever LSH recalls them.
 
     This is the composition that scales: the quadratic verifier touches
     |candidates| pairs (LSH-bounded) instead of |docs|², and the
@@ -222,7 +301,7 @@ def verified_near_dups(
     Returns (id1, id2, jaccard) with jaccard ≥ threshold, 4 dp.
     """
     pairs = lsh_candidate_pairs(
-        df, text_col, id_col, n_hashes, bands, shingle_k
+        df, text_col, id_col, n_hashes, bands, shingle_k, impl=impl
     ).localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id1").alias(id_col))
@@ -259,7 +338,28 @@ def with_simhash(
 
     impl='pandas' (default): Arrow UDF with hashlib — identical values,
     ~20× the interpreted array-lambda path (see minhash_signatures).
+    impl='xxhash64': the production path — explode tokens, per-bit sums
+    of ``(bit_j(xxhash64(token))*2 - 1)`` in one map-side-combined
+    groupBy, sign-packed JVM-side.  Different signature values than the
+    md5 family (different hash), same clustering semantics.
     """
+    if impl == "xxhash64":
+        exploded = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+        xh = F.xxhash64(F.col("t"))
+        aggs = [
+            F.sum(
+                (F.shiftright(xh, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+        sums = exploded.groupBy(id_col).agg(*aggs)
+        packed = None
+        for j in range(bits):
+            term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            packed = term if packed is None else packed + term
+        return sums.select(F.col(id_col), packed.alias("simhash"))
     if impl == "expr":
         toks = tokens(F.col(text_col))
         simhash = F.aggregate(
@@ -325,11 +425,15 @@ def with_simhash(
 
 
 def simhash_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Near-dup clustering proxy: docs bucketed by identical SimHash."""
     return (
-        with_simhash(df, text_col, id_col, bits)
+        with_simhash(df, text_col, id_col, bits, impl=impl)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
     )
