@@ -124,6 +124,68 @@ def run_crawl(spark, n_pages: int) -> dict:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def run_skew(spark, rows: int = 2_000_000, budget: int = 100) -> dict:
+    """Skew regime for the north rule's 'skew handled explicitly':
+    schedule_batch (the per-host politeness ranking — the ONE operator
+    that groups by host) over a synthetic frontier where one host owns
+    30% of all URLs (Zipf-head pathology), vs a uniform 256-host
+    frontier, vs the same skewed frontier with salting disabled.
+
+    The fetch/extract stages are row-parallel and host-agnostic by
+    design, so this isolates the only skew-sensitive shuffle.  The
+    binding budget makes the salted pre-trim the live path.  Claim:
+    salted degradation (skew wall / uniform wall) stays small; the
+    unsalted column shows what the salt is saving."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.politeness import schedule_batch
+
+    def frontier(skewed: bool):
+        base = spark.range(0, rows, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        if skewed:
+            host = F.when(F.col("id") % 10 < 3, F.lit(0)).otherwise(F.col("id") % 253 + 1)
+        else:
+            host = F.col("id") % 256
+        return base.select(
+            F.concat(F.lit("h"), host.cast("string"), F.lit(".org")).alias("host"),
+            F.concat(F.lit("https://h"), host.cast("string"), F.lit(".org/p/"), F.col("id").cast("string")).alias("url_canon"),
+            (F.col("id") % 3).cast("int").alias("priority"),
+            (F.col("id") % 5).cast("int").alias("depth"),
+            F.lit(0).alias("discovered_round"),
+            F.lit(None).cast("string").alias("parent_url"),
+            (F.col("id") % 100).cast("int").alias("list_index"),
+        )
+
+    def once(df, salt_buckets: int) -> float:
+        t0 = _t.monotonic()
+        schedule_batch(df, default_budget=budget, salt_buckets=salt_buckets).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(_t.monotonic() - t0, 2)
+
+    def timed(df, salt_buckets: int) -> float:
+        # best-of-2: single samples on this shared VM carry +-30% noise,
+        # larger than the skew effect being measured
+        return min(once(df, salt_buckets) for _ in range(2))
+
+    once(frontier(False), 16)  # warmup
+    wall_uniform = timed(frontier(False), 16)
+    wall_skew_salted = timed(frontier(True), 16)
+    wall_skew_unsalted = timed(frontier(True), 1)
+    return {
+        "frontier_rows": rows,
+        "budget": budget,
+        "hot_host_share": 0.3,
+        "wall_uniform_sec": wall_uniform,
+        "wall_skew_salted_sec": wall_skew_salted,
+        "wall_skew_unsalted_sec": wall_skew_unsalted,
+        "degradation_salted": round(wall_skew_salted / wall_uniform, 2),
+        "degradation_unsalted": round(wall_skew_unsalted / wall_uniform, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -140,6 +202,11 @@ def main() -> None:
     try:
         timings = {} if crawl_only else run_queries(spark, sf_dir)
         crawl = run_crawl(spark, n_pages)
+        skew = (
+            run_skew(spark)
+            if not crawl_only and os.environ.get("BENCH_SKEW", "1") == "1"
+            else None
+        )
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         out = {
             "metric": "suite_wall_sec",
@@ -150,6 +217,8 @@ def main() -> None:
             "crawl": crawl,
             "cpus": cpus,
         }
+        if skew is not None:
+            out["skew"] = skew
         print(json.dumps(out))
     finally:
         spark.stop()
