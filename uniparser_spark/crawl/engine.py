@@ -370,7 +370,12 @@ class CrawlEngine:
         compacting = rnd + 1 - seen_base >= self.seen_compact_every
         if compacting:
             # inline compaction: fold the whole log into this delta so
-            # deep crawls never read an unbounded union
+            # deep crawls never read an unbounded union.  COST NOTE:
+            # the compacting round pays a one-time O(seen_total) write
+            # (vs the usual O(round)); at 10^10 seen rows production
+            # would run this as an asynchronous Iceberg rewrite
+            # (rewrite_data_files) off the hot path instead of inline —
+            # the inline fold is TTL-maintenance-grade, not per-round.
             delta = self._seen_view(manifest, rnd).unionByName(delta)
         obs_seen = Observation()
         delta = delta.observe(obs_seen, F.count(F.lit(1)).alias("n"))
