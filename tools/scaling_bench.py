@@ -53,26 +53,40 @@ def main() -> None:
     repeat = int(os.environ.get("SCALING_REPEATS", "1"))
     lo_runs = [run(n, pages) for _ in range(repeat)]
     hi_runs = [run(4 * n, pages) for _ in range(repeat)]
-    lo = max(lo_runs, key=lambda r: r["crawl"]["urls_per_sec"])
-    hi = max(hi_runs, key=lambda r: r["crawl"]["urls_per_sec"])
-    r_lo = lo["crawl"]["urls_per_sec"]
-    r_hi = hi["crawl"]["urls_per_sec"]
-    eff = round((r_hi / r_lo) / 4, 3)
+    lo_all = [s for r in lo_runs for s in r["crawl"]["all_runs_urls_per_sec"]]
+    hi_all = [s for r in hi_runs for s in r["crawl"]["all_runs_urls_per_sec"]]
+    import statistics
+
+    r_lo, r_hi = max(lo_all), max(hi_all)
+    eff_best = round((r_hi / r_lo) / 4, 3)
+    eff_median = round((statistics.median(hi_all) / statistics.median(lo_all)) / 4, 3)
+    # per-invocation pairing (fresh JVM i at N vs fresh JVM i at 4N):
+    # the distribution a cluster run would sample from
+    eff_per_inv = [
+        round((max(h["crawl"]["all_runs_urls_per_sec"]) / max(l["crawl"]["all_runs_urls_per_sec"])) / 4, 3)
+        for l, h in zip(lo_runs, hi_runs)
+    ]
     summary = {
         "n_cpus": n,
         "n4_cpus": 4 * n,
         "pages": pages,
         "urls_per_sec_n": r_lo,
         "urls_per_sec_4n": r_hi,
-        "scaling_efficiency": eff,
+        # headline = best-per-level (argued in BENCH.md: VM congestion
+        # noise is one-sided and exceeds the measurand); median and the
+        # per-invocation distribution are reported alongside so the
+        # claim is auditable rather than picked
+        "scaling_efficiency": eff_best,
+        "scaling_efficiency_median": eff_median,
+        "efficiency_per_invocation": eff_per_inv,
         "level_repeats": repeat,
-        # every sample (best-of within each fresh-JVM invocation), for
-        # variance transparency
+        # every sample (per in-JVM run, per fresh-JVM invocation)
         "samples_n": [r["crawl"]["all_runs_urls_per_sec"] for r in lo_runs],
         "samples_4n": [r["crawl"]["all_runs_urls_per_sec"] for r in hi_runs],
-        "crawl_n": lo["crawl"],
-        "crawl_4n": hi["crawl"],
     }
+    lo = max(lo_runs, key=lambda r: r["crawl"]["urls_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["crawl"]["urls_per_sec"])
+    eff = eff_best
     print(json.dumps(summary))
     (REPO / "BENCH_SCALING.json").write_text(json.dumps(summary, indent=1))
     # BENCH.md (narrative + analysis) is maintained by hand; this table
