@@ -206,6 +206,29 @@ def q_host_extract(spark, sf_dir):
     )
 
 
+def q_url_canonical(spark, sf_dir):
+    """The frontier's URL canonicalizer (native exprs, no Python) over
+    six messy-URL shapes: case, default ports :80/:443, trailing '?',
+    scheme-less, non-default port preserved (urls.py canonicalize_url
+    semantics; reference keys rules by exact URL, crawler.py:137 —
+    canonicalization is the engine's seen-set addition)."""
+    from .frontier.seen import add_url_keys
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    variants = F.array(
+        F.concat(F.lit("https://Shop-A.Example.COM/order/"), ks),
+        F.concat(F.lit("http://shop-b.example.com:80/order/"), ks),
+        F.concat(F.lit("https://shop-c.example.com:443/order/"), ks, F.lit("?")),
+        F.concat(F.lit("HTTP://SHOP-D.example.com/x/"), ks, F.lit("?a=1")),
+        F.concat(F.lit("shop-e.example.com/order/"), ks, F.lit("?")),
+        F.concat(F.lit("https://shop-f.example.com:8080/z/"), ks),
+    )
+    urls = o.select(k.alias("id"), F.element_at(variants, (k % 6 + 1).cast("int")).alias("url"))
+    return add_url_keys(urls).select("id", "url", "url_canon", "host")
+
+
 def q_time_roundtrip(spark, sf_dir):
     """Time encode/decode (the reference TimeParser semantics pinned to
     UTC): format + epoch-millis extremes per hour bucket."""
@@ -891,6 +914,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "politeness_budget": q_politeness_budget,
     "host_extract": q_host_extract,
+    "url_canonical": q_url_canonical,
     "time_roundtrip": q_time_roundtrip,
     "json_props": q_json_props,
     "rule_first3": q_rule_first3,
@@ -991,6 +1015,36 @@ ORACLES = {
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events
         ) GROUP BY 1
+    """,
+    "url_canonical": """
+        WITH u AS (
+          SELECT o_orderkey AS id, o_orderkey % 6 AS v,
+                 CAST(o_orderkey AS VARCHAR) AS ks
+          FROM orders
+        )
+        SELECT id,
+          CASE v
+            WHEN 0 THEN 'https://Shop-A.Example.COM/order/' || ks
+            WHEN 1 THEN 'http://shop-b.example.com:80/order/' || ks
+            WHEN 2 THEN 'https://shop-c.example.com:443/order/' || ks || '?'
+            WHEN 3 THEN 'HTTP://SHOP-D.example.com/x/' || ks || '?a=1'
+            WHEN 4 THEN 'shop-e.example.com/order/' || ks || '?'
+            ELSE 'https://shop-f.example.com:8080/z/' || ks END AS url,
+          CASE v
+            WHEN 0 THEN 'https://shop-a.example.com/order/' || ks
+            WHEN 1 THEN 'http://shop-b.example.com/order/' || ks
+            WHEN 2 THEN 'https://shop-c.example.com/order/' || ks
+            WHEN 3 THEN 'http://shop-d.example.com/x/' || ks || '?a=1'
+            WHEN 4 THEN 'shop-e.example.com/order/' || ks
+            ELSE 'https://shop-f.example.com:8080/z/' || ks END AS url_canon,
+          CASE v
+            WHEN 0 THEN 'shop-a.example.com'
+            WHEN 1 THEN 'shop-b.example.com'
+            WHEN 2 THEN 'shop-c.example.com'
+            WHEN 3 THEN 'shop-d.example.com'
+            WHEN 4 THEN ''
+            ELSE 'shop-f.example.com:8080' END AS host
+        FROM u
     """,
     "host_extract": """
         SELECT regexp_extract(
