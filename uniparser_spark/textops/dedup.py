@@ -244,6 +244,48 @@ def _band_self_join(banded: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, sh) with sh = DISTINCT word k-shingles, via one Arrow batch —
+    value-identical to ``array_distinct(word_shingles(tokens(text)))``
+    (pure string slicing, no hashing) but ~20× faster than the
+    interpreted array-lambda expression on long documents.  Rows with
+    no shingles are dropped (the expression path's size>0 filter)."""
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("sh", ArrayType(StringType()), False),
+        ]
+    )
+    ws = _re.compile(r"\s+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sets = [], []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                toks = ws.split(text.strip()) if text and text.strip() else []
+                n = len(toks) - shingle_k + 1
+                if n <= 0:
+                    continue
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + shingle_k]) for i in range(n)
+                    )
+                )
+                ids.append(int(doc_id))
+                sets.append(grams)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), "sh": sets})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -258,12 +300,9 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct word shingles,
     rounded to 4 dp.
     """
-    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_k))
-    docs = (
-        df.filter(F.col(id_col) < max_id)
-        .select(F.col(id_col), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    docs = _shingle_sets(
+        df.filter(F.col(id_col) < max_id), text_col, id_col, shingle_k
+    ).localCheckpoint(eager=False)
     a = docs.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     b = docs.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
@@ -308,12 +347,12 @@ def verified_near_dups(
         .union(pairs.select(F.col("id2").alias(id_col)))
         .distinct()
     )
-    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_k))
-    docs = (
-        df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    # shingle ONCE (Arrow UDF) and checkpoint: the a/b join branches
+    # would otherwise each recompute the shingling of every candidate
+    # doc (measured 4.5 s -> 0.25 s on the sf0.1 verify stage)
+    docs = _shingle_sets(
+        df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_k
+    ).localCheckpoint(eager=False)
     a = docs.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     b = docs.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
