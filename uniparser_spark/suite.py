@@ -229,6 +229,34 @@ def q_url_canonical(spark, sf_dir):
     return add_url_keys(urls).select("id", "url", "url_canon", "host")
 
 
+def q_robots_filter(spark, sf_dir):
+    """The robots disallow/allow filter (REP longest-prefix-match,
+    frontier/robots.py apply_robots): broadcast-joined rule arrays +
+    pure expressions.  Hosts without a robots row pass through; a
+    longer allow overrides a disallow (RFC 9309 §2.2.2)."""
+    from .frontier.robots import apply_robots
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (k % 4).cast("string"), F.lit(".example.org"))
+    path = F.element_at(
+        F.array(F.lit("/a/x"), F.lit("/a/b/y"), F.lit("/c/z")), (k % 3 + 1).cast("int")
+    )
+    cand = o.select(
+        k.alias("id"),
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path, F.lit("/"), k.cast("string")).alias("url_canon"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.org", 1.0, ["/a/"], ["/a/b/"]),
+            ("h1.example.org", 1.0, ["/"], ["/c/"]),
+        ],
+        "host string, crawl_delay double, disallow array<string>, allow array<string>",
+    )
+    return apply_robots(cand, robots).select("id", "host", "url_canon")
+
+
 def q_time_roundtrip(spark, sf_dir):
     """Time encode/decode (the reference TimeParser semantics pinned to
     UTC): format + epoch-millis extremes per hour bucket."""
@@ -915,6 +943,7 @@ QUERIES = {
     "politeness_budget": q_politeness_budget,
     "host_extract": q_host_extract,
     "url_canonical": q_url_canonical,
+    "robots_filter": q_robots_filter,
     "time_roundtrip": q_time_roundtrip,
     "json_props": q_json_props,
     "rule_first3": q_rule_first3,
@@ -1015,6 +1044,20 @@ ORACLES = {
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events
         ) GROUP BY 1
+    """,
+    "robots_filter": """
+        SELECT o_orderkey AS id,
+               'h' || (o_orderkey % 4) || '.example.org' AS host,
+               'https://h' || (o_orderkey % 4) || '.example.org'
+                 || (CASE o_orderkey % 3 WHEN 0 THEN '/a/x'
+                                         WHEN 1 THEN '/a/b/y'
+                                         ELSE '/c/z' END)
+                 || '/' || o_orderkey AS url_canon
+        FROM orders
+        -- h0: disallow /a/ unless allow /a/b/ is longer; h1: disallow /
+        -- unless allow /c/; h2/h3 have no robots row and pass through
+        WHERE NOT ((o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+                OR (o_orderkey % 4 = 1 AND o_orderkey % 3 <> 2))
     """,
     "url_canonical": """
         WITH u AS (
