@@ -34,6 +34,7 @@ NATIVE_CHAINS = [
     [["loader", "b64encode", ""], ["loader", "b64decode", ""]],
     [["loader", "b16encode", ""]],
     [["loader", "b16encode", ""], ["loader", "b16decode", ""]],
+    [["python", "split", ""], ["python", "getitem", "[:4]"], ["python", "join", "+"]],
 ]
 
 
@@ -68,6 +69,23 @@ def test_native_time_roundtrip(spark):
         assert r["back"] == run_chain(
             run_chain(t, [["time", "encode", ""]]), [["time", "decode", "%Y-%m-%d %H:%M"]]
         )
+
+
+def test_native_time_iso_literal(spark):
+    """ISO 'T' (a literal letter) needs Java-format quoting; strftime
+    passes it through — differential-checked both directions."""
+    fmt = "%Y-%m-%dT%H:%M:%S"
+    enc = compile_chain([["time", "encode", fmt]])
+    dec = compile_chain([["time", "decode", fmt]])
+    assert enc is not None and dec is not None
+    df = spark.createDataFrame([("2024-06-01T12:30:07",)], "text string")
+    row = df.select(
+        enc(F.col("text")).alias("epoch"),
+        dec(enc(F.col("text"))).alias("back"),
+    ).collect()[0]
+    assert row["epoch"] == run_chain("2024-06-01T12:30:07", [["time", "encode", fmt]])
+    assert row["back"] == "2024-06-01T12:30:07"
+    assert compile_chain([["time", "encode", "%Y%m%d5"]]) is None  # literal digit
 
 
 def test_json_fast_path(spark):

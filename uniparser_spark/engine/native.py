@@ -74,8 +74,16 @@ def _java_time_fmt(fmt: str) -> Optional[str]:
                 return None
             out += rep
             i += 2
-        elif fmt[i].isalnum():
-            return None  # literal letters would need quoting; keep subset strict
+        elif fmt[i].isalpha():
+            # literal letters (e.g. the ISO 'T') must be quoted for the
+            # Java formatter; strftime passes them through verbatim
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out += "'" + fmt[i:j] + "'"
+            i = j
+        elif fmt[i].isdigit():
+            return None  # literal digits inside a timestamp are ambiguous
         else:
             out += fmt[i]
             i += 1
@@ -117,7 +125,12 @@ def _compile_re(param: str, value: str) -> Optional[ChainFn]:
 def _compile_python(param: str, value: str) -> Optional[ChainFn]:
     if param == "split":
         if not value:
-            return None  # whitespace-split has extra strip semantics
+            # Python str.split(None): strip, split on whitespace runs,
+            # [] for empty/whitespace-only input (where Spark's
+            # split(trim(c)) would yield [''])
+            return lambda c: F.when(
+                F.trim(c) == "", F.array().cast("array<string>")
+            ).otherwise(F.split(F.trim(c), r"\s+"))
         return lambda c: F.split(c, "\\Q" + value + "\\E")
     if param == "join":
         return lambda c: F.array_join(c, value)
