@@ -305,3 +305,25 @@ def test_xxhash64_impl_pair_set_parity(spark):
     plan = lsh_candidate_pairs(docs, impl="xxhash64")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_simhash_hamming_pairs_pigeonhole_complete(spark):
+    """The banded hamming join finds EXACTLY the pairs a brute-force
+    all-pairs scan finds (pigeonhole: d+1 segments, <=d differing bits
+    must leave one segment equal) — no candidate is missed."""
+    from uniparser_spark.textops.dedup import simhash_hamming_pairs, with_simhash
+
+    rows = [(i, f"doc number {i} with shared words " + "alpha " * (i % 5)) for i in range(60)]
+    docs = docs_df(spark, rows)
+    hashes = sorted({r["simhash"] for r in with_simhash(docs).collect()})
+    brute = {
+        (a, b, bin(a ^ b).count("1"))
+        for i, a in enumerate(hashes)
+        for b in hashes[i + 1 :]
+        if bin(a ^ b).count("1") <= 2
+    }
+    got = {
+        (r["h1"], r["h2"], r["hamming"])
+        for r in simhash_hamming_pairs(docs, bits=16, max_hamming=2).collect()
+    }
+    assert got == brute

@@ -229,6 +229,29 @@ def q_url_canonical(spark, sf_dir):
     return add_url_keys(urls).select("id", "url", "url_canon", "host")
 
 
+def q_schedule_split(spark, sf_dir):
+    """THE politeness scheduler itself (frontier/politeness.py
+    schedule_batch): salted two-phase pre-trim + exact per-host window.
+    The oracle is the plain (unsalted) SQL window — the pre-trim must
+    be EXACTLY result-preserving (the correctness property the salted
+    design proves; see politeness.py docstring)."""
+    from .frontier.politeness import schedule_batch
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pending = o.select(
+        F.concat(F.lit("h"), (k % 8).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (k % 8).cast("string"), F.lit("/p/"), k.cast("string")).alias("url_canon"),
+        (k % 3).cast("int").alias("priority"),
+        (k % 5).cast("int").alias("depth"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(None).cast("string").alias("parent_url"),
+        (k % 100).cast("int").alias("list_index"),
+    )
+    out = schedule_batch(pending, default_budget=50, salt_buckets=4)
+    return out.select("url_canon", "host", F.col("scheduled").cast("int").alias("scheduled"))
+
+
 def q_robots_filter(spark, sf_dir):
     """The robots disallow/allow filter (REP longest-prefix-match,
     frontier/robots.py apply_robots): broadcast-joined rule arrays +
@@ -874,6 +897,18 @@ def q_simhash_groups(spark, sf_dir):
     return simhash_groups(tp(spark, sf_dir, "documents"))
 
 
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """Pigeonhole-banded hamming join over distinct SimHash values:
+    pairs within hamming distance 2 via 3 segment equi-joins + exact
+    bit_count(xor) verify — the near-dup primitive simhash_groups'
+    exact-equality buckets can't express."""
+    from .textops.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        tp(spark, sf_dir, "documents"), bits=16, max_hamming=2
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(
         tp(spark, sf_dir, "documents"), shingle_k=2, threshold=0.2, max_id=200
@@ -944,6 +979,7 @@ QUERIES = {
     "host_extract": q_host_extract,
     "url_canonical": q_url_canonical,
     "robots_filter": q_robots_filter,
+    "schedule_split": q_schedule_split,
     "time_roundtrip": q_time_roundtrip,
     "json_props": q_json_props,
     "rule_first3": q_rule_first3,
@@ -974,6 +1010,7 @@ QUERIES = {
     "dedup_verified_pairs": q_dedup_verified_pairs,
     "dedup_verified_pairs_xx": q_dedup_verified_pairs_xx,
     "simhash_groups": q_simhash_groups,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1044,6 +1081,22 @@ ORACLES = {
                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events
         ) GROUP BY 1
+    """,
+    "schedule_split": """
+        WITH pending AS (
+          SELECT 'h' || (o_orderkey % 8) AS host,
+                 'https://h' || (o_orderkey % 8) || '/p/' || o_orderkey AS url_canon,
+                 o_orderkey % 3 AS priority,
+                 o_orderkey % 5 AS depth,
+                 o_orderkey % 100 AS list_index
+          FROM orders
+        )
+        SELECT url_canon, host,
+               CASE WHEN ROW_NUMBER() OVER (
+                 PARTITION BY host
+                 ORDER BY priority DESC, depth, list_index, url_canon
+               ) <= 50 THEN 1 ELSE 0 END AS scheduled
+        FROM pending
     """,
     "robots_filter": """
         SELECT o_orderkey AS id,
@@ -1375,6 +1428,22 @@ ORACLES = {
         )
         SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         FROM s GROUP BY 1
+    """,
+    "simhash_hamming_pairs": rf"""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(1, 17),
+              j -> CASE WHEN list_sum(list_transform({_TOKS},
+                          t -> ((ascii(substr(md5(t), j, 1)) % 2) * 2 - 1))) >= 0
+                        THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM documents WHERE len({_TOKS}) > 0
+        ),
+        g AS (SELECT simhash, COUNT(*) AS n_docs FROM s GROUP BY 1)
+        SELECT a.simhash AS h1, b.simhash AS h2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+               a.n_docs AS n_docs1, b.n_docs AS n_docs2
+        FROM g a JOIN g b ON a.simhash < b.simhash
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
     "ngram_jaccard_pairs": rf"""
         WITH d AS (

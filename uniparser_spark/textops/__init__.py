@@ -14,6 +14,7 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_groups,
+    simhash_hamming_pairs,
     verified_near_dups,
     with_simhash,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_groups",
+    "simhash_hamming_pairs",
     "verified_near_dups",
     "with_simhash",
     "doc_fingerprints",

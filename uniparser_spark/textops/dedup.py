@@ -463,6 +463,61 @@ def with_simhash(
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Near-dup SimHash value pairs within hamming distance ``d`` via
+    PIGEONHOLE banding: two b-bit hashes within distance d must agree
+    exactly on at least one of d+1 disjoint bit segments, so candidate
+    pairs come from d+1 equi-joins on (segment_idx, segment_bits) over
+    the DISTINCT-hash relation — never an all-pairs product.  The join
+    input is one row per distinct simhash (≤ 2^bits), so this stays
+    tiny however large the corpus; exact ``bit_count(xor)`` verifies.
+
+    Returns (h1, h2, hamming, n_docs1, n_docs2) with h1 < h2.
+    """
+    groups = simhash_groups(df, text_col, id_col, bits, impl=impl)
+    nseg = max_hamming + 1
+    seg_bits = bits // nseg
+    segs = []
+    for i in range(nseg):
+        lo = i * seg_bits
+        width = (bits - lo) if i == nseg - 1 else seg_bits
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+        )
+    banded = (
+        groups.select("simhash", "n_docs", F.explode(F.array(*segs)).alias("b"))
+        .select("simhash", "n_docs", "b.seg", "b.key")
+        .localCheckpoint(eager=False)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(b, ["seg", "key"])
+        .where(F.col("a.simhash") < F.col("b.simhash"))
+        .select(
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+            ham.alias("hamming"),
+            F.col("a.n_docs").alias("n_docs1"),
+            F.col("b.n_docs").alias("n_docs2"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_groups(
     df: DataFrame,
     text_col: str = "text",
