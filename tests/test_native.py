@@ -35,6 +35,8 @@ NATIVE_CHAINS = [
     [["loader", "b16encode", ""]],
     [["loader", "b16encode", ""], ["loader", "b16decode", ""]],
     [["python", "split", ""], ["python", "getitem", "[:4]"], ["python", "join", "+"]],
+    [["re", "[0-9]+", "-"], ["python", "join", "/"]],
+    [["re", ",", "-"], ["python", "join", ";"]],
 ]
 
 
@@ -100,7 +102,8 @@ def test_non_native_chains_rejected():
     assert compile_chain([["css", "a", "@href"]]) is None
     assert compile_chain([["udf", "parse = lambda x: x", ""]]) is None
     assert compile_chain([["re", "(grouped)", ""]]) is None  # findall-group divergence
-    assert compile_chain([["re", "x", "-"]]) is None  # trailing-empty divergence
+    assert compile_chain([["re", "(a)|b", "-"]]) is None  # split interleaves groups
+    assert compile_chain([["re", "x*", "-"]]) is None  # zero-width match divergence
     assert compile_chain([["loader", "json", ""]]) is None  # loads a Python object
     assert compile_chain([["loader", "b85encode", ""]]) is None  # no native codec
     assert compile_chain([["python", "split", ","], ["json", "k", ""]]) is None  # mid-chain json

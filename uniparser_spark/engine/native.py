@@ -20,8 +20,8 @@ executor in tests/test_native.py):
 - ``re``: '' findall → regexp_extract_all; '$N' → regexp_extract_all
   group N; '#N' → regexp_extract ('' on miss, like the reference);
   '@repl' → regexp_replace for replacements without backrefs/escapes;
-  '-' split → split() (rejected: patterns that can produce trailing
-  empties, where Java and Python disagree).
+  '-' split → split(c, p, -1) (limit -1 keeps trailing empties like
+  Python; capturing-group and zero-width-matching patterns rejected).
 - ``python``: split (literal sep, \\Q..\\E-quoted) / join / strip /
   getitem with '[a:b]' slices and non-negative '[i]' indexes / sort /
   chain (flatten) / const / base64_encode / base64_decode / template
@@ -115,10 +115,18 @@ def _compile_re(param: str, value: str) -> Optional[ChainFn]:
             return None  # Java/Python backreference syntax differs
         return lambda c: F.regexp_replace(c, param, repl)
     if value == "-":
-        # Java String.split drops trailing empties, Python keeps them —
-        # only safe when the pattern cannot match at end-of-string
-        # anchored emptiness; keep the conservative subset: reject.
-        return None
+        # Spark's split with limit -1 keeps trailing empties exactly
+        # like Python re.split.  Remaining divergences: capturing
+        # groups (Python interleaves them into the result) and
+        # zero-width-matching patterns (engines disagree on empty
+        # matches) — reject both.
+        try:
+            rx = _re.compile(param)
+        except _re.error:
+            return None
+        if rx.groups > 0 or rx.search("") is not None:
+            return None
+        return lambda c: F.split(c, param, -1)
     return None
 
 
@@ -274,7 +282,7 @@ def _arr_after(parser: str, param: str, value: str, was_arr: bool) -> bool:
     """Crude list/scalar tracking through a chain (enough to refuse the
     compiles that would SILENTLY diverge on list inputs)."""
     if parser == "re":
-        return value == "" or value.startswith("$")
+        return value == "" or value.startswith("$") or value == "-"
     if parser in ("python", "py"):
         if param == "split":
             return True

@@ -112,10 +112,20 @@ def _filter_pred(expr: str):
         raise UnsupportedPathError(f"unsupported filter op: {op!r}")
 
     def pred(item: Any) -> bool:
-        if not isinstance(item, dict) or key not in item:
+        if not isinstance(item, dict):
+            return False
+        if key in item:  # a literal dotted key wins over traversal
+            val = item[key]
+        elif "." in key:  # @.a.b nested filter key
+            val = item
+            for part in key.split("."):
+                if not isinstance(val, dict) or part not in val:
+                    return False
+                val = val[part]
+        else:
             return False
         try:
-            return bool(fn(item[key], lit))
+            return bool(fn(val, lit))
         except TypeError:
             return False
 
