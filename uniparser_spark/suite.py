@@ -853,6 +853,32 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 # -------------------------------------------------------------------- dedup
+def q_corpus_filter(spark, sf_dir):
+    """The composed training-data admission pass (langid + quality +
+    keep-first exact dedup) in one scan + one window shuffle."""
+    from .textops.quality import corpus_filter
+
+    return corpus_filter(tp(spark, sf_dir, "documents"), langs=("en", "und"), min_quality=0.4)
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus sizing aggregate per (source, lang): docs, tokens, chars,
+    decimal-exact summed quality — the numbers a training-mix plan is
+    built from."""
+    from .textops.quality import quality_expr
+
+    docs = tp(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(quality_expr("text").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_quality"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1005,6 +1031,8 @@ QUERIES = {
     "langid": q_langid,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "corpus_filter": q_corpus_filter,
+    "corpus_stats": q_corpus_stats,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_xx": q_minhash_lsh_pairs_xx,
     "dedup_verified_pairs": q_dedup_verified_pairs,
@@ -1354,6 +1382,52 @@ ORACLES = {
                COUNT(*) AS n_docs,
                MIN(doc_id) AS keep_id
         FROM documents GROUP BY 1
+    """,
+    "corpus_filter": rf"""
+        WITH v AS (
+          SELECT doc_id, text,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('the','a','of','and','to','in','is','that'))) AS ven,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS vde,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('le','la','les','et','est','un','une','dans'))) AS vfr,
+            len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> t IN ('el','los','las','es','un','una','en','que'))) AS ves
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id,
+            CASE WHEN greatest(ven, vde, vfr, ves) = 0 THEN 'und'
+                 WHEN ven = greatest(ven, vde, vfr, ves) THEN 'en'
+                 WHEN vde = greatest(ven, vde, vfr, ves) THEN 'de'
+                 WHEN vfr = greatest(ven, vde, vfr, ves) THEN 'fr'
+                 ELSE 'es' END AS pred_lang,
+            ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+              + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
+              + 0.2 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)))
+              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS quality,
+            substr(md5({_NORM}), 1, 16) AS fp
+          FROM v
+        ),
+        f AS (
+          SELECT * FROM e WHERE pred_lang IN ('en', 'und') AND quality >= 0.4
+        )
+        SELECT doc_id, pred_lang, quality
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+        WHERE rn = 1
+    """,
+    "corpus_stats": rf"""
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               SUM(len({_TOKS})) AS n_tokens,
+               SUM(length(text)) AS n_chars,
+               CAST(SUM(CAST(ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+              + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
+              + 0.2 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)))
+              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+        FROM documents
+        GROUP BY 1, 2
     """,
     "minhash_lsh_pairs": rf"""
         WITH toks AS (

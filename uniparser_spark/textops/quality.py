@@ -50,6 +50,40 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The 0-1 quality score as a single reusable Column expression."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_tok = F.size(toks).cast("double")
+    sw_ratio = _sw_count(toks, STOPWORDS["en"]).cast("double") / n_tok
+    punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")).cast("double")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return F.round(
+        F.lit(0.4) * F.least(F.lit(1.0), n_chars / F.lit(500.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct / n_chars)
+        + F.lit(0.1) * F.least(F.lit(1.0), sw_ratio * F.lit(5.0)),
+        4,
+    )
+
+
+def pred_lang_expr(text_col: str = "text") -> Column:
+    """Stopword-vote language prediction as one Column expression."""
+    toks = tokens(F.lower(F.col(text_col)))
+    votes = {lang: _sw_count(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*votes.values())
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(votes["en"] == best, F.lit("en"))
+        .when(votes["de"] == best, F.lit("de"))
+        .when(votes["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality: length score, stopword ratio,
     punctuation ratio, repetition ratio → weighted 0-1 score.
@@ -66,16 +100,9 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")).cast("double")
     )
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
     sw_ratio = sw / n_tok
     punct_ratio = punct / n_chars
-    quality = F.round(
-        F.lit(0.4) * len_score
-        + F.lit(0.3) * distinct_ratio
-        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.1) * F.least(F.lit(1.0), sw_ratio * F.lit(5.0)),
-        4,
-    )
+    quality = quality_expr(text_col)
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
@@ -95,18 +122,45 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     """
     toks = tokens(F.lower(F.col(text_col)))
     votes = {lang: _sw_count(toks, words) for lang, words in STOPWORDS.items()}
-    best = F.greatest(*votes.values())
-    pred = (
-        F.when(best == 0, F.lit("und"))
-        .when(votes["en"] == best, F.lit("en"))
-        .when(votes["de"] == best, F.lit("de"))
-        .when(votes["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
     return df.select(
         F.col(id_col),
-        pred.alias("pred_lang"),
+        pred_lang_expr(text_col).alias("pred_lang"),
         *[votes[lang].alias(f"votes_{lang}") for lang in STOPWORDS],
+    )
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs=("en",),
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The composed training-data admission pipeline: language filter +
+    quality threshold + exact keep-first dedup, in ONE scan of the
+    corpus and ONE shuffle.
+
+    All predicates are column expressions computed in the same
+    projection (the scan reads (id, text) once); keep-first dedup is a
+    row_number window over the normalized-content fingerprint — the
+    single wide operation.  This is the shape a 100 TB admission pass
+    wants: no joins of per-metric outputs, no repeated text scans.
+    Returns (id, pred_lang, quality) for admitted documents.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    enriched = df.select(
+        F.col(id_col),
+        pred_lang_expr(text_col).alias("pred_lang"),
+        quality_expr(text_col).alias("quality"),
+        h16(norm).alias("content_fp"),
+    ).filter(F.col("pred_lang").isin(*langs) & (F.col("quality") >= min_quality))
+    keep_first = Window.partitionBy("content_fp").orderBy(id_col)
+    return (
+        enriched.withColumn("_rn", F.row_number().over(keep_first))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "pred_lang", "quality")
     )
 
 
