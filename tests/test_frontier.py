@@ -100,3 +100,32 @@ def test_schedule_priority_first(spark):
     decided = schedule_batch(_pending(spark, rows), default_budget=2, salt_buckets=2)
     sched = sorted(decided.filter("scheduled").collect(), key=lambda r: r["list_index"])
     assert [r["priority"] for r in sched] == [5, 5]
+
+
+def test_canonicalizer_parity_fuzz(spark):
+    """Property fuzz: the native-expression canonicalizer and the Python
+    one agree on arbitrary URL-shaped strings (schemes, weird ports,
+    queries, fragments, missing scheme, unicode hosts)."""
+    from hypothesis import given, settings, strategies as st
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", ""])
+    hostc = st.text(alphabet="aB9.-é", min_size=1, max_size=12)
+    port = st.sampled_from(["", ":80", ":443", ":8080", ":0443"])
+    tail = st.text(
+        alphabet="/ab1?=&#%ß", min_size=0, max_size=16
+    )
+
+    collected = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(scheme, hostc, port, tail)
+    def gen(sc, host, pt, tl):
+        url = (f"{sc}://" if sc else "") + host + pt + "/" + tl
+        collected.append(url)
+
+    gen()
+    urls = sorted(set(collected))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["url_canon"] for r in add_url_keys(df).collect()}
+    for u in urls:
+        assert got[u] == canonicalize_url(u), repr(u)
