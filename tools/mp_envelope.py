@@ -7,7 +7,12 @@ engine in a multiprocessing.Pool at two worker counts and reports
 machine.  No Spark involved: this isolates memory-bandwidth +
 core-oversubscription effects from engine overhead.
 
-Usage: python tools/mp_envelope.py [lo] [hi] [n_pages]
+Usage: python tools/mp_envelope.py [lo] [hi] [n_pages] [--pin]
+
+--pin sets the process CPU affinity to exactly `workers` cores before
+each Pool (children inherit it): the cpuset-pinned protocol, where the
+lo level cannot borrow the box's idle cores for its own IPC/GC — the
+fairest single-box stand-in for per-executor cores on a real cluster.
 """
 
 from __future__ import annotations
@@ -62,9 +67,19 @@ def main() -> None:
     per_batch = 50
     batches = [pages[i : i + per_batch] for i in range(0, n, per_batch)]
 
+    pin = "--pin" in sys.argv
+
+    def _affinity(workers: int) -> None:
+        if pin:
+            import os
+
+            os.sched_setaffinity(0, set(range(workers)))
+
+    _affinity(lo)
     measure(lo, batches[: len(batches) // 4], rule_json)  # warmup
     walls = {}
     for w in (lo, hi):
+        _affinity(w)
         walls[w] = min(measure(w, batches, rule_json) for _ in range(2))
     r_lo, r_hi = n / walls[lo], n / walls[hi]
     print(

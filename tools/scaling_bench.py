@@ -27,13 +27,19 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run(cpus: int, pages: int) -> dict:
+def run(cpus: int, pages: int, cpuset: bool = False) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_CRAWL_PAGES"] = str(pages)
     env.setdefault("BENCH_POLITENESS", "0")  # efficiency metric = unbound job
+    # cpuset protocol: pin the WHOLE process tree (JVM + python workers)
+    # to exactly `cpus` cores, so both levels are equally saturated —
+    # on a real cluster an executor's JVM data plane and Python workers
+    # share that executor's cores at every cluster size; letting the
+    # low level's JVM spill onto the box's idle cores inflates it.
+    prefix = ["taskset", "-c", f"0-{cpus - 1}"] if cpuset else []
     proc = subprocess.run(
-        [sys.executable, "bench.py", "--crawl-only"],
+        prefix + [sys.executable, "bench.py", "--crawl-only"],
         capture_output=True,
         text=True,
         env=env,
@@ -51,8 +57,14 @@ def main() -> None:
     # shows ±10-30% between runs and a mild in-JVM degradation across
     # back-to-back crawls, so fresh processes give the fairest sample
     repeat = int(os.environ.get("SCALING_REPEATS", "1"))
-    lo_runs = [run(n, pages) for _ in range(repeat)]
-    hi_runs = [run(4 * n, pages) for _ in range(repeat)]
+    cpuset = os.environ.get("SCALING_CPUSET", "0") == "1"
+    # interleave levels (lo, hi, lo, hi, ...) so slow drift in the shared
+    # VM's background load hits both levels evenly instead of whichever
+    # level happened to run last
+    lo_runs, hi_runs = [], []
+    for _ in range(repeat):
+        lo_runs.append(run(n, pages, cpuset))
+        hi_runs.append(run(4 * n, pages, cpuset))
     lo_all = [s for r in lo_runs for s in r["crawl"]["all_runs_urls_per_sec"]]
     hi_all = [s for r in hi_runs for s in r["crawl"]["all_runs_urls_per_sec"]]
     import statistics
@@ -69,6 +81,7 @@ def main() -> None:
     summary = {
         "n_cpus": n,
         "n4_cpus": 4 * n,
+        "protocol": "cpuset-pinned" if cpuset else "free",
         "pages": pages,
         "urls_per_sec_n": r_lo,
         "urls_per_sec_4n": r_hi,
@@ -88,7 +101,8 @@ def main() -> None:
     hi = max(hi_runs, key=lambda r: r["crawl"]["urls_per_sec"])
     eff = eff_best
     print(json.dumps(summary))
-    (REPO / "BENCH_SCALING.json").write_text(json.dumps(summary, indent=1))
+    out = "BENCH_SCALING_CPUSET.json" if cpuset else "BENCH_SCALING.json"
+    (REPO / out).write_text(json.dumps(summary, indent=1))
     # BENCH.md (narrative + analysis) is maintained by hand; this table
     # is printed for copy-in so a rerun never clobbers the analysis.
     print(

@@ -25,6 +25,10 @@ def ship_package(spark: SparkSession) -> None:
     driver's cwd — the local-mode equivalent of
     ``spark-submit --py-files uniparser_spark.zip``."""
     pkg_dir = Path(__file__).resolve().parent.parent
+    if not pkg_dir.is_dir():
+        # imported from a --py-files zip: the package is already shipped
+        # (and there is no directory tree to re-archive)
+        return
     zip_base = Path(tempfile.gettempdir()) / f"uniparser_spark_pyfiles_{os.getpid()}"
     archive = shutil.make_archive(str(zip_base), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name)
     spark.sparkContext.addPyFile(archive)

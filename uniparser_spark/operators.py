@@ -34,6 +34,7 @@ from typing import Any, Callable, Dict, Optional
 from . import config
 from .dom import parse_html, parse_xml
 from .dom.nodes import Element
+from .dom.xpath import xpath_select
 from .exceptions import UnknownParserNameError
 from .paths import jsonpath_values, objectpath_execute
 
@@ -161,6 +162,30 @@ def op_xml(obj: Any, param: str, value: str) -> Any:
         return [el.get(value[1:]) for el in dom.select(param)]
     fn = _XML_VALUE_OPS.get(value, lambda el: el)
     return [fn(el) for el in dom.select(param)]
+
+
+def op_xpath(obj: Any, param: str, value: str) -> Any:
+    """XPath-subset extraction (beyond the reference, whose xml parser
+    is CSS-based — parsers.py:336 "not support `xpath` for now"; the
+    north-star rule language names XPath chains explicitly).
+
+    ``param`` is the XPath; string results (``@attr`` / ``text()``
+    paths) pass through, element results take the css-style ``value``
+    ops ($text / $outerHTML / @attr), defaulting to the element itself.
+    """
+    if not obj:
+        return []
+    if isinstance(obj, Element):
+        dom = obj
+    else:
+        s = obj if isinstance(obj, str) else str(obj)
+        dom = parse_xml(s) if s.lstrip()[:5] == "<?xml" else parse_html(s)
+    out = xpath_select(dom, param)
+    if value.startswith("@"):
+        fn = lambda el: el.get(value[1:])  # noqa: E731
+    else:
+        fn = _HTML_VALUE_OPS.get(value, lambda el: el)
+    return [fn(n) if isinstance(n, Element) else n for n in out]
 
 
 # ----------------------------------------------------------------- regex
@@ -435,7 +460,7 @@ def op_context(obj: Any, param: str, value: Any) -> Any:
 # operators that map themselves over list inputs (reference
 # _RECURSION_LIST=True: parsers.py:86,495,532,567,606,736)
 RECURSIVE_OPS = frozenset(
-    {"css", "css1", "selectolax", "se", "se1", "selectolax1", "xml", "re", "loader", "time", "context"}
+    {"css", "css1", "selectolax", "se", "se1", "selectolax1", "xml", "xpath", "re", "loader", "time", "context"}
 )
 
 _CANONICAL: Dict[str, Callable[[Any, str, Any], Any]] = {
@@ -444,6 +469,7 @@ _CANONICAL: Dict[str, Callable[[Any, str, Any], Any]] = {
     "selectolax": op_selectolax,
     "selectolax1": op_selectolax1,
     "xml": op_xml,
+    "xpath": op_xpath,
     "re": op_re,
     "jsonpath": op_jsonpath,
     "objectpath": op_objectpath,

@@ -1,0 +1,214 @@
+"""WARC (ISO 28500) source connector — Common Crawl's native format.
+
+Common Crawl publishes the web corpus as ``.warc.gz`` files with one
+gzip member per record; the reference engine only ever sees a page
+AFTER someone fetched it (its input-object flexibility starts at
+text/markup, reference parsers.py:93-105).  At the north rule's scale
+the pages table is *built from* WARC segments, so the engine carries
+its own connector:
+
+- :func:`iter_warc_records` — stdlib-only incremental parser for plain
+  or (multi-member) gzip WARC streams; yields (headers, payload).
+- :func:`read_warc` — ``spark.read.format("binaryFile")`` over a
+  directory of segments + ONE Arrow-batched ``mapInPandas`` decode per
+  file → the canonical pages schema ``(url, warc_ts, html binary,
+  text, lang)``.  The file is the parallelism unit — exactly how
+  Common Crawl segments shard on a cluster (a 100 TB crawl is ~64k
+  segments of ~1 GB; 1000 executors stream them independently, no
+  shuffle anywhere).
+- :func:`build_warc` — deterministic writer (gzip member per record)
+  so tests and the oracle row can round-trip known bytes.
+
+HTTP response payloads are split at the header/body boundary; ``text``
+is decoded with the Content-Type charset (fallback utf-8/replace) and
+``lang`` comes from the Content-Language header when present.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+from datetime import datetime, timezone
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+_CHARSET = re.compile(r"charset=['\"]?([\w.-]+)", re.I)
+
+
+def _parse_headers(block: bytes) -> Dict[str, str]:
+    headers: Dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.decode("latin-1").strip().lower()] = v.decode("latin-1").strip()
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[Dict[str, str], bytes]]:
+    """Yield ``(warc_headers, payload)`` for each record in a WARC
+    stream (plain or gzip; Python's gzip handles the one-member-per-
+    record concatenation transparently)."""
+    if data[:2] == _GZIP_MAGIC:
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"malformed WARC stream at byte {pos}: expected record header, "
+                f"got {data[pos:pos + 16]!r}"
+            )
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError(f"unterminated WARC header block at byte {pos}")
+        headers = _parse_headers(data[pos:head_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"WARC record at byte {pos} lacks a valid Content-Length")
+        body_start = head_end + 4
+        payload = data[body_start:body_start + length]
+        if len(payload) != length:
+            raise ValueError(
+                f"truncated WARC record at byte {pos}: "
+                f"Content-Length {length}, {len(payload)} bytes left"
+            )
+        yield headers, payload
+        pos = body_start + length
+
+
+def split_http_payload(payload: bytes) -> Tuple[Dict[str, str], bytes]:
+    """Split an HTTP response payload into (headers, body).  Payloads
+    that don't start with an HTTP status line pass through unchanged
+    (resource records / raw captures)."""
+    if not payload.startswith(b"HTTP/"):
+        return {}, payload
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        return {}, payload
+    return _parse_headers(payload[:sep]), payload[sep + 4:]
+
+
+def _decode_body(body: bytes, http_headers: Dict[str, str]) -> str:
+    charset = "utf-8"
+    m = _CHARSET.search(http_headers.get("content-type", ""))
+    if m:
+        charset = m.group(1)
+    try:
+        return body.decode(charset, errors="replace")
+    except LookupError:  # unknown charset label in the wild
+        return body.decode("utf-8", errors="replace")
+
+
+def _parse_warc_date(value: str) -> Optional[datetime]:
+    try:
+        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+def records_to_pages(data: bytes) -> Iterator[Dict[str, Any]]:
+    """WARC stream → page dicts on the canonical schema.  Only
+    ``response``/``resource`` records become pages; request/metadata/
+    warcinfo records are skipped (they describe the crawl, not the
+    web)."""
+    for headers, payload in iter_warc_records(data):
+        rtype = headers.get("warc-type", "")
+        if rtype not in ("response", "resource"):
+            continue
+        http_headers, body = split_http_payload(payload)
+        yield {
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "html": body,
+            "text": _decode_body(body, http_headers),
+            "lang": http_headers.get("content-language") or None,
+        }
+
+
+def read_warc(spark, path: str, path_glob: str = "*.warc*"):
+    """Directory of WARC segments → pages DataFrame.
+
+    ``binaryFile`` distributes whole segments (one task per file — the
+    Common-Crawl sharding unit); the decode is a single Arrow-batched
+    mapInPandas with no shuffle.  Column pruning still applies above
+    this source; filters belong downstream of the decode.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    from ..testgen import PAGES_SCHEMA
+
+    # real-world WARC headers are optional (Content-Language, WARC-Date
+    # may be absent) — the decoded table is PAGES_SCHEMA shape but nullable
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in PAGES_SCHEMA.fields]
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", path_glob)
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: List[Dict[str, Any]] = []
+            for blob in batch["content"]:
+                rows.extend(records_to_pages(bytes(blob)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.mapInPandas(decode, schema=schema)
+
+
+def build_warc(
+    records: Iterable[Tuple[str, datetime, bytes]],
+    gzip_per_record: bool = True,
+    content_type: str = "text/html; charset=utf-8",
+    content_language: Optional[str] = None,
+) -> bytes:
+    """Deterministic WARC writer: ``(url, ts, body)`` → response
+    records with an HTTP/1.1 payload, one gzip member each (the
+    Common-Crawl layout) or a plain concatenated stream."""
+    out = io.BytesIO()
+    for url, ts, body in records:
+        http_lines = [
+            b"HTTP/1.1 200 OK",
+            f"Content-Type: {content_type}".encode(),
+        ]
+        if content_language:
+            http_lines.append(f"Content-Language: {content_language}".encode())
+        http_lines.append(f"Content-Length: {len(body)}".encode())
+        http = _CRLF.join(http_lines) + _CRLF + _CRLF + body
+        head = _CRLF.join(
+            [
+                b"WARC/1.0",
+                b"WARC-Type: response",
+                f"WARC-Target-URI: {url}".encode(),
+                f"WARC-Date: {ts.astimezone(timezone.utc):%Y-%m-%dT%H:%M:%SZ}".encode(),
+                b"Content-Type: application/http; msgtype=response",
+                f"Content-Length: {len(http)}".encode(),
+            ]
+        )
+        record = head + _CRLF + _CRLF + http + _CRLF + _CRLF
+        if gzip_per_record:
+            # mtime pinned for byte-determinism
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(record)
+            out.write(buf.getvalue())
+        else:
+            out.write(record)
+    return out.getvalue()

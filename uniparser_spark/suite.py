@@ -460,6 +460,116 @@ def q_rule_css1(spark, sf_dir):
     )
 
 
+def q_rule_xpath(spark, sf_dir):
+    """XPath-subset chains (beyond the reference, whose xml parser is
+    CSS-based — parsers.py:336): per-context positional predicates
+    (//li[1] = first li of EVERY ul), attribute steps, last(), and a
+    contains() predicate, all through the fused chain engine.  The HTML
+    carries TWO lists so the per-context //li[1] semantics are visible
+    in the oracle (two firsts, not one)."""
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><h1 class="title">Doc '), d,
+        F.lit("</h1><ul>"),
+        F.lit('<li><a href="/d/'), (F.col("doc_id") * 3).cast("string"),
+        F.lit('/">one</a></li>'),
+        F.lit('<li><a href="/d/'), (F.col("doc_id") * 3 + 1).cast("string"),
+        F.lit('/">two</a></li>'),
+        F.lit('</ul><ul><li><a href="/d/'), (F.col("doc_id") * 3 + 2).cast("string"),
+        F.lit('/">three</a></li></ul><p lang="en-US">sum '), d,
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit(f"https://{_DOCS_HOST}/x/"), d).alias("url"),
+        html.alias("text"),
+    )
+    storage = _single_host_storage(
+        _DOCS_HOST,
+        "xp",
+        rf"^https://docs\.example\.org/x/\d+$",
+        [
+            {
+                "name": "title",
+                "chain_rules": [
+                    ["xpath", "//h1[@class='title']/text()", ""],
+                    ["python", "getitem", "[0]"],
+                ],
+                "child_rules": [],
+            },
+            {
+                "name": "firsts",
+                "chain_rules": [
+                    ["xpath", "//li[1]/a/@href", ""],
+                    ["python", "join", ","],
+                ],
+                "child_rules": [],
+            },
+            {
+                "name": "ul1_last",
+                "chain_rules": [
+                    ["xpath", "//ul[1]/li[last()]/a", "@href"],
+                    ["python", "getitem", "[0]"],
+                ],
+                "child_rules": [],
+            },
+            {
+                "name": "lang_text",
+                "chain_rules": [
+                    ["xpath", "//p[starts-with(@lang,'en')]/text()", ""],
+                    ["python", "getitem", "[0]"],
+                ],
+                "child_rules": [],
+            },
+        ],
+    )
+    res = extract_pages(pages, storage)
+    return res.select(
+        "url",
+        F.get_json_object("result", "$.xp.title").alias("title"),
+        F.get_json_object("result", "$.xp.firsts").alias("firsts"),
+        F.get_json_object("result", "$.xp.ul1_last").alias("ul1_last"),
+        F.get_json_object("result", "$.xp.lang_text").alias("lang_text"),
+    )
+
+
+def q_warc_scan(spark, sf_dir):
+    """WARC source connector (sources/warc.py) round-trip: each
+    partition of the documents table is encoded as a Common-Crawl-style
+    WARC stream (gzip member per response record, HTTP/1.1 payload) and
+    parsed back through the stdlib record parser — one Arrow-batched
+    mapInPandas, no shuffle, no filesystem.  The oracle predicts the
+    parser's output straight from the documents table, so any header
+    mis-split, charset slip, or record-boundary bug breaks parity."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    from .sources.warc import build_warc, records_to_pages
+
+    ts = datetime(2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def roundtrip(batches):
+        for b in batches:
+            recs = [
+                (f"https://warc.example.org/d/{i}", ts, t.encode("utf-8"))
+                for i, t in zip(b["doc_id"], b["text"])
+            ]
+            pages = list(records_to_pages(build_warc(recs, content_language="en")))
+            yield pd.DataFrame(
+                {
+                    "url": [p["url"] for p in pages],
+                    "text": [p["text"] for p in pages],
+                    "lang": [p["lang"] for p in pages],
+                    "warc_epoch": [int(p["warc_ts"].timestamp()) for p in pages],
+                }
+            )
+
+    return docs.mapInPandas(
+        roundtrip, schema="url string, text string, lang string, warc_epoch long"
+    )
+
+
 def q_rule_json(spark, sf_dir):
     """loader(json) → jmespath chain over the events props column."""
     ev = tp(spark, sf_dir, "events")
@@ -1011,6 +1121,8 @@ QUERIES = {
     "rule_first3": q_rule_first3,
     "rule_css": q_rule_css,
     "rule_css1": q_rule_css1,
+    "rule_xpath": q_rule_xpath,
+    "warc_scan": q_warc_scan,
     "rule_json": q_rule_json,
     "rule_udf": q_rule_udf,
     "rule_regex_sub": q_rule_regex_sub,
@@ -1207,6 +1319,21 @@ ORACLES = {
                NULL AS miss_css1,
                '' AS miss_se1,
                '/d/' || doc_id || '/' AS href
+        FROM documents
+    """,
+    "rule_xpath": """
+        SELECT 'https://docs.example.org/x/' || doc_id AS url,
+               'Doc ' || doc_id AS title,
+               '/d/' || (doc_id*3) || '/,/d/' || (doc_id*3+2) || '/' AS firsts,
+               '/d/' || (doc_id*3+1) || '/' AS ul1_last,
+               'sum ' || doc_id AS lang_text
+        FROM documents
+    """,
+    "warc_scan": """
+        SELECT 'https://warc.example.org/d/' || doc_id AS url,
+               text,
+               'en' AS lang,
+               CAST(epoch(TIMESTAMP '2026-01-02 03:04:05') AS BIGINT) AS warc_epoch
         FROM documents
     """,
     "rule_json": """
