@@ -58,28 +58,26 @@ EDGES = [
 ]
 
 
+def _three_way(markup):
+    ref = tree(parse_html(markup, engine="std"))
+    assert tree(parse_html(markup, engine="fast")) == ref  # fused engine
+    assert tree(parse_html(markup, engine="scan")) == ref  # callback scanner
+
+
 @pytest.mark.parametrize("markup", EDGES)
 def test_edges_parity(markup):
-    assert tree(parse_html(markup, engine="fast")) == tree(
-        parse_html(markup, engine="std")
-    )
+    _three_way(markup)
 
 
 def test_golden_fixture_parity():
-    assert tree(parse_html(GOLDEN_HTML, engine="fast")) == tree(
-        parse_html(GOLDEN_HTML, engine="std")
-    )
+    _three_way(GOLDEN_HTML)
 
 
 def test_synthetic_corpus_parity():
     host = host_name(0)
     for k in range(25):
-        page = detail_html(host, k)
-        assert tree(parse_html(page, engine="fast")) == tree(
-            parse_html(page, engine="std")
-        )
-    lst = list_html(host, 40)
-    assert tree(parse_html(lst, engine="fast")) == tree(parse_html(lst, engine="std"))
+        _three_way(detail_html(host, k))
+    _three_way(list_html(host, 40))
 
 
 def test_selection_on_fast_dom():
@@ -116,9 +114,7 @@ try:
     @settings(max_examples=300, deadline=None)
     @given(_soup)
     def test_fuzz_tokenizer_parity(markup):
-        assert tree(parse_html(markup, engine="fast")) == tree(
-            parse_html(markup, engine="std")
-        )
+        _three_way(markup)
 
 except ImportError:  # pragma: no cover
     pass
