@@ -95,7 +95,7 @@ def test_star_and_node_tests(dom):
 def test_unsupported_constructs_are_named(dom):
     for path, frag in [
         ("count(//a)", "function count"),
-        ("//a/following-sibling::b", "axis following-sibling"),
+        ("//a/following::b", "axis following"),
         ("//a[translate(@href,'a','b')]", "function"),
         ("//a | ", "union"),
         ("//@href/x", "step after"),
@@ -140,3 +140,58 @@ def test_operator_accepts_dom_element_input():
     dom = parse_html(HTML)
     div_b = xpath_select(dom, "//div[@id='b']")[0]
     assert op("xpath", div_b, ".//a/@href", "") == ["/4", "/5"]
+
+
+TABLE = """<table>
+<tr><th>k1</th><td>v1</td><td> v1b </td></tr>
+<tr><th>k2</th><td>v2</td></tr>
+</table>
+<div><p id="x">a</p><p>b</p><span>c</span><p>d</p></div>"""
+
+
+@pytest.fixture(scope="module")
+def tdom():
+    return parse_html(TABLE)
+
+
+def tstrs(tdom, path):
+    return [
+        n if isinstance(n, str) else n.text for n in xpath_select(tdom, path)
+    ]
+
+
+def test_sibling_axes(tdom):
+    # the canonical scraping shape: label cell -> value cell
+    assert tstrs(tdom, "//th[.='k1']/following-sibling::td") == ["v1", " v1b "]
+    # [1] is per-context: nearest following td of EVERY th
+    assert tstrs(tdom, "//th/following-sibling::td[1]") == ["v1", "v2"]
+    # preceding-sibling is a reverse axis: [1] = NEAREST preceding
+    assert tstrs(tdom, "//span/preceding-sibling::p[1]") == ["b"]
+    # ...but unpredicated node-sets surface in document order (lxml)
+    assert tstrs(tdom, "//span/preceding-sibling::p") == ["a", "b"]
+    assert tstrs(tdom, "//span/following-sibling::*") == ["d"]
+    assert tstrs(tdom, "//td[.='v2']/preceding-sibling::th") == ["k2"]
+
+
+def test_ancestor_descendant_axes(tdom):
+    # ancestor::* excludes the synthetic [document] root (not an element)
+    assert [e.tag for e in xpath_select(tdom, "//td/ancestor::*")] == [
+        "table", "tr", "tr",
+    ]
+    assert [e.tag for e in xpath_select(tdom, "//td[.='v2']/ancestor-or-self::*")] == [
+        "table", "tr", "td",
+    ]
+    # reverse-axis positions: ancestor[1] is the nearest (the tr)
+    assert [e.tag for e in xpath_select(tdom, "//td[.='v2']/ancestor::*[1]")] == ["tr"]
+    assert tstrs(tdom, "//div/descendant::p") == ["a", "b", "d"]
+    assert tstrs(tdom, "/descendant-or-self::span") == ["c"]
+    # explicit self axis with a tag test filters the context node
+    assert tstrs(tdom, "//p/self::p[@id]") == ["a"]
+    assert tstrs(tdom, "//p/parent::div/span") == ["c"]
+
+
+def test_normalize_space(tdom):
+    assert tstrs(tdom, "//td[normalize-space(.)='v1b']") == [" v1b "]
+    assert tstrs(tdom, "//td[normalize-space()='v1b']") == [" v1b "]
+    # exists-form: boolean(string) is true iff non-empty
+    assert tstrs(tdom, "//td[normalize-space(.)]") == ["v1", " v1b ", "v2"]

@@ -12,7 +12,11 @@ Supported grammar::
 
     union    := path ('|' path)*
     path     := ('/' | '//')? step (('/' | '//') step)*
-    step     := '.' | '..' | '@NAME' | nodetest pred*
+    step     := '.' | '..' | '@NAME' | (axis '::')? nodetest pred*
+    axis     := 'child' | 'attribute' | 'self' | 'parent'
+              | 'descendant' | 'descendant-or-self'
+              | 'ancestor' | 'ancestor-or-self'
+              | 'following-sibling' | 'preceding-sibling'
     nodetest := NAME | '*' | 'text()' | 'node()'
     pred     := '[' or-expr ']'
     or-expr  := and-expr ('or' and-expr)*
@@ -23,7 +27,13 @@ Supported grammar::
               | 'starts-with(' value ',' LITERAL ')'
               | value | value CMP (LITERAL | NUMBER)
     value    := '@NAME' | 'text()' | '.' | NAME
+              | 'normalize-space(' value? ')'
     CMP      := '=' | '!='  ( '<' '<=' '>' '>=' also valid on position() )
+
+Reverse axes (ancestor*, preceding-sibling) number predicate positions
+nearest-first per XPath 1.0 — ``preceding-sibling::td[1]`` is the
+NEAREST preceding ``td`` — while result node-sets surface in document
+order, matching lxml.
 
 Node-set semantics that matter (and are tested):
 
@@ -147,11 +157,19 @@ def _parse_value(t: _Toks):
         return ("dot",)
     if kind == "name":
         if t.peek() == ("op", "("):
-            if val != "text":
-                raise UnsupportedXPathError(f"unsupported function {val}() as operand")
-            t.next()
-            t.eat("op", ")")
-            return ("text",)
+            if val == "text":
+                t.next()
+                t.eat("op", ")")
+                return ("text",)
+            if val == "normalize-space":
+                t.next()
+                if t.peek() == ("op", ")"):
+                    t.next()
+                    return ("norm", ("dot",))
+                inner = _parse_value(t)
+                t.eat("op", ")")
+                return ("norm", inner)
+            raise UnsupportedXPathError(f"unsupported function {val}() as operand")
         return ("child", val)
     raise UnsupportedXPathError(f"unsupported operand {val!r} in {t.src!r}")
 
@@ -240,16 +258,31 @@ def _split_top(s: str, sep: str) -> List[str]:
     return parts
 
 
-def _parse_step(src: str) -> Tuple[str, Optional[str], list]:
+#: explicit axes the subset evaluates.  Reverse axes number predicate
+#: positions nearest-first per XPath 1.0 (ancestor[1] = parent,
+#: preceding-sibling[1] = nearest preceding sibling) but results are
+#: returned in document order, as lxml does.
+_AXES = frozenset({
+    "child", "attribute", "self", "parent",
+    "descendant", "descendant-or-self",
+    "ancestor", "ancestor-or-self",
+    "following-sibling", "preceding-sibling",
+})
+_REVERSE_AXES = frozenset({"ancestor", "ancestor-or-self", "preceding-sibling"})
+
+
+def _parse_step(src: str) -> Tuple[str, str, Optional[str], list]:
     src = src.strip()
+    axis = "child"
     if "::" in src:
-        axis, rest = src.split("::", 1)
-        if axis == "child":
-            src = rest
-        elif axis == "attribute":
-            src = "@" + rest
-        else:
-            raise UnsupportedXPathError(f"unsupported axis {axis}:: (subset: child, attribute, // . ..)")
+        ax, rest = src.split("::", 1)
+        ax = ax.strip()
+        if ax not in _AXES:
+            raise UnsupportedXPathError(
+                f"unsupported axis {ax}:: (subset: {', '.join(sorted(_AXES))})"
+            )
+        axis = ax
+        src = "@" + rest if ax == "attribute" else rest
     m = _STEP_HEAD.match(src)
     if m is None:
         raise UnsupportedXPathError(f"cannot parse step {src!r}")
@@ -283,24 +316,24 @@ def _parse_step(src: str) -> Tuple[str, Optional[str], list]:
     if at:
         if head.endswith("()") or head in (".", "..", "*"):
             raise UnsupportedXPathError(f"bad attribute step @{head}")
-        return ("attr", head, preds)
+        return ("attribute", "attr", head, preds)
     if head == ".":
-        return ("self", None, preds)
+        return ("self", "node", None, preds)
     if head == "..":
-        return ("parent", None, preds)
+        return ("parent", "node", None, preds)
     if head == "*":
-        return ("star", None, preds)
+        return (axis, "star", None, preds)
     if head.endswith("()"):
         fn = head[:-2]
         if fn == "text":
-            return ("text", None, preds)
+            return (axis, "text", None, preds)
         if fn == "node":
-            return ("node", None, preds)
+            return (axis, "node", None, preds)
         raise UnsupportedXPathError(f"unsupported node test {head}")
-    return ("tag", head, preds)
+    return (axis, "tag", head, preds)
 
 
-def _parse_path(path: str) -> List[Tuple[str, Tuple[str, Optional[str], list]]]:
+def _parse_path(path: str) -> List[Tuple[str, Tuple[str, str, Optional[str], list]]]:
     """Return [(sep, step)] where sep is '/' or '//'."""
     p = path.strip()
     if not p:
@@ -308,7 +341,7 @@ def _parse_path(path: str) -> List[Tuple[str, Tuple[str, Optional[str], list]]]:
     # normalize '//' into a marker that survives a '/'-split
     p = p.replace("//", "/\x00")
     segs = _split_top(p, "/")
-    steps: List[Tuple[str, Tuple[str, Optional[str], list]]] = []
+    steps: List[Tuple[str, Tuple[str, str, Optional[str], list]]] = []
     # leading '': absolute path rooted at the document — our evaluation
     # context IS the document root, so absolute and relative coincide
     if segs and segs[0] == "":
@@ -345,6 +378,9 @@ def _string_value(node: Any) -> str:
 
 def _operand_string(node: Any, spec) -> Optional[str]:
     """XPath string-value of an operand, None when the node-set is empty."""
+    if spec[0] == "norm":
+        v = _operand_string(node, spec[1])
+        return None if v is None else " ".join(v.split())
     if spec[0] == "dot":
         return _string_value(node)
     if not isinstance(node, Element):
@@ -384,6 +420,9 @@ def _eval_pred(ast, node: Any, pos: int, size: int) -> bool:
         return _eval_pred(ast[1], node, pos, size) or _eval_pred(ast[2], node, pos, size)
     if k == "exists":
         spec = ast[1]
+        if spec[0] == "norm":
+            v = _operand_string(node, spec)
+            return bool(v)  # boolean(string): true iff non-empty
         if spec[0] == "dot":
             return True
         if spec[0] == "attr":
@@ -432,8 +471,69 @@ def _self_and_descendants(node: Any) -> List[Element]:
     return [node] + list(node.iter_elements())
 
 
+def _walk_nodes(node: Element) -> List[Any]:
+    """All descendant nodes (elements AND text) in document order."""
+    out: List[Any] = []
+    stack = node.children[::-1]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, (Element, Text)):
+            out.append(n)
+            if isinstance(n, Element) and n.children:
+                stack.extend(n.children[::-1])
+    return out
+
+
+def _node_test(nodes: List[Any], kind: str, name: Optional[str]) -> List[Any]:
+    # the synthetic "[document]" root is the XPath root NODE, not an
+    # element: ancestor::* / parent::* exclude it; node() keeps it
+    if kind == "tag":
+        return [n for n in nodes if isinstance(n, Element) and n.tag == name]
+    if kind == "star":
+        return [n for n in nodes if isinstance(n, Element) and n.tag != "[document]"]
+    if kind == "text":
+        return [n for n in nodes if isinstance(n, Text)]
+    return [n for n in nodes if isinstance(n, (Element, Text))]  # node()
+
+
+def _axis_candidates(c: Any, axis: str) -> List[Any]:
+    """Raw candidate nodes for an axis, in AXIS order (reverse axes
+    nearest-first, per XPath 1.0 positional semantics)."""
+    if axis == "self":
+        return [c]
+    if axis == "parent":
+        p = c.parent if isinstance(c, (Element, Text)) else None
+        return [p] if isinstance(p, Element) else []
+    if axis in ("ancestor", "ancestor-or-self"):
+        out = [c] if axis == "ancestor-or-self" else []
+        p = c.parent if isinstance(c, (Element, Text)) else None
+        while isinstance(p, Element):
+            out.append(p)
+            p = p.parent
+        return out
+    if axis in ("following-sibling", "preceding-sibling"):
+        p = c.parent if isinstance(c, (Element, Text)) else None
+        if not isinstance(p, Element):
+            return []
+        sibs = p.children
+        for i, n in enumerate(sibs):
+            if n is c:
+                if axis == "following-sibling":
+                    return list(sibs[i + 1:])
+                return list(sibs[:i])[::-1]  # nearest-first
+        return []
+    if not isinstance(c, Element):
+        return []  # text nodes / attr strings have no children
+    if axis == "child":
+        return list(c.children)
+    if axis == "descendant":
+        return _walk_nodes(c)
+    # descendant-or-self
+    return [c] + _walk_nodes(c)
+
+
 def _apply_step(contexts: List[Any], sep: str, step) -> List[Any]:
-    kind, name, preds = step
+    axis, kind, name, preds = step
     if sep == "//":
         expanded: List[Element] = []
         seen = set()
@@ -446,28 +546,18 @@ def _apply_step(contexts: List[Any], sep: str, step) -> List[Any]:
     out: List[Any] = []
     out_seen = set()
     for c in contexts:
-        if kind == "self":
-            cands: List[Any] = [c]
-        elif kind == "parent":
-            p = c.parent if isinstance(c, (Element, Text)) else None
-            cands = [p] if isinstance(p, Element) else []
-        elif not isinstance(c, Element):
-            cands = []  # text nodes / attr strings have no children
-        elif kind == "attr":
-            v = _attr_raw(c, name)
-            cands = [] if v is None else [v]
-        elif kind == "tag":
-            cands = [n for n in c.children if isinstance(n, Element) and n.tag == name]
-        elif kind == "star":
-            cands = [n for n in c.children if isinstance(n, Element)]
-        elif kind == "text":
-            cands = [n for n in c.children if isinstance(n, Text)]
-        else:  # node()
-            cands = [n for n in c.children if isinstance(n, (Element, Text))]
+        if kind == "attr":
+            v = _attr_raw(c, name) if isinstance(c, Element) else None
+            cands: List[Any] = [] if v is None else [v]
+        else:
+            cands = _node_test(_axis_candidates(c, axis), kind, name)
         # predicates filter sequentially: each re-numbers positions
+        # (in axis order — reverse axes count nearest-first)
         for pred in preds:
             size = len(cands)
             cands = [n for i, n in enumerate(cands, 1) if _eval_pred(pred, n, i, size)]
+        if axis in _REVERSE_AXES:
+            cands.reverse()  # node-set results surface in document order
         for n in cands:
             if id(n) not in out_seen:
                 out_seen.add(id(n))
