@@ -1,0 +1,114 @@
+"""Corpus-cleaning operator tests (C4 / Gopher / RefinedWeb family).
+
+Hand-computed expectations on crafted pages — the DuckDB oracle checks
+the same operators over the synthesized sf corpus end-to-end.
+"""
+
+import pytest
+
+from uniparser_spark.textops import (
+    c4_line_filter,
+    para_dedup,
+    pii_redact,
+    repetition_stats,
+    top_tokens,
+    with_page,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, page string")
+
+
+def test_c4_line_filter_keeps_sentence_lines(spark):
+    page = "\n".join(
+        [
+            "home about contact login",  # boilerplate marker -> drop
+            "this line ends with a period.",  # keep
+            "too short.",  # < 4 words -> drop
+            "no terminal punctuation here",  # no '.' -> drop
+            "another good sentence right here.",  # keep
+            "copyright example com all rights reserved.",  # marker -> drop
+        ]
+    )
+    out = c4_line_filter(_pages(spark, [(1, page)])).collect()[0]
+    assert out["n_lines"] == 6
+    assert out["n_kept"] == 2
+    assert out["clean_text"] == (
+        "this line ends with a period.\nanother good sentence right here."
+    )
+
+
+def test_c4_line_filter_empty_result_is_empty_string(spark):
+    out = c4_line_filter(_pages(spark, [(1, "nothing to keep")])).collect()[0]
+    assert out["n_kept"] == 0
+    assert out["clean_text"] == ""
+
+
+def test_repetition_stats_duplicate_fractions(spark):
+    # 4 non-empty lines, one duplicated -> dup_line_frac = 1 - 3/4
+    # 2 paragraphs, distinct -> dup_para_frac = 0
+    page = "aa bb\ncc dd\naa bb\n\nlast para line"
+    out = repetition_stats(_pages(spark, [(1, page)])).collect()[0]
+    assert out["n_lines"] == 4
+    assert out["dup_line_frac"] == pytest.approx(0.25)
+    assert out["n_paras"] == 2
+    assert out["dup_para_frac"] == 0.0
+    assert out["max_line_len"] == len("last para line")
+    assert out["avg_line_len"] == pytest.approx((5 + 5 + 5 + 14) / 4)
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    page = (
+        "mail a.user@example.org or b@test.io, "
+        "server 10.1.2.3, call +1 555 1234 now"
+    )
+    out = pii_redact(_pages(spark, [(1, page)])).collect()[0]
+    assert (out["n_emails"], out["n_ips"], out["n_phones"]) == (2, 1, 1)
+    assert out["redacted"] == (
+        "mail <EMAIL> or <EMAIL>, server <IP>, call <PHONE> now"
+    )
+
+
+def test_para_dedup_keep_first_across_corpus(spark):
+    shared = "shared boilerplate paragraph"
+    rows = [
+        (1, f"{shared}\n\nunique one"),
+        (2, f"{shared}\n\nunique two\n\n{shared}"),
+        (3, f"{shared}"),
+    ]
+    out = {
+        r["doc_id"]: r for r in para_dedup(_pages(spark, rows)).collect()
+    }
+    # doc 1 owns the first occurrence of the shared paragraph
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == f"{shared}\n\nunique one"
+    # doc 2 loses both copies of it, keeps its unique paragraph
+    assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "unique two"
+    # doc 3 loses everything -> no surviving row (mirrored by the oracle)
+    assert 3 not in out
+
+
+def test_top_tokens_orders_by_count_then_token(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    rows = top_tokens(df, k=3).collect()
+    assert [tuple(r) for r in rows] == [("b", 3, 2), ("a", 2, 2), ("c", 1, 1)]
+
+
+def test_synth_page_structure(spark):
+    df = spark.createDataFrame(
+        [(7, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    page = with_page(df).collect()[0]["page"]
+    paras = page.split("\n\n")
+    # header | body | repeated first line | PII | footer
+    assert paras[0] == "home about contact login"
+    assert paras[-1] == "copyright example com all rights reserved."
+    assert "user7@example.com" in paras[-2] and "+1 555 1007" in paras[-2]
+    body = paras[1]
+    assert body.split("\n")[0] == "one two three four five six seven eight"
+    assert paras[2] == body.split("\n")[0]

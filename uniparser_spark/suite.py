@@ -55,6 +55,14 @@ from .textops import (
     simhash_groups,
     token_stats,
 )
+from .textops.clean import (
+    c4_line_filter,
+    para_dedup,
+    pii_redact,
+    repetition_stats,
+    top_tokens,
+    with_page,
+)
 from .textops.multimodal import decode_media, docs_as_media
 
 TABLES = (
@@ -954,6 +962,29 @@ def q_quality_scores(spark, sf_dir):
     return quality_scores(tp(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------------- corpus cleaning
+# C4 / Gopher / RefinedWeb-style cleaning pass over synthesized pages
+# (textops/clean.py — the oracle re-synthesizes the identical page).
+def q_c4_line_filter(spark, sf_dir):
+    return c4_line_filter(with_page(tp(spark, sf_dir, "documents")))
+
+
+def q_repetition_stats(spark, sf_dir):
+    return repetition_stats(with_page(tp(spark, sf_dir, "documents")))
+
+
+def q_pii_redact(spark, sf_dir):
+    return pii_redact(with_page(tp(spark, sf_dir, "documents")))
+
+
+def q_para_dedup(spark, sf_dir):
+    return para_dedup(with_page(tp(spark, sf_dir, "documents")))
+
+
+def q_top_tokens(spark, sf_dir):
+    return top_tokens(tp(spark, sf_dir, "documents"))
+
+
 def q_langid(spark, sf_dir):
     return langid(tp(spark, sf_dir, "documents"))
 
@@ -1159,6 +1190,11 @@ QUERIES = {
     "embedding_verified_pairs": q_embedding_verified_pairs,
     "multimodal_features": q_multimodal_features,
     "media_dims": q_media_dims,
+    "c4_line_filter": q_c4_line_filter,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "para_dedup": q_para_dedup,
+    "top_tokens": q_top_tokens,
 }
 
 
@@ -1812,6 +1848,131 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+# ------------------------------------------------------- corpus cleaning
+# Shared page-synthesis CTE — must stay bit-identical to
+# textops/clean.py synth_page_expr (parity is what the oracle checks).
+_PAGE_SQL = r"""pages AS (
+    SELECT doc_id,
+      'home about contact login' || chr(10) || chr(10) || body
+      || chr(10) || chr(10) || split_part(body, chr(10), 1)
+      || chr(10) || chr(10) || 'contact user' || CAST(doc_id % 50 AS VARCHAR)
+      || '@example.com call +1 555 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+      || CAST((doc_id * 7) % 256 AS VARCHAR)
+      || chr(10) || chr(10) || 'copyright example com all rights reserved.'
+        AS page
+    FROM (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '((?:\S+ ){7}\S+) ', E'\\1\n', 'g'),
+            '(table|value)(\n)', E'\\1.\\2', 'g'),
+          '((?:[^\n]+\n){3}[^\n]+)\n', E'\\1\n\n', 'g') AS body
+      FROM documents
+    )
+)"""
+
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_SQL = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PHONE_SQL = r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+
+ORACLES.update(
+    {
+        "c4_line_filter": rf"""
+        WITH {_PAGE_SQL},
+        base AS (
+          SELECT doc_id, string_split(page, chr(10)) AS ls,
+            list_filter(string_split(page, chr(10)),
+              l -> len(string_split(l, ' ')) >= 4 AND ends_with(l, '.')
+                   AND NOT contains(l, 'login')
+                   AND NOT contains(l, 'copyright')) AS kept
+          FROM pages
+        )
+        SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM base
+    """,
+        "repetition_stats": rf"""
+        WITH {_PAGE_SQL},
+        base AS (
+          SELECT doc_id,
+            list_filter(string_split(page, chr(10)), l -> length(l) > 0)
+              AS lines,
+            string_split(page, chr(10) || chr(10)) AS paras
+          FROM pages
+        )
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                      / len(lines), 4) AS dup_line_frac,
+          CAST(len(paras) AS BIGINT) AS n_paras,
+          ROUND(1.0 - CAST(len(list_distinct(paras)) AS DOUBLE)
+                      / len(paras), 4) AS dup_para_frac,
+          list_max(list_transform(lines, l -> length(l))) AS max_line_len,
+          ROUND(CAST(list_sum(list_transform(lines, l -> length(l)))
+                     AS DOUBLE) / len(lines), 4) AS avg_line_len
+        FROM base
+    """,
+        "pii_redact": rf"""
+        WITH {_PAGE_SQL}
+        SELECT doc_id,
+          len(regexp_extract_all(page, '{_EMAIL_SQL}')) AS n_emails,
+          len(regexp_extract_all(page, '{_IP_SQL}')) AS n_ips,
+          len(regexp_extract_all(page, '{_PHONE_SQL}')) AS n_phones,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(page, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+              '{_IP_SQL}', '<IP>', 'g'),
+            '{_PHONE_SQL}', '<PHONE>', 'g') AS redacted
+        FROM pages
+    """,
+        "para_dedup": rf"""
+        WITH {_PAGE_SQL},
+        split_docs AS (
+          SELECT doc_id, string_split(page, chr(10) || chr(10)) AS ps
+          FROM pages
+        ),
+        paras AS (
+          SELECT doc_id, unnest(ps) AS para,
+                 unnest(range(1, len(ps) + 1)) AS i
+          FROM split_docs
+        ),
+        keeps AS (
+          SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+              row_number() OVER (PARTITION BY substr(md5(para), 1, 16)
+                                 ORDER BY doc_id, i) AS rn
+            FROM paras)
+          WHERE rn = 1
+        ),
+        kept AS (
+          SELECT doc_id, list(i ORDER BY i) AS keep_idx
+          FROM keeps GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+          len(b.ps) AS n_paras,
+          len(k.keep_idx) AS n_kept,
+          array_to_string(list_transform(k.keep_idx, i -> b.ps[i]),
+                          chr(10) || chr(10)) AS clean_text
+        FROM split_docs b JOIN kept k USING (doc_id)
+    """,
+        "top_tokens": r"""
+        WITH c AS (
+          SELECT token, count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents)
+          GROUP BY token
+        )
+        SELECT token, n_occurrences, n_docs
+        FROM c ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+    }
+)
 
 
 # ------------------------------------------------------- streaming surface

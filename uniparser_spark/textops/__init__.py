@@ -8,6 +8,14 @@ operator has a DuckDB-expressible twin (see ``__spark_entry__.py``
 is how correctness is checked end-to-end.
 """
 
+from .clean import (
+    c4_line_filter,
+    para_dedup,
+    pii_redact,
+    repetition_stats,
+    top_tokens,
+    with_page,
+)
 from .dedup import (
     exact_dup_groups,
     lsh_candidate_pairs,
@@ -35,6 +43,12 @@ from .similarity import (
 )
 
 __all__ = [
+    "c4_line_filter",
+    "para_dedup",
+    "pii_redact",
+    "repetition_stats",
+    "top_tokens",
+    "with_page",
     "exact_dup_groups",
     "lsh_candidate_pairs",
     "minhash_signatures",

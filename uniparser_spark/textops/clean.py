@@ -1,0 +1,236 @@
+"""Corpus cleaning operators — the C4 / Gopher / RefinedWeb family.
+
+Large-scale webtext pipelines run a standard cleaning pass between the
+crawl and training: line-level boilerplate filters (C4: keep lines that
+look like sentences), repetition signals (Gopher: duplicate line /
+paragraph fractions), PII redaction, and corpus-wide duplicated-span
+removal (RefinedWeb).  These operators implement that pass Spark-first:
+everything per-document is a built-in column expression (whole-stage
+codegen, one corpus scan), and the one corpus-wide operator
+(``para_dedup``) shuffles only narrow ``(fingerprint, doc_id, idx)``
+rows — document text crosses the wire exactly once, in the final join.
+
+The sf ``documents`` table is single-line word soup, so the query
+wrappers in ``suite.py`` first synthesize a deterministic page (lines,
+paragraphs, boilerplate chrome, PII strings derived from ``doc_id``)
+with engine-portable string expressions; the DuckDB oracle
+re-synthesizes the identical page, making every downstream value
+independently checkable.
+
+Reference scope note: the reference (uniparser) stops at per-page rule
+extraction (parsers.py:159-805); this module is part of the
+training-data layer the north rule adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .exprs import h16
+
+# ---------------------------------------------------------------- synthesis
+# Deterministic page synthesis shared with the DuckDB oracles (suite.py
+# PAGE_SQL): 8-token lines, a period on lines ending in a marker word,
+# 4-line paragraphs, boilerplate header/footer, doc_id-derived PII.
+LINE_RE = r"((?:\S+ ){7}\S+) "  # 8 tokens + the following space -> newline
+PUNCT_RE = r"(table|value)(\n)"  # lines ending in these read like sentences
+PARA_RE = r"((?:[^\n]+\n){3}[^\n]+)\n"  # every 4th newline -> blank line
+
+HEADER = "home about contact login"
+FOOTER = "copyright example com all rights reserved."
+
+# PII patterns, deliberately inside the common RE2/Java regex subset
+# (no lookaround, no backreferences) so Spark and the oracle agree.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+
+
+def synth_page_expr(text_col: str = "text", id_col: str = "doc_id") -> Column:
+    """Build the synthetic page column (see module docstring).
+
+    Page layout (paragraphs separated by blank lines): shared header
+    chrome | body paragraphs | the first body line again (sidebar-style
+    within-doc repetition, so Gopher duplicate-line fractions are
+    non-trivial) | doc-specific PII line | shared footer.  Header and
+    footer are identical across documents — corpus-wide paragraph dedup
+    removes them, which is exactly the boilerplate-removal semantics
+    the operator exists for."""
+    body = F.regexp_replace(F.col(text_col), LINE_RE, "$1\n")
+    body = F.regexp_replace(body, PUNCT_RE, "$1.$2")
+    body = F.regexp_replace(body, PARA_RE, "$1\n\n")
+    first_line = F.substring_index(body, "\n", 1)
+    did = F.col(id_col)
+    pii = F.concat(
+        F.lit("contact user"),
+        (did % 50).cast("string"),
+        F.lit("@example.com call +1 555 "),
+        (did % 9000 + 1000).cast("string"),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+    )
+    sep = F.lit("\n\n")
+    return F.concat(
+        F.lit(HEADER), sep, body, sep, first_line, sep, pii, sep, F.lit(FOOTER)
+    )
+
+
+def with_page(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), synth_page_expr(text_col, id_col).alias("page"))
+
+
+# ------------------------------------------------------------- line filters
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    min_words: int = 4,
+) -> DataFrame:
+    """C4-style line-level cleaning: keep lines that end in terminal
+    punctuation, have at least ``min_words`` words, and are not
+    boilerplate (nav/footer markers).  Pure array expressions — one
+    scan, no shuffle, the whole filter runs inside codegen."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        return (
+            (F.size(F.split(line, " ")) >= min_words)
+            & line.endswith(".")
+            & ~line.contains("login")
+            & ~line.contains("copyright")
+        )
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "page", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line and
+    duplicate-paragraph fractions, line-length extremes.  Documents with
+    high duplicate fractions are templated/boilerplate pages a training
+    pipeline drops.  No shuffle; ratios rounded to 4 dp for the oracle."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.length(l) > 0
+    )
+    paras = F.split(F.col(text_col), "\n\n")
+    n_lines = F.size(lines).cast("double")
+    n_paras = F.size(paras).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines, 4
+        ).alias("dup_line_frac"),
+        n_paras.cast("long").alias("n_paras"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(paras)) / n_paras, 4
+        ).alias("dup_para_frac"),
+        F.array_max(F.transform(lines, F.length)).alias("max_line_len"),
+        F.round(
+            F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+            / n_lines,
+            4,
+        ).alias("avg_line_len"),
+    )
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "page", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing: emails / IPv4s / phone numbers -> typed
+    placeholders, with per-document match counts.  A regexp_replace
+    chain in one projection — codegen end to end, counts come from
+    ``regexp_count`` on the unredacted text."""
+    col = F.col(text_col)
+    redacted = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, IP_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(col, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(col, F.lit(IP_RE)).alias("n_ips"),
+        F.regexp_count(col, F.lit(PHONE_RE)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------- corpus-wide span dedup
+def para_dedup(
+    df: DataFrame, text_col: str = "page", id_col: str = "doc_id"
+) -> DataFrame:
+    """RefinedWeb-style duplicated-span removal: corpus-wide keep-first
+    dedup of paragraphs, then reassemble each document from its
+    surviving paragraphs.
+
+    Scale shape: the paragraph TEXT never enters a shuffle.  The
+    exploded relation is immediately narrowed to ``(fp16, doc_id,
+    idx)``; the keep-first decision is a window over fp on that narrow
+    relation; decisions are re-grouped per doc into a sorted index
+    array (still narrow); only the final doc-level join moves the
+    original text — once, and Exchange-free when the corpus table is
+    bucketed by doc_id (tools/bucketed_join_demo.py shows that
+    deployment shape).  Naive reassembly from the exploded paragraphs
+    would shuffle the full corpus text twice instead.
+    """
+    paras_arr = F.split(F.col(text_col), "\n\n")
+    narrow = df.select(
+        F.col(id_col), F.posexplode(paras_arr).alias("idx", "para")
+    ).select(id_col, "idx", h16(F.col("para")).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(id_col, "idx")
+    kept_idx = (
+        narrow.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
+    )
+    return (
+        df.join(kept_idx, id_col)
+        .select(
+            F.col(id_col),
+            F.size(paras_arr).alias("n_paras"),
+            F.size(F.col("keep_idx")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.col("keep_idx"),
+                    lambda i: F.element_at(paras_arr, i + 1),
+                ),
+                "\n\n",
+            ).alias("clean_text"),
+        )
+    )
+
+
+# -------------------------------------------------------------- corpus vocab
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document frequency and total
+    count.  Explode + two-phase aggregation (map-side partial combine,
+    one shuffle on the token key), then a TakeOrdered top-k — the
+    canonical corpus-stats shape at any scale."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    counts = (
+        df.select(F.col(id_col), toks)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+        .select("token", "n_occurrences", "n_docs")
+    )
