@@ -31,6 +31,10 @@ Coverage map (SURVEY.md §2.4 + training-data ops):
                            (LSH→verify)
   multimodal ............. multimodal_features (binary plumbing,
                            deterministic fake decode)
+  corpus cleaning ........ c4_line_filter, repetition_stats,
+                           pii_redact, para_dedup (corpus-wide span
+                           dedup), top_tokens — the C4/Gopher/
+                           RefinedWeb pass over synthesized pages
 """
 
 from __future__ import annotations
