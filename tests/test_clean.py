@@ -112,3 +112,21 @@ def test_synth_page_structure(spark):
     body = paras[1]
     assert body.split("\n")[0] == "one two three four five six seven eight"
     assert paras[2] == body.split("\n")[0]
+
+
+def test_ngram_repetition_top_fraction(spark):
+    from uniparser_spark.textops.clean import ngram_repetition
+
+    # "a b" occurs 3x among 5 bigrams; top trigram "a b a" occurs 2x
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_repetition(df).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["top_2gram_cnt"] == 3
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[1]["top_3gram_cnt"] == 2
+    assert out[1]["top_3gram_frac"] == 1.0
+    # doc 2 has one bigram, no trigram -> null trigram columns
+    assert out[2]["top_2gram_cnt"] == 1
+    assert out[2]["top_3gram_cnt"] is None

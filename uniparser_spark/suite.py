@@ -61,6 +61,7 @@ from .textops import (
 )
 from .textops.clean import (
     c4_line_filter,
+    ngram_repetition,
     para_dedup,
     pii_redact,
     repetition_stats,
@@ -989,6 +990,10 @@ def q_top_tokens(spark, sf_dir):
     return top_tokens(tp(spark, sf_dir, "documents"))
 
 
+def q_ngram_repetition(spark, sf_dir):
+    return ngram_repetition(tp(spark, sf_dir, "documents"))
+
+
 def q_langid(spark, sf_dir):
     return langid(tp(spark, sf_dir, "documents"))
 
@@ -1199,6 +1204,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "para_dedup": q_para_dedup,
     "top_tokens": q_top_tokens,
+    "ngram_repetition": q_ngram_repetition,
 }
 
 
@@ -1961,6 +1967,42 @@ ORACLES.update(
           array_to_string(list_transform(k.keep_idx, i -> b.ps[i]),
                           chr(10) || chr(10)) AS clean_text
         FROM split_docs b JOIN kept k USING (doc_id)
+    """,
+        "ngram_repetition": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, 2 AS n,
+            unnest(list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+            unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+          FROM toks
+        ),
+        maxes AS (
+          SELECT doc_id, n, max(c) AS mc FROM (
+            SELECT doc_id, n, g, count(*) AS c
+            FROM grams GROUP BY doc_id, n, g)
+          GROUP BY doc_id, n
+        ),
+        piv AS (
+          SELECT doc_id,
+            max(CASE WHEN n = 2 THEN mc END) AS top_2gram_cnt,
+            max(CASE WHEN n = 3 THEN mc END) AS top_3gram_cnt
+          FROM maxes GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(t.t) AS n_tokens,
+          p.top_2gram_cnt, p.top_3gram_cnt,
+          ROUND(CAST(p.top_2gram_cnt * 2 AS DOUBLE) / len(t.t), 4)
+            AS top_2gram_frac,
+          ROUND(CAST(p.top_3gram_cnt * 3 AS DOUBLE) / len(t.t), 4)
+            AS top_3gram_frac
+        FROM toks t LEFT JOIN piv p USING (doc_id)
     """,
         "top_tokens": r"""
         WITH c AS (

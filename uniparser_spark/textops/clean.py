@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .exprs import h16
+from .exprs import h16, tokens, word_shingles
 
 # ---------------------------------------------------------------- synthesis
 # Deterministic page synthesis shared with the DuckDB oracles (suite.py
@@ -207,6 +207,62 @@ def para_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple = (2, 3),
+) -> DataFrame:
+    """The remaining Gopher repetition signal: the fraction of tokens
+    covered by the most frequent word n-gram (top-2-gram fraction over
+    ~0.2 marks templated text).
+
+    Scale shape: per-doc mode-finding is NOT done with quadratic array
+    lambdas — the doc explodes to narrow ``(doc_id, n, gram)`` rows,
+    counted by a map-side-combined groupBy, reduced to the per-doc max
+    (second narrow shuffle), and left-joined back to the token counts.
+    Ties need no break: only the max count is emitted.
+    """
+    toks = tokens(F.col(text_col))
+
+    # NB: a `lambda g, n=n:` two-parameter lambda would be treated by
+    # F.transform as (element, index) — the factory keeps it unary.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    grams = F.flatten(
+        F.array(*[F.transform(word_shingles(toks, n), _tag(n)) for n in ns])
+    )
+    narrow = (
+        df.select(F.col(id_col), F.explode(grams).alias("x"))
+        .select(id_col, "x.n", "x.g")
+    )
+    maxes = (
+        narrow.groupBy(id_col, "n", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col, "n")
+        .agg(F.max("c").alias("mc"))
+    )
+    piv = maxes.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("mc"))).alias(
+                f"top_{n}gram_cnt"
+            )
+            for n in ns
+        ]
+    )
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    out = base.join(piv, id_col, "left")
+    for n in ns:
+        out = out.withColumn(
+            f"top_{n}gram_frac",
+            F.round(
+                F.col(f"top_{n}gram_cnt") * n / F.col("n_tokens"), 4
+            ),
+        )
+    return out
 
 
 # -------------------------------------------------------------- corpus vocab
