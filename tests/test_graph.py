@@ -1,0 +1,59 @@
+"""Link-graph analytics: degrees + fixed-iteration PageRank.
+
+Expected values hand-computed in plain Python on a tiny graph; the
+DuckDB oracle re-checks the synthesized circulant graph at sf scale.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from uniparser_spark.graph import link_degrees, pagerank, synth_edges
+
+
+def _graph(spark):
+    # 4 nodes: 0->1, 0->2, 1->2, 2->0, 3->2  (3 has no in-links)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    return edges, nodes
+
+
+def test_link_degrees(spark):
+    edges, nodes = _graph(spark)
+    out = {r["node"]: (r["out_deg"], r["in_deg"]) for r in link_degrees(edges, nodes).collect()}
+    assert out == {0: (2, 1), 1: (1, 1), 2: (1, 3), 3: (1, 0)}
+
+
+def _py_pagerank(edges, n, iters=3, d=0.85):
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    ranks = {v: 1.0 / n for v in range(n)}
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for s, t in edges:
+            contrib[t] += ranks[s] / outdeg[s]
+        ranks = {v: (1.0 - d) / n + d * contrib[v] for v in range(n)}
+    return ranks
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges, nodes = _graph(spark)
+    expected = _py_pagerank([(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], 4)
+    got = {r["node"]: r["rank"] for r in pagerank(edges, nodes, 4, iters=3).collect()}
+    for v in range(4):
+        assert got[v] == pytest.approx(round(expected[v], 6), abs=1e-9)
+    # rank mass is conserved (no dangling nodes except 3's sink-free case)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_synth_edges_drops_self_loops(spark):
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rows = synth_edges(df, 5, fanout=2).collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    # v -> (7v+1)%5, (7v+2)%5 == (2v+1)%5, (2v+2)%5; v=2 -> 0,1
+    got = sorted((r["src"], r["dst"]) for r in rows)
+    assert (2, 0) in got and (2, 1) in got

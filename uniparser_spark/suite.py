@@ -33,8 +33,10 @@ Coverage map (SURVEY.md §2.4 + training-data ops):
                            deterministic fake decode)
   corpus cleaning ........ c4_line_filter, repetition_stats,
                            pii_redact, para_dedup (corpus-wide span
-                           dedup), top_tokens — the C4/Gopher/
-                           RefinedWeb pass over synthesized pages
+                           dedup), top_tokens, ngram_repetition — the
+                           C4/Gopher/RefinedWeb pass
+  link graph ............. link_degrees, pagerank3 (iterative rank
+                           hash-matched against unrolled SQL)
 """
 
 from __future__ import annotations
@@ -994,6 +996,31 @@ def q_ngram_repetition(spark, sf_dir):
     return ngram_repetition(tp(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------- link graph
+def _graph_inputs(spark, sf_dir):
+    from .graph import synth_edges
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = synth_edges(docs, n)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return edges, nodes, n
+
+
+def q_link_degrees(spark, sf_dir):
+    from .graph import link_degrees
+
+    edges, nodes, _ = _graph_inputs(spark, sf_dir)
+    return link_degrees(edges, nodes)
+
+
+def q_pagerank3(spark, sf_dir):
+    from .graph import pagerank
+
+    edges, nodes, n = _graph_inputs(spark, sf_dir)
+    return pagerank(edges, nodes, n, iters=3)
+
+
 def q_langid(spark, sf_dir):
     return langid(tp(spark, sf_dir, "documents"))
 
@@ -1205,6 +1232,8 @@ QUERIES = {
     "para_dedup": q_para_dedup,
     "top_tokens": q_top_tokens,
     "ngram_repetition": q_ngram_repetition,
+    "link_degrees": q_link_degrees,
+    "pagerank3": q_pagerank3,
 }
 
 
@@ -1884,6 +1913,21 @@ _PAGE_SQL = r"""pages AS (
     )
 )"""
 
+# Deterministic circulant link graph shared by the graph oracles —
+# must stay identical to graph.synth_edges.
+# (DuckDB 1.0.0 binder bug: unnest of a computed list plus an outer
+# filter on its alias trips an INTERNAL error — materialize the list in
+# its own CTE layer first.)
+_GRAPH_SQL = r"""
+        WITH lists AS (
+          SELECT doc_id AS src,
+            [(doc_id*7 + 1) % nn.n, (doc_id*7 + 2) % nn.n,
+             (doc_id*7 + 3) % nn.n] AS dl
+          FROM documents CROSS JOIN (SELECT count(*) AS n FROM documents) nn
+        ),
+        flat AS (SELECT src, unnest(dl) AS dst FROM lists),
+        edges AS (SELECT src, dst FROM flat WHERE src <> dst)"""
+
 _EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IP_SQL = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 _PHONE_SQL = r"\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
@@ -2003,6 +2047,50 @@ ORACLES.update(
           ROUND(CAST(p.top_3gram_cnt * 3 AS DOUBLE) / len(t.t), 4)
             AS top_3gram_frac
         FROM toks t LEFT JOIN piv p USING (doc_id)
+    """,
+        "link_degrees": _GRAPH_SQL
+        + r"""
+        , outd AS (SELECT src AS node, count(*) AS out_deg
+                   FROM edges GROUP BY src)
+        , ind AS (SELECT dst AS node, count(*) AS in_deg
+                  FROM edges GROUP BY dst)
+        SELECT d.doc_id AS node,
+               coalesce(o.out_deg, 0) AS out_deg,
+               coalesce(i.in_deg, 0) AS in_deg
+        FROM documents d
+        LEFT JOIN outd o ON d.doc_id = o.node
+        LEFT JOIN ind i ON d.doc_id = i.node
+    """,
+        "pagerank3": _GRAPH_SQL
+        + r"""
+        , nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        , deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+        , r0 AS (SELECT doc_id AS node, 1.0 / n AS rank FROM documents, nd)
+        , c1 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+                 FROM edges e JOIN r0 r ON e.src = r.node
+                              JOIN deg d ON e.src = d.src
+                 GROUP BY e.dst)
+        , r1 AS (SELECT d.doc_id AS node,
+                   (1 - CAST(0.85 AS DOUBLE)) / n
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
+                 FROM documents d LEFT JOIN c1 c ON d.doc_id = c.node, nd)
+        , c2 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+                 FROM edges e JOIN r1 r ON e.src = r.node
+                              JOIN deg d ON e.src = d.src
+                 GROUP BY e.dst)
+        , r2 AS (SELECT d.doc_id AS node,
+                   (1 - CAST(0.85 AS DOUBLE)) / n
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
+                 FROM documents d LEFT JOIN c2 c ON d.doc_id = c.node, nd)
+        , c3 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+                 FROM edges e JOIN r2 r ON e.src = r.node
+                              JOIN deg d ON e.src = d.src
+                 GROUP BY e.dst)
+        , r3 AS (SELECT d.doc_id AS node,
+                   (1 - CAST(0.85 AS DOUBLE)) / n
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
+                 FROM documents d LEFT JOIN c3 c ON d.doc_id = c.node, nd)
+        SELECT node, ROUND(rank, 6) AS rank FROM r3
     """,
         "top_tokens": r"""
         WITH c AS (
