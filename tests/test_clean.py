@@ -130,3 +130,21 @@ def test_ngram_repetition_top_fraction(spark):
     # doc 2 has one bigram, no trigram -> null trigram columns
     assert out[2]["top_2gram_cnt"] == 1
     assert out[2]["top_3gram_cnt"] is None
+
+
+def test_text_normalize_nfc_and_folding(spark):
+    from uniparser_spark.textops.clean import text_normalize
+
+    decomposed = "cafe\u0301 u\u0308ber"  # e+acute, u+umlaut (decomposed)
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "caf\u00e9 plain")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_normalize(df).collect()}
+    assert out[1]["nfc"] == "caf\u00e9 \u00fcber"
+    assert out[1]["changed"] is True
+    assert out[1]["n_chars_raw"] == len(decomposed)
+    assert out[1]["n_chars_nfc"] == len("caf\u00e9 \u00fcber")
+    assert out[1]["folded"] == "cafe uber"
+    assert out[2]["changed"] is False
+    assert out[2]["folded"] == "cafe plain"

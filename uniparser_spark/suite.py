@@ -33,7 +33,8 @@ Coverage map (SURVEY.md §2.4 + training-data ops):
                            deterministic fake decode)
   corpus cleaning ........ c4_line_filter, repetition_stats,
                            pii_redact, para_dedup (corpus-wide span
-                           dedup), top_tokens, ngram_repetition — the
+                           dedup), top_tokens, ngram_repetition,
+                           text_normalize (NFC + fold) — the
                            C4/Gopher/RefinedWeb pass
   link graph ............. link_degrees, pagerank3 (iterative rank
                            hash-matched against unrolled SQL)
@@ -996,6 +997,15 @@ def q_ngram_repetition(spark, sf_dir):
     return ngram_repetition(tp(spark, sf_dir, "documents"))
 
 
+def q_text_normalize(spark, sf_dir):
+    from .textops.clean import accent_synth_expr, text_normalize
+
+    docs = tp(spark, sf_dir, "documents").select(
+        "doc_id", accent_synth_expr().alias("text")
+    )
+    return text_normalize(docs)
+
+
 # ---------------------------------------------------------- link graph
 def _graph_inputs(spark, sf_dir):
     from .graph import synth_edges
@@ -1232,6 +1242,7 @@ QUERIES = {
     "para_dedup": q_para_dedup,
     "top_tokens": q_top_tokens,
     "ngram_repetition": q_ngram_repetition,
+    "text_normalize": q_text_normalize,
     "link_degrees": q_link_degrees,
     "pagerank3": q_pagerank3,
 }
@@ -2091,6 +2102,24 @@ ORACLES.update(
                    + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
                  FROM documents d LEFT JOIN c3 c ON d.doc_id = c.node, nd)
         SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """,
+        # unicode synthesis: even ids precomposed U+00E1, odd ids the
+        # decomposed pair a+U+0301 — NFC maps both to the same string
+        "text_normalize": r"""
+        WITH synth AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0
+                 THEN replace(text, 'a', chr(225))
+                 ELSE replace(text, 'a', 'a' || chr(769)) END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(length(t) AS BIGINT) AS n_chars_raw,
+          CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+          t <> nfc_normalize(t) AS changed,
+          nfc_normalize(t) AS nfc,
+          strip_accents(nfc_normalize(t)) AS folded
+        FROM synth
     """,
         "top_tokens": r"""
         WITH c AS (

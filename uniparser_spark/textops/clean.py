@@ -265,6 +265,76 @@ def ngram_repetition(
     return out
 
 
+def accent_synth_expr(text_col: str = "text", id_col: str = "doc_id") -> Column:
+    """Deterministic unicode synthesis for the normalization oracle:
+    even doc_ids get precomposed accents ('a' → U+00E1), odd get the
+    decomposed pair ('a' → 'a' + U+0301) — NFC maps both to the same
+    string, which is exactly what the operator must prove."""
+    return F.when(
+        F.col(id_col) % 2 == 0,
+        F.regexp_replace(F.col(text_col), "a", "\u00e1"),  # precomposed
+    ).otherwise(
+        F.regexp_replace(F.col(text_col), "a", "a\u0301")  # decomposed
+    )
+
+
+def text_normalize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode normalization: NFC plus accent folding (NFD → drop
+    combining marks → NFC).  Spark has no JVM-side NFC expression, so
+    this is an honest Arrow-batched Python stage (stdlib unicodedata;
+    one Arrow crossing, vectorized pandas .map).  The DuckDB twin is
+    nfc_normalize + strip_accents — verified algorithm-equal on
+    decomposable and non-decomposable (ø œ ß) codepoints alike."""
+    import unicodedata
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("n_chars_raw", LongType(), False),
+            StructField("n_chars_nfc", LongType(), False),
+            StructField("changed", BooleanType(), False),
+            StructField("nfc", StringType(), False),
+            StructField("folded", StringType(), False),
+        ]
+    )
+
+    def _fold(s: str) -> str:
+        nfd = unicodedata.normalize("NFD", s)
+        return unicodedata.normalize(
+            "NFC",
+            "".join(c for c in nfd if unicodedata.category(c) != "Mn"),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            raw = batch[text_col].fillna("")
+            nfc = raw.map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].astype("int64"),
+                    "n_chars_raw": raw.map(len).astype("int64"),
+                    "n_chars_nfc": nfc.map(len).astype("int64"),
+                    "changed": (raw != nfc),
+                    "nfc": nfc,
+                    "folded": nfc.map(_fold),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 # -------------------------------------------------------------- corpus vocab
 def top_tokens(
     df: DataFrame,
