@@ -148,3 +148,24 @@ def test_text_normalize_nfc_and_folding(spark):
     assert out[1]["folded"] == "cafe uber"
     assert out[2]["changed"] is False
     assert out[2]["folded"] == "cafe plain"
+
+
+def test_doc_filter_reasons_in_order(spark):
+    from uniparser_spark.textops.clean import doc_filter
+
+    long_clean = " ".join(f"word{i}" for i in range(70))
+    short = "just a few words here"
+    # 70 distinct tokens but every line duplicated -> repetition
+    repetitive = "\n".join(["dup line words here"] * 5 + [long_clean])
+    boiler = long_clean + " lorem ipsum"
+    rows = [(1, long_clean), (2, short), (3, repetitive), (4, boiler)]
+    out = {
+        r["doc_id"]: r
+        for r in doc_filter(
+            spark.createDataFrame(rows, "doc_id long, page string")
+        ).collect()
+    }
+    assert out[1]["admit"] is True and out[1]["reason"] is None
+    assert out[2]["reason"] == "too_short"
+    assert out[3]["reason"] == "repetition" and out[3]["admit"] is False
+    assert out[4]["reason"] == "boilerplate"

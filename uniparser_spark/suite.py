@@ -997,6 +997,12 @@ def q_ngram_repetition(spark, sf_dir):
     return ngram_repetition(tp(spark, sf_dir, "documents"))
 
 
+def q_doc_filter(spark, sf_dir):
+    from .textops.clean import doc_filter
+
+    return doc_filter(with_page(tp(spark, sf_dir, "documents")))
+
+
 def q_text_normalize(spark, sf_dir):
     from .textops.clean import accent_synth_expr, text_normalize
 
@@ -1242,6 +1248,7 @@ QUERIES = {
     "para_dedup": q_para_dedup,
     "top_tokens": q_top_tokens,
     "ngram_repetition": q_ngram_repetition,
+    "doc_filter": q_doc_filter,
     "text_normalize": q_text_normalize,
     "link_degrees": q_link_degrees,
     "pagerank3": q_pagerank3,
@@ -2102,6 +2109,41 @@ ORACLES.update(
                    + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
                  FROM documents d LEFT JOIN c3 c ON d.doc_id = c.node, nd)
         SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """,
+        "doc_filter": rf"""
+        WITH {_PAGE_SQL},
+        stats AS (
+          SELECT doc_id,
+            len(string_split_regex(trim(page), '\s+')) AS n_tokens,
+            ROUND(CAST(list_sum(list_transform(
+                    string_split_regex(trim(page), '\s+'),
+                    t -> length(t))) AS DOUBLE)
+                  / len(string_split_regex(trim(page), '\s+')), 4)
+              AS mean_word_len,
+            ROUND(1.0 - CAST(len(list_distinct(list_filter(
+                    string_split(page, chr(10)), l -> length(l) > 0)))
+                    AS DOUBLE)
+                  / len(list_filter(string_split(page, chr(10)),
+                                    l -> length(l) > 0)), 4)
+              AS dup_line_frac,
+            (contains(page, 'lorem ipsum') OR contains(page, '{{'))
+              AS boiler
+          FROM pages
+        ),
+        verdict AS (
+          SELECT doc_id, n_tokens, mean_word_len, dup_line_frac,
+            CASE WHEN n_tokens < 60 THEN 'too_short'
+                 WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                   THEN 'word_length'
+                 WHEN boiler THEN 'boilerplate'
+                 WHEN dup_line_frac > 0.10 THEN 'repetition'
+            END AS reason
+          FROM stats
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               mean_word_len, dup_line_frac,
+               reason IS NULL AS admit, reason
+        FROM verdict
     """,
         # unicode synthesis: even ids precomposed U+00E1, odd ids the
         # decomposed pair a+U+0301 — NFC maps both to the same string

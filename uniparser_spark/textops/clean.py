@@ -335,6 +335,55 @@ def text_normalize(
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def doc_filter(
+    df: DataFrame,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    min_tokens: int = 60,
+    word_len_band: tuple = (3.0, 10.0),
+    max_dup_line_frac: float = 0.10,
+) -> DataFrame:
+    """Document-level admission filter — the C4/Gopher doc rules with
+    an explainable verdict: ``admit`` plus the FIRST failing rule as
+    ``reason`` (too_short | word_length | boilerplate | repetition).
+
+    Completes the cleaning pass's three levels: line (c4_line_filter),
+    document (this), corpus (para_dedup).  Everything is one codegen
+    projection over the page — the measured stats ship with the verdict
+    so downstream audits don't re-scan the corpus.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        / n_tok.cast("double"),
+        4,
+    )
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.length(l) > 0)
+    dup_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"),
+        4,
+    )
+    boiler = F.col(text_col).contains("lorem ipsum") | F.col(text_col).contains("{")
+    reason = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(
+            (mean_wl < word_len_band[0]) | (mean_wl > word_len_band[1]),
+            F.lit("word_length"),
+        )
+        .when(boiler, F.lit("boilerplate"))
+        .when(dup_frac > max_dup_line_frac, F.lit("repetition"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        dup_frac.alias("dup_line_frac"),
+        reason.isNull().alias("admit"),
+        reason.alias("reason"),
+    )
+
+
 # -------------------------------------------------------------- corpus vocab
 def top_tokens(
     df: DataFrame,
