@@ -57,3 +57,29 @@ def test_synth_edges_drops_self_loops(spark):
     # v -> (7v+1)%5, (7v+2)%5 == (2v+1)%5, (2v+2)%5; v=2 -> 0,1
     got = sorted((r["src"], r["dst"]) for r in rows)
     assert (2, 0) in got and (2, 1) in got
+
+
+def test_pagerank_as_frontier_priority(spark):
+    """Link-derived authority as the frontier's priority signal: the
+    politeness scheduler admits the highest-PageRank URLs per host
+    within budget — the wiring a production frontier uses to spend its
+    fetch budget on authoritative pages first."""
+    from uniparser_spark.frontier.politeness import schedule_batch
+
+    edges, nodes = _graph(spark)
+    ranks = pagerank(edges, nodes, 4)
+    pending = ranks.select(
+        F.concat(F.lit("http://h/p"), F.col("node")).alias("url_canon"),
+        F.lit("h").alias("host"),
+        F.col("rank").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("list_index"),
+        "node",
+    )
+    out = schedule_batch(pending, default_budget=2)
+    sched = {r["node"] for r in out.collect() if r["scheduled"]}
+    rank_map = {r["node"]: r["rank"] for r in ranks.collect()}
+    top2 = set(sorted(rank_map, key=lambda v: (-rank_map[v], f"http://h/p{v}"))[:2])
+    assert sched == top2
