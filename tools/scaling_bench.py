@@ -38,16 +38,28 @@ def run(cpus: int, pages: int, cpuset: bool = False) -> dict:
     # share that executor's cores at every cluster size; letting the
     # low level's JVM spill onto the box's idle cores inflates it.
     prefix = ["taskset", "-c", f"0-{cpus - 1}"] if cpuset else []
-    proc = subprocess.run(
-        prefix + [sys.executable, "bench.py", "--crawl-only"],
-        capture_output=True,
-        text=True,
-        env=env,
-        cwd=REPO,
-        check=True,
-    )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # one retry: a shared-VM transient (OOM-kill, neighbor congestion)
+    # in any single child invocation shouldn't abort a multi-level
+    # protocol run; the failure tail is surfaced either way
+    last_err = None
+    for attempt in range(2):
+        proc = subprocess.run(
+            prefix + [sys.executable, "bench.py", "--crawl-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        if proc.returncode == 0:
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+        last_err = proc.stderr[-2000:]
+        print(
+            f"child bench (cpus={cpus}) rc={proc.returncode} "
+            f"attempt={attempt}; stderr tail:\n{last_err}",
+            file=sys.stderr,
+        )
+    raise RuntimeError(f"bench child failed twice at cpus={cpus}: {last_err}")
 
 
 def main() -> None:

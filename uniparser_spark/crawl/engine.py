@@ -97,7 +97,7 @@ class CrawlEngine:
         bloom_buckets: int = 64,
         bloom_min_seen: int = 1_000_000,
         broadcast_fetch_max: int = 5_000_000,
-        isin_fetch_max: int = 1024,
+        isin_fetch_max: int = 512,
         state_partitions: Optional[int] = None,
         text_col: str = "text",
         html_col: Optional[str] = None,
@@ -306,7 +306,13 @@ class CrawlEngine:
             if n_pending is not None and n_pending <= self.isin_fetch_max:
                 # tiny batch (typically the seed round): push the URL list
                 # into the parquet scan as an In filter — row groups whose
-                # url min/max excludes the batch are never decompressed
+                # url min/max excludes the batch are never decompressed.
+                # The cap must stay small: parquet evaluates a pushed In
+                # as a nested OR tree whose recursion depth equals the
+                # list length (a ~1000-element list marginally overflows
+                # a 1 MB executor thread stack), and once the batch has
+                # more URLs than the table has row groups the pruning
+                # buys nothing over the broadcast join below anyway.
                 urls = [r["url"] for r in scheduled.select("url").collect()]
                 pages_proj = pages_proj.filter(F.col("url").isin(urls))
             if n_pending is not None and n_pending <= self.broadcast_fetch_max:
