@@ -83,3 +83,40 @@ def test_pagerank_as_frontier_priority(spark):
     rank_map = {r["node"]: r["rank"] for r in ranks.collect()}
     top2 = set(sorted(rank_map, key=lambda v: (-rank_map[v], f"http://h/p{v}"))[:2])
     assert sched == top2
+
+
+def test_connected_components_hash_min(spark):
+    from uniparser_spark.graph import connected_components
+
+    # chain 0-1-2, pair 5-4 (reversed direction), isolated 3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    got = {r["node"]: r["comp"] for r in connected_components(edges, nodes).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_keep_flags(spark):
+    from uniparser_spark.graph import dedup_clusters
+
+    edges = spark.createDataFrame([(7, 2), (2, 9)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (2, 3, 7, 9)], "node long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(edges, nodes).collect()}
+    assert rows[2]["cluster_id"] == 2 and rows[2]["is_canonical"] == 1
+    assert rows[7]["cluster_id"] == 2 and rows[7]["is_canonical"] == 0
+    assert rows[9]["cluster_id"] == 2 and rows[9]["cluster_size"] == 3
+    assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
+    # exactly one canonical per cluster
+    assert sum(r["is_canonical"] for r in rows.values()) == 2
+
+
+def test_connected_components_raises_on_no_convergence(spark):
+    from uniparser_spark.graph import connected_components
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=1)

@@ -104,3 +104,100 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by hash-min label propagation: every node's
+    label converges to the MIN node id in its component.
+
+    One iteration = symmetrized-edges ⋈ labels on the source endpoint →
+    map-side-combined ``min`` by the destination → left join back onto
+    the label state; every shuffle carries only (long, long) rows.  The
+    state is ``localCheckpoint``-ed per iteration, which both truncates
+    the growing lineage (essential for iterative plans) and shares the
+    materialized step between the convergence count and the next
+    iteration.  Converges in O(component diameter) rounds — for the
+    near-duplicate clusters this feeds on, diameter is tiny (docs tied
+    through shared LSH bands), so 3-4 rounds is typical.
+
+    Scale notes for the 10^10-row regime: the per-iteration convergence
+    ``count`` is an action on already-materialized narrow state (cheap),
+    and a production run on power-law web graphs would switch to the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") whose per-round
+    shuffle volume contracts geometrically; hash-min is the right choice
+    here because dedup components are shallow and the code stays a
+    direct composition of join+groupBy.
+
+    Returns (node, comp) — comp = min node id of the component.
+    """
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.alias("e")
+            .join(comp.alias("c"), F.col("e.a") == F.col("c.node"))
+            .select(F.col("e.b").alias("node"), F.col("c.comp").alias("nc"))
+            .groupBy("node")
+            .agg(F.min("nc").alias("nbr_min"))
+        )
+        stepped = (
+            comp.alias("c")
+            .join(nbr_min.alias("m"), "node", "left")
+            .select(
+                "node",
+                F.col("comp").alias("old"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("comp") < F.col("old")).count()
+        comp = stepped.select("node", "comp")
+        if changed == 0:
+            return comp
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: the keep-one-per-
+    cluster output a training-data dedup actually consumes (pairs alone
+    under-merge: A~B, B~C must collapse to one cluster even when A~C
+    never collided).
+
+    edges = (src, dst) duplicate pairs (e.g. from
+    :func:`~uniparser_spark.textops.dedup.lsh_candidate_pairs`);
+    nodes = every document id (singletons come out as their own
+    cluster).  Returns one row per document: its cluster id (min doc id
+    of the component), an ``is_canonical`` 0/1 keep flag, and the
+    cluster size — filter ``is_canonical = 1`` to materialize the
+    deduplicated corpus.
+    """
+    comp = connected_components(edges, nodes, max_iter=max_iter)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("comp").alias("cluster_id"),
+            F.when(F.col("node") == F.col("comp"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_canonical"),
+            F.col("cluster_size"),
+        )
+    )

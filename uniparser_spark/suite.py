@@ -1037,6 +1037,20 @@ def q_pagerank3(spark, sf_dir):
     return pagerank(edges, nodes, n, iters=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs → connected components → keep-one-per-cluster:
+    the composed end-of-pipeline dedup output (transitive closure of the
+    near-dup relation; pairs alone under-merge A~B~C chains).  The
+    DuckDB twin computes the identical closure with a recursive CTE."""
+    from .graph import dedup_clusters
+
+    docs = tp(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=16, bands=8, shingle_k=3)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return dedup_clusters(edges, nodes)
+
+
 def q_langid(spark, sf_dir):
     return langid(tp(spark, sf_dir, "documents"))
 
@@ -1252,6 +1266,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "link_degrees": q_link_degrees,
     "pagerank3": q_pagerank3,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -1710,6 +1725,55 @@ ORACLES = {
                  CAST(len(x.sd) AS DOUBLE) AS la, CAST(len(y.sd) AS DOUBLE) AS lb
           FROM cand JOIN d x ON x.doc_id = id1 JOIN d y ON y.doc_id = id2
         )
+    """,
+    # dedup_clusters: same md5-MinHash banding as minhash_lsh_pairs to
+    # get the candidate edges, then the transitive closure via a
+    # recursive CTE (reach(node, r): r is in node's component; MIN(r)
+    # per node = the component's canonical id — exactly hash-min's
+    # fixpoint).
+    "dedup_clusters": rf"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(tk) - 2),
+                                i -> array_to_string(tk[i+1:i+3], ' ')) AS s
+          FROM toks WHERE len(tk) >= 3
+        ),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   h -> list_min(list_transform(s,
+                          g -> substr(md5(h || ':' || g), 1, 16)))) AS sg
+          FROM sh WHERE len(s) > 0
+        ),
+        bands AS (
+          SELECT doc_id, j.band_idx,
+                 md5(array_to_string(sg[j.band_idx*2+1:j.band_idx*2+2], ',')) AS band_key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) j
+        ),
+        cand AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b USING (band_idx, band_key)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT id1 AS a, id2 AS b FROM cand
+          UNION ALL
+          SELECT id2 AS a, id1 AS b FROM cand
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS r FROM documents
+          UNION
+          SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT node AS doc_id, cluster_id,
+               CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS INTEGER)
+                 AS is_canonical,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
     """,
     "simhash_groups": rf"""
         WITH s AS (
