@@ -1037,6 +1037,40 @@ def q_pagerank3(spark, sf_dir):
     return pagerank(edges, nodes, n, iters=3)
 
 
+def q_content_extract(spark, sf_dir):
+    """Readability-style main-content extraction: pages are synthesized
+    with nav/sidebar/footer chrome around an <article> whose paragraphs
+    derive from the doc text, so the oracle predicts the extracted text
+    byte-for-byte (the north rule's per-row invariant) without knowing
+    the heuristic — only its documented contract."""
+    from .textops.content import extract_main_content
+
+    docs = tp(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    p1 = F.array_join(F.slice(tk, 1, 10), " ")
+    p2 = F.array_join(F.slice(tk, 11, 10), " ")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">home</a> <a href="/about">about</a> '
+            '<a href="/login">login to member area</a></nav>'
+            '<div class="side"><a href="/ad1">sponsored listing one</a>'
+            '<a href="/ad2">sponsored listing two</a></div><article><p>'
+        ),
+        p1,
+        F.lit("</p><p>"),
+        p2,
+        F.lit("</p><p>doc "),
+        d,
+        F.lit(
+            " closing remarks</p></article><footer>copyright example com"
+            " all rights reserved</footer></body></html>"
+        ),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_main_content(pages)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """LSH candidate pairs → connected components → keep-one-per-cluster:
     the composed end-of-pipeline dedup output (transitive closure of the
@@ -1267,6 +1301,7 @@ QUERIES = {
     "link_degrees": q_link_degrees,
     "pagerank3": q_pagerank3,
     "dedup_clusters": q_dedup_clusters,
+    "content_extract": q_content_extract,
 }
 
 
@@ -1774,6 +1809,24 @@ ORACLES = {
                  AS is_canonical,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
+    """,
+    # content_extract: the heuristic's contract (article wins; main_text
+    # = <p> texts joined by newline) re-derived straight from the doc
+    # text the page was synthesized from.
+    "content_extract": r"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        m AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(t[1:10], ' '), '') || chr(10) ||
+                 coalesce(array_to_string(t[11:20], ' '), '') || chr(10) ||
+                 'doc ' || CAST(doc_id AS VARCHAR) || ' closing remarks'
+                   AS main_text
+          FROM tk
+        )
+        SELECT doc_id, 'article' AS main_tag, main_text,
+               CAST(3 AS INTEGER) AS n_paras,
+               CAST(length(main_text) AS INTEGER) AS main_len
+        FROM m
     """,
     "simhash_groups": rf"""
         WITH s AS (
