@@ -129,3 +129,54 @@ def test_canonicalizer_parity_fuzz(spark):
     got = {r["url"]: r["url_canon"] for r in add_url_keys(df).collect()}
     for u in urls:
         assert got[u] == canonicalize_url(u), repr(u)
+
+
+def test_recrawl_priority_model_and_rank(spark):
+    from uniparser_spark.frontier.freshness import recrawl_priority
+
+    hist = spark.createDataFrame(
+        [
+            # hot page: changed 5 of 6 fetches, last seen 4 rounds ago
+            ("http://h/a", "h", 6, 5, 6),
+            # static page: never changed in 6 fetches, same age
+            ("http://h/b", "h", 6, 0, 6),
+            # brand new: fetched once, just now
+            ("http://h/c", "h", 1, 0, 10),
+        ],
+        "url_canon string, host string, fetch_count long, "
+        "change_count long, last_fetch_round long",
+    )
+    rows = {r["url_canon"]: r for r in recrawl_priority(hist, now_round=10).collect()}
+    # lam = (c + .5)/(f + 1); staleness = lam*age/(1 + lam*age)
+    lam_a = 5.5 / 7.0
+    exp_a = lam_a * 4 / (1 + lam_a * 4)
+    assert rows["http://h/a"]["staleness"] == exp_a
+    assert rows["http://h/a"]["recrawl_rank"] == 1 and rows["http://h/a"]["due"] == 1
+    assert rows["http://h/b"]["staleness"] < exp_a
+    assert rows["http://h/c"]["staleness"] == 0.0  # zero age -> fresh
+    assert rows["http://h/c"]["due"] == 0
+
+
+def test_recrawl_priority_feeds_scheduler(spark):
+    """The freshness signal plugs into schedule_batch as the priority
+    column: with budget 1, the host's most-stale URL is fetched first."""
+    from uniparser_spark.frontier.freshness import recrawl_priority
+    from uniparser_spark.frontier.politeness import schedule_batch
+
+    hist = spark.createDataFrame(
+        [("http://h/a", "h", 6, 5, 2), ("http://h/b", "h", 6, 0, 2)],
+        "url_canon string, host string, fetch_count long, "
+        "change_count long, last_fetch_round long",
+    )
+    scored = recrawl_priority(hist, now_round=10)
+    pending = scored.select(
+        "url_canon",
+        "host",
+        F.col("staleness").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("list_index"),
+    )
+    out = {r["url_canon"]: r["scheduled"] for r in schedule_batch(pending, default_budget=1).collect()}
+    assert out == {"http://h/a": True, "http://h/b": False}

@@ -1,0 +1,70 @@
+"""Freshness-driven recrawl prioritization.
+
+The engine's TTL recrawl (crawl/engine.py expire_and_requeue) treats
+every expired URL alike (flat priority −1).  Real crawl schedulers
+(Cho & Garcia-Molina, "Effective Page Refresh Policies for Web
+Crawlers") rank recrawls by ESTIMATED CHANGE RATE: a page that changed
+in 5 of its last 6 fetches should be revisited before one that never
+changes.  This operator computes that ranking from per-URL fetch
+history as pure native column expressions (whole-stage codegen, no
+Python), so it composes with ``schedule_batch`` as just another
+priority source — the same seam the PageRank signal uses.
+
+Model (all arithmetic rational, so Spark and the DuckDB oracle produce
+bit-identical doubles — no transcendentals):
+
+- change rate  ``lam = (change_count + 0.5) / (fetch_count + 1)``
+  (Laplace-smoothed fraction of fetches that observed a change),
+- age        = ``now_round - last_fetch_round`` scheduling rounds,
+- staleness  = ``lam·age / (1 + lam·age)`` — the [0,1) rational
+  approximation of the Poisson ``1 − exp(−lam·age)`` staleness
+  probability (same monotonicity, same fixed points; chosen over exp()
+  because IEEE +,×,÷ are correctly rounded in every engine while
+  transcendentals are not),
+- ``recrawl_rank`` = per-host order (staleness desc, url asc) — the
+  host partition is the politeness unit, so ranking inside it needs no
+  global sort,
+- ``due`` = staleness ≥ threshold.
+
+Scale shape: one scan of the (narrow) history table + one window over
+host — the same partitioning the politeness scheduler shuffles on, so
+in the round loop this ranking piggybacks on an Exchange that already
+exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def recrawl_priority(
+    history: DataFrame,
+    now_round: int,
+    threshold: float = 0.5,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """history: (url_canon, host, fetch_count, change_count,
+    last_fetch_round).  Returns it + (lam, staleness, recrawl_rank, due).
+    """
+    lam = (F.col("change_count") + F.lit(0.5)) / (
+        F.col("fetch_count") + F.lit(1)
+    ).cast("double")
+    age = (F.lit(now_round) - F.col("last_fetch_round")).cast("double")
+    la = lam * age
+    staleness = la / (F.lit(1.0) + la)
+    scored = history.select(
+        url_col,
+        "host",
+        "fetch_count",
+        "change_count",
+        lam.alias("lam"),
+        staleness.alias("staleness"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("staleness").desc(), F.col(url_col).asc()
+    )
+    return scored.select(
+        "*",
+        F.row_number().over(w).alias("recrawl_rank"),
+        (F.col("staleness") >= F.lit(threshold)).cast("int").alias("due"),
+    )

@@ -1037,6 +1037,33 @@ def q_pagerank3(spark, sf_dir):
     return pagerank(edges, nodes, n, iters=3)
 
 
+def q_recrawl_priority(spark, sf_dir):
+    """Change-rate-driven recrawl ranking (Cho & Garcia-Molina refresh
+    policy) over a fetch history synthesized from doc_id; the rational
+    staleness model keeps every double bit-identical to the SQL twin."""
+    from .frontier.freshness import recrawl_priority
+
+    docs = tp(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fetch_count = (did % 7 + 1).cast("long")
+    history = docs.select(
+        F.concat(
+            F.lit("https://h"), (did % 7).cast("string"),
+            F.lit(".example.org/d/"), did.cast("string"),
+        ).alias("url_canon"),
+        F.concat(
+            F.lit("h"), (did % 7).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        fetch_count.alias("fetch_count"),
+        ((did * 3) % (fetch_count + 1)).cast("long").alias("change_count"),
+        (did % 13).cast("long").alias("last_fetch_round"),
+    )
+    return recrawl_priority(history, now_round=16).select(
+        "url_canon", "host", "fetch_count", "change_count",
+        "lam", "staleness", "recrawl_rank", "due",
+    )
+
+
 def q_content_extract(spark, sf_dir):
     """Readability-style main-content extraction: pages are synthesized
     with nav/sidebar/footer chrome around an <article> whose paragraphs
@@ -1302,6 +1329,7 @@ QUERIES = {
     "pagerank3": q_pagerank3,
     "dedup_clusters": q_dedup_clusters,
     "content_extract": q_content_extract,
+    "recrawl_priority": q_recrawl_priority,
 }
 
 
@@ -1809,6 +1837,37 @@ ORACLES = {
                  AS is_canonical,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
+    """,
+    # recrawl_priority: the rational staleness model re-derived in SQL;
+    # every operation is IEEE +,×,÷ (correctly rounded in both engines)
+    # so the doubles hash-match without rounding.
+    "recrawl_priority": r"""
+        WITH h AS (
+          SELECT
+            'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/d/'
+              || CAST(doc_id AS VARCHAR) AS url_canon,
+            'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+            doc_id % 7 + 1 AS fetch_count,
+            (doc_id * 3) % (doc_id % 7 + 2) AS change_count,
+            doc_id % 13 AS last_fetch_round
+          FROM documents
+        ),
+        s AS (
+          SELECT *,
+            (change_count + 0.5) / CAST(fetch_count + 1 AS DOUBLE) AS lam,
+            ((change_count + 0.5) / CAST(fetch_count + 1 AS DOUBLE)
+              * CAST(16 - last_fetch_round AS DOUBLE))
+            / (1.0 + (change_count + 0.5) / CAST(fetch_count + 1 AS DOUBLE)
+               * CAST(16 - last_fetch_round AS DOUBLE)) AS staleness
+          FROM h
+        )
+        SELECT url_canon, host, fetch_count, change_count, lam, staleness,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY host ORDER BY staleness DESC, url_canon ASC
+               ) AS INTEGER) AS recrawl_rank,
+               CAST(CASE WHEN staleness >= 0.5 THEN 1 ELSE 0 END AS INTEGER)
+                 AS due
+        FROM s
     """,
     # content_extract: the heuristic's contract (article wins; main_text
     # = <p> texts joined by newline) re-derived straight from the doc
