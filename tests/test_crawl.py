@@ -347,3 +347,33 @@ def test_seen_log_long_horizon_soak(spark, tmp_path):
 
     assert restarted and compactions_seen >= 10
     assert last_round >= 100  # the soak really covered 100+ rounds
+
+
+def test_expire_and_requeue_freshness_ranked(spark, corpus, tmp_path):
+    """With a fetch-history table, requeued URLs carry freshness-model
+    priorities in [-1, 0): frequently-changing pages outrank static
+    ones, and all recrawls still rank below fresh finds (>= 0)."""
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+    eng = CrawlEngine(
+        spark, pages, storage_json, tmp_path / "state_fresh", state_partitions=4
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=10)
+    seen_urls = [r["url_canon"] for r in eng.seen().collect()]
+    hot, others = seen_urls[0], seen_urls[1:]
+    history = spark.createDataFrame(
+        [(hot, 6, 5)] + [(u, 6, 0) for u in others],
+        "url_canon string, fetch_count long, change_count long",
+    )
+
+    eng.expire_and_requeue(max_age_rounds=0, history=history)
+    rnd = eng.read_manifest()["round"]
+    frontier = spark.read.parquet(
+        str(tmp_path / "state_fresh" / "frontier" / f"r{rnd}")
+    )
+    prio = {r["url_canon"]: r["priority"] for r in frontier.collect()}
+    assert all(-1.0 <= p < 0.0 for p in prio.values())
+    # the hot page outranks every static one
+    assert prio[hot] == max(prio.values())
+    assert all(prio[hot] > prio[u] for u in others)

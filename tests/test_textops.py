@@ -327,3 +327,59 @@ def test_simhash_hamming_pairs_pigeonhole_complete(spark):
         for r in simhash_hamming_pairs(docs, bits=16, max_hamming=2).collect()
     }
     assert got == brute
+
+
+def test_host_quality_stats_aggregates(spark):
+    from uniparser_spark.textops.quality import host_quality_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the of and to in is that table value part hash"),
+            ("a", "the of and to in is that table value part hash"),  # dup
+            ("b", "zz yy xx"),
+        ],
+        "host string, text string",
+    )
+    rows = {r["host"]: r for r in host_quality_stats(df).collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["a"]["dup_frac"] == 0.5
+    assert rows["b"]["n_docs"] == 1 and rows["b"]["dup_frac"] == 0.0
+    # the stopword-rich host scores higher quality than the junk host
+    assert rows["a"]["avg_quality"] > rows["b"]["avg_quality"]
+    assert rows["a"]["sum_quality"] == 2 * rows["a"]["avg_quality"]
+
+
+def test_host_reputation_as_scheduler_budget(spark):
+    """Reputation -> budget: a low-quality host's crawl budget is cut,
+    so only its top-ranked URL is scheduled while the good host drains."""
+    from pyspark.sql import functions as F
+    from uniparser_spark.frontier.politeness import schedule_batch
+    from uniparser_spark.textops.quality import host_quality_stats
+
+    docs = spark.createDataFrame(
+        [
+            ("good", "the of and to in is that table value part hash"),
+            ("spam", "zz zz zz zz"),
+        ],
+        "host string, text string",
+    )
+    budgets = host_quality_stats(docs).select(
+        "host",
+        F.when(F.col("avg_quality") >= 0.4, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("budget"),
+    )
+    pending = spark.createDataFrame(
+        [(f"http://{h}/{i}", h) for h in ("good", "spam") for i in range(2)],
+        "url_canon string, host string",
+    ).select(
+        "url_canon",
+        "host",
+        F.lit(0.0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("list_index"),
+    )
+    out = schedule_batch(pending, budgets=budgets)
+    sched = {r["url_canon"] for r in out.collect() if r["scheduled"]}
+    assert sched == {"http://good/0", "http://good/1", "http://spam/0"}

@@ -46,6 +46,7 @@ from typing import Dict, List, Optional, Union
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -65,7 +66,7 @@ FRONTIER_SCHEMA = StructType(
         StructField("url_canon", StringType(), False),
         StructField("url_hash", LongType(), False),
         StructField("host", StringType(), False),
-        StructField("priority", IntegerType(), False),
+        StructField("priority", DoubleType(), False),
         StructField("depth", IntegerType(), False),
         StructField("parent_url", StringType(), True),
         StructField("list_index", IntegerType(), False),
@@ -181,7 +182,7 @@ class CrawlEngine:
         return self.spark.read.schema(SEEN_SCHEMA).parquet(*paths)
 
     # -------------------------------------------------------------- seeding
-    def seed(self, urls: List[str], priority: int = 0) -> None:
+    def seed(self, urls: List[str], priority: float = 0.0) -> None:
         """Initialize frontier round 0 with the seed list (list order kept
         via list_index, matching reference seed iteration).  Seeds are
         deduplicated here so the frontier invariant (unique url_hash)
@@ -192,9 +193,9 @@ class CrawlEngine:
                 seen_urls.add(u)
                 unique.append(u)
         urls = unique
-        rows = [(u, priority, 0, None, i, 0) for i, u in enumerate(urls)]
+        rows = [(u, float(priority), 0, None, i, 0) for i, u in enumerate(urls)]
         df = self.spark.createDataFrame(
-            rows, "url string, priority int, depth int, parent_url string, list_index int, discovered_round int"
+            rows, "url string, priority double, depth int, parent_url string, list_index int, discovered_round int"
         )
         frontier = add_url_keys(df).select(*_META_COLS)
         self._write_state(frontier, self._p("frontier", 0), rows_hint=len(urls))
@@ -409,7 +410,7 @@ class CrawlEngine:
             .select("url", "depth", F.posexplode("requests").alias("list_index", "child_url"))
             .select(
                 F.col("child_url").alias("url"),
-                F.lit(0).alias("priority"),
+                F.lit(0.0).alias("priority"),
                 (F.col("depth") + 1).alias("depth"),
                 F.col("url").alias("parent_url"),
                 F.col("list_index"),
@@ -487,7 +488,9 @@ class CrawlEngine:
             decided.unpersist()
         return stats
 
-    def expire_and_requeue(self, max_age_rounds: int) -> Dict[str, int]:
+    def expire_and_requeue(
+        self, max_age_rounds: int, history: Optional[DataFrame] = None
+    ) -> Dict[str, int]:
         """TTL recrawl: drop seen entries older than ``max_age_rounds``
         and requeue their URLs into the frontier (a maintenance round —
         state advances to round+1 so no path is read and rewritten in
@@ -495,6 +498,13 @@ class CrawlEngine:
         follow automatically (rebuilt per round here; at 10^10 scale the
         cuckoo sidecar's delete() patches filters incrementally instead,
         frontier/cuckoo.py).
+
+        ``history`` (optional): a (url_canon, fetch_count, change_count)
+        table from the caller's fetch log.  When given, requeues are
+        prioritized by the freshness model (frontier/freshness.py):
+        priority = staleness − 1 ∈ [−1, 0) — frequently-changing pages
+        recrawl first, while every recrawl still ranks below fresh
+        discoveries (priority ≥ 0).  Without it, the flat −1 of before.
         """
         manifest = self.read_manifest()
         rnd = manifest["round"]
@@ -515,10 +525,30 @@ class CrawlEngine:
         )
         seen_kept = int(obs_seen.get["n"])
 
+        if history is not None:
+            from ..frontier.freshness import staleness_expr
+
+            # plain left join: history is per-URL sized, so AQE picks the
+            # strategy (broadcast only when the log actually is small)
+            expired = expired.join(
+                history.select("url_canon", "fetch_count", "change_count"),
+                "url_canon",
+                "left",
+            )
+            # unknown history -> staleness 0 -> flat -1, the old behavior
+            priority = (
+                F.coalesce(
+                    staleness_expr(rnd + 1, last_round_col="crawled_round"),
+                    F.lit(0.0),
+                )
+                - F.lit(1.0)
+            )
+        else:
+            priority = F.lit(-1).cast("double")  # recrawls rank below fresh finds
         requeued = add_url_keys(
             expired.select(
                 F.col("url_canon").alias("url"),
-                F.lit(-1).alias("priority"),  # recrawls rank below fresh finds
+                priority.alias("priority"),
                 F.lit(0).alias("depth"),
                 F.lit(None).cast("string").alias("parent_url"),
                 F.lit(0).alias("list_index"),

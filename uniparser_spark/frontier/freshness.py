@@ -37,6 +37,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def lam_expr():
+    """Laplace-smoothed change rate (changes per fetch)."""
+    return (F.col("change_count") + F.lit(0.5)) / (
+        F.col("fetch_count") + F.lit(1)
+    ).cast("double")
+
+
+def staleness_expr(now_round: int, last_round_col: str = "last_fetch_round"):
+    """The rational staleness probability in [0, 1) — see module doc."""
+    la = lam_expr() * (F.lit(now_round) - F.col(last_round_col)).cast("double")
+    return la / (F.lit(1.0) + la)
+
+
 def recrawl_priority(
     history: DataFrame,
     now_round: int,
@@ -46,12 +59,8 @@ def recrawl_priority(
     """history: (url_canon, host, fetch_count, change_count,
     last_fetch_round).  Returns it + (lam, staleness, recrawl_rank, due).
     """
-    lam = (F.col("change_count") + F.lit(0.5)) / (
-        F.col("fetch_count") + F.lit(1)
-    ).cast("double")
-    age = (F.lit(now_round) - F.col("last_fetch_round")).cast("double")
-    la = lam * age
-    staleness = la / (F.lit(1.0) + la)
+    lam = lam_expr()
+    staleness = staleness_expr(now_round)
     scored = history.select(
         url_col,
         "host",

@@ -164,6 +164,51 @@ def corpus_filter(
     )
 
 
+def host_quality_stats(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host reputation: the crawl-side aggregate of the document
+    quality signals (docs, decimal-exact summed/mean quality, exact-dup
+    fraction).  A frontier scheduler consumes this as a budget/priority
+    signal — low-reputation hosts (spam farms, mirror clusters) get
+    their crawl budget cut before their pages ever reach admission.
+
+    One scan + one groupBy(host); the dup fraction needs COUNT(DISTINCT
+    fp) which Spark plans as a partial-aggregated expand — at 10^10 rows
+    swap in approx_count_distinct (HLL) for the exact distinct; the
+    4-dp contract makes the two indistinguishable for healthy hosts.
+    Quality is summed as DECIMAL(18,4) so the double is bit-stable
+    across engines (same device as corpus_stats).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.col(host_col),
+        quality_expr(text_col).cast("decimal(18,4)").alias("q"),
+        h16(norm).alias("fp"),
+    )
+    return (
+        base.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q").cast("double").alias("sum_quality"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .select(
+            host_col,
+            "n_docs",
+            "sum_quality",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double"), 4
+            ).alias("dup_frac"),
+            F.round(F.col("sum_quality") / F.col("n_docs").cast("double"), 4).alias(
+                "avg_quality"
+            ),
+        )
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     text_col: str = "text",
