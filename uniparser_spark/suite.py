@@ -586,6 +586,79 @@ def q_warc_scan(spark, sf_dir):
     )
 
 
+def q_sitemap_scan(spark, sf_dir):
+    """Sitemap source connector (sources/sitemap.py) round-trip: each
+    partition of the documents table is encoded as a sitemaps.org
+    <urlset> (pinned-mtime gzip, W3C lastmod, changefreq, priority) and
+    parsed back through the stdlib connector parser — one Arrow-batched
+    mapInPandas, no shuffle, no filesystem.  The oracle re-predicts
+    every typed field straight from doc_id, so an escaping, namespace,
+    date-format, or float-parse slip breaks parity."""
+    import pandas as pd
+    from datetime import datetime, timedelta, timezone
+
+    from .sources.sitemap import _CHANGEFREQS, build_sitemap, parse_sitemap
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        for b in batches:
+            entries = [
+                {
+                    "loc": f"https://site.example.org/p/{i}?a=1&b=2",
+                    "lastmod": base + timedelta(days=int(i) % 28),
+                    "changefreq": _CHANGEFREQS[int(i) % 7],
+                    "priority": (int(i) % 10) / 10.0,
+                }
+                for i in b["doc_id"]
+            ]
+            parsed = parse_sitemap(build_sitemap(entries, gz=True))
+            yield pd.DataFrame(
+                {
+                    "url": [e["loc"] for e in parsed],
+                    "lastmod_epoch": [int(e["lastmod"].timestamp()) for e in parsed],
+                    "changefreq": [e["changefreq"] for e in parsed],
+                    "priority": [e["priority"] for e in parsed],
+                }
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="url string, lastmod_epoch long, changefreq string, priority double",
+    )
+
+
+def q_sitemap_discovery(spark, sf_dir):
+    """robots.txt ``Sitemap:`` discovery (sources/sitemap.py), pure
+    native path: per-host robots bodies are synthesized with ordinary
+    exprs, the directive scan is regexp_extract_all + posexplode — zero
+    Python anywhere in the plan."""
+    from .sources.sitemap import sitemap_urls_from_robots
+
+    docs = tp(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org"))
+    h = F.col("h")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\nSitemap: https://"),
+        h,
+        F.lit("/sitemap.xml\n# Sitemap: https://"),
+        h,
+        F.lit("/commented.xml\nsitemap:https://"),
+        h,
+        F.lit("/sitemap-news.xml.gz\n"),
+    )
+    robots = (
+        docs.select(host.alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("https://"), h, F.lit("/robots.txt")).alias("url"),
+            body.alias("text"),
+        )
+    )
+    return sitemap_urls_from_robots(robots)
+
+
 def q_rule_json(spark, sf_dir):
     """loader(json) → jmespath chain over the events props column."""
     ev = tp(spark, sf_dir, "events")
@@ -1147,6 +1220,19 @@ def q_corpus_stats(spark, sf_dir):
     )
 
 
+def q_host_stats(spark, sf_dir):
+    """Host reputation aggregate: docs are assigned hosts by doc_id%7
+    (same derivation as the streaming queries) and rolled up into the
+    per-host quality/dup signals the frontier scheduler consumes."""
+    from .textops.quality import host_quality_stats
+
+    docs = tp(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org")
+    )
+    return host_quality_stats(docs.select(host.alias("host"), "text"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1281,6 +1367,8 @@ QUERIES = {
     "rule_css1": q_rule_css1,
     "rule_xpath": q_rule_xpath,
     "warc_scan": q_warc_scan,
+    "sitemap_scan": q_sitemap_scan,
+    "sitemap_discovery": q_sitemap_discovery,
     "rule_json": q_rule_json,
     "rule_udf": q_rule_udf,
     "rule_regex_sub": q_rule_regex_sub,
@@ -1330,6 +1418,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "content_extract": q_content_extract,
     "recrawl_priority": q_recrawl_priority,
+    "host_stats": q_host_stats,
 }
 
 
@@ -1506,6 +1595,27 @@ ORACLES = {
                'en' AS lang,
                CAST(epoch(TIMESTAMP '2026-01-02 03:04:05') AS BIGINT) AS warc_epoch
         FROM documents
+    """,
+    "sitemap_scan": """
+        SELECT 'https://site.example.org/p/' || doc_id || '?a=1&b=2' AS url,
+               CAST(epoch(TIMESTAMP '2026-01-01') AS BIGINT)
+                 + (doc_id % 28) * 86400 AS lastmod_epoch,
+               (['always','hourly','daily','weekly','monthly','yearly','never'])
+                 [doc_id % 7 + 1] AS changefreq,
+               CAST(doc_id % 10 AS DOUBLE) / 10.0 AS priority
+        FROM documents
+    """,
+    "sitemap_discovery": """
+        WITH h AS (
+          SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+            AS host FROM documents
+        )
+        SELECT host, CAST(j.sitemap_idx AS INTEGER) AS sitemap_idx,
+               CASE j.sitemap_idx
+                 WHEN 0 THEN 'https://' || host || '/sitemap.xml'
+                 ELSE 'https://' || host || '/sitemap-news.xml.gz'
+               END AS sitemap_url
+        FROM h, (SELECT UNNEST(range(0, 2)) AS sitemap_idx) j
     """,
     "rule_json": """
         SELECT 'https://api.example.org/ev/' || event_id AS url,
@@ -1726,6 +1836,23 @@ ORACLES = {
               + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
         FROM documents
         GROUP BY 1, 2
+    """,
+    "host_stats": rf"""
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+                 CAST(ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                   + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
+                   + 0.2 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)))
+                   + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS DECIMAL(18,4)) AS q,
+                 substr(md5({_NORM}), 1, 16) AS fp
+          FROM documents
+        )
+        SELECT host, COUNT(*) AS n_docs,
+               CAST(SUM(q) AS DOUBLE) AS sum_quality,
+               ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4)
+                 AS dup_frac,
+               ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS avg_quality
+        FROM e GROUP BY 1
     """,
     "minhash_lsh_pairs": rf"""
         WITH toks AS (
