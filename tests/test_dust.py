@@ -1,0 +1,98 @@
+"""DUST mining + crawl-trap detection (crawl/dust.py)."""
+
+from pyspark.sql import functions as F
+
+from uniparser_spark.crawl.dust import (
+    apply_dust_rules,
+    dust_param_rules,
+    host_trap_stats,
+    url_aliases,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_url_aliases_alias_to_canonical(spark):
+    pages = _pages(
+        spark,
+        [
+            ("http://a.org/p?utm=1", "Same  Content"),
+            ("http://a.org/p", "same content"),  # normalization folds case/ws
+            ("http://a.org/p?ref=x", "same content"),
+            ("http://a.org/unique", "other content"),
+        ],
+    )
+    got = {
+        (r["alias_url"], r["canonical_url"]) for r in url_aliases(pages).collect()
+    }
+    # canonical = min url of the group; one row per alias, none for the canonical
+    assert got == {
+        ("http://a.org/p?utm=1", "http://a.org/p"),
+        ("http://a.org/p?ref=x", "http://a.org/p"),
+    }
+
+
+def test_dust_param_rules_votes_and_threshold(spark):
+    aliases = spark.createDataFrame(
+        [
+            ("http://a.org/p?utm=1", "http://a.org/p", "f1"),
+            ("http://a.org/q?utm=2&sess=z", "http://a.org/q", "f2"),
+            ("http://a.org/r?keep=1&utm=3", "http://a.org/r?keep=1", "f3"),
+            # path differs -> not a query-only alias, contributes nothing
+            ("http://a.org/s?utm=4", "http://a.org/t", "f4"),
+            # different host pair -> excluded
+            ("http://b.org/p?utm=9", "http://c.org/p", "f5"),
+        ],
+        "alias_url string, canonical_url string, content_fp string",
+    )
+    got = {(r["host"], r["param"]): r["votes"] for r in dust_param_rules(aliases).collect()}
+    # utm voted 3x on a.org; sess only once -> below min_votes=2
+    assert got == {("a.org", "utm"): 3}
+    low = {
+        (r["host"], r["param"]): r["votes"]
+        for r in dust_param_rules(aliases, min_votes=1).collect()
+    }
+    assert low[("a.org", "sess")] == 1
+
+
+def test_apply_dust_rules_rewrites_candidates(spark):
+    rules = spark.createDataFrame(
+        [("a.org", "utm", 3), ("a.org", "sess", 2)], "host string, param string, votes long"
+    )
+    cands = spark.createDataFrame(
+        [
+            ("http://a.org/p?utm=1",),            # query becomes empty -> base
+            ("http://a.org/p?keep=1&utm=2",),     # utm stripped, keep kept
+            ("http://a.org/p?b=2&a=1",),          # untouched params keep order
+            ("http://a.org/plain",),              # no query -> unchanged
+            ("http://b.org/p?utm=1",),            # no rules for host -> unchanged
+        ],
+        "url_canon string",
+    )
+    got = [r["url_canon"] for r in apply_dust_rules(cands, rules).collect()]
+    assert sorted(got) == sorted(
+        [
+            "http://a.org/p",
+            "http://a.org/p?keep=1",
+            "http://a.org/p?b=2&a=1",
+            "http://a.org/plain",
+            "http://b.org/p?utm=1",
+        ]
+    )
+
+
+def test_host_trap_stats_flags_trap_host(spark):
+    # trap.org: 6 urls over 1 content blob, deep paths, all query-minted
+    trap = [
+        (f"http://trap.org/cal/2026/{i}?sess={i}", "trapped page") for i in range(6)
+    ]
+    good = [(f"http://good.org/a{i}", f"content {i}") for i in range(6)]
+    stats = {r["host"]: r for r in host_trap_stats(_pages(spark, trap + good)).collect()}
+    t, g = stats["trap.org"], stats["good.org"]
+    assert t["n_urls"] == 6 and t["n_content"] == 1 and t["url_inflation"] == 6.0
+    assert g["n_content"] == 6 and g["url_inflation"] == 1.0
+    assert t["query_frac"] == 1.0 and g["query_frac"] == 0.0
+    assert t["max_path_depth"] == 3 and g["max_path_depth"] == 1
+    assert t["trap_score"] > 0.6 > g["trap_score"]

@@ -1,0 +1,197 @@
+"""DUST mining + crawl-trap detection — frontier hygiene analytics.
+
+Two classic crawl-side defenses the reference engine (a parse library,
+not a crawler) has no analog for, but any frontier at 10^10-URL scale
+must run between rounds:
+
+- **DUST** ("Different URLs with Similar Text", Bar-Yossef et al.,
+  WWW'07): mine the fetched-pages table for URL aliases — distinct URLs
+  serving byte-identical normalized content — and distill them into
+  per-host *irrelevant-query-parameter* rules the canonicalizer can
+  apply BEFORE fetching (every alias skipped is a fetch saved).
+- **Crawl traps**: hosts that manufacture unbounded URL spaces over a
+  tiny content set (calendar pages, session ids, faceted search).  A
+  per-host roll-up of URL-count vs distinct-content-count plus URL
+  shape signals yields a trap score the scheduler cuts budgets with
+  (same consumption seam as ``textops.quality.host_quality_stats``).
+
+Scale notes: :func:`url_aliases` is alias→canonical (one row per alias,
+NOT per pair) — a groupBy + min over narrow (fp, url) rows, linear in
+the corpus where the naive same-fp self-join is quadratic inside
+boilerplate mega-groups.  :func:`dust_param_rules` and
+:func:`host_trap_stats` aggregate per (host, param) / host — shuffles
+carry only short strings and counts; page text crosses the wire
+nowhere (only its 16-byte fingerprint).  Everything is native
+expressions (str_to_map / array_except / regexp) — zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..textops.exprs import h16
+
+_HOST_RE = r"^https?://([^/?#:]+)"
+_PATH_RE = r"^https?://[^/?#]+([^?#]*)"
+_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+
+def _norm(text_col: str) -> F.Column:
+    """The corpus-wide content fingerprint normalization (same device
+    as textops.dedup.exact_dup_groups: lowercase, collapse whitespace)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def url_aliases(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """(alias_url, canonical_url, content_fp) for every URL whose
+    normalized content is served by at least one other URL.
+
+    canonical = MIN(url) of the fingerprint group — deterministic and
+    order-independent; one output row per alias (linear), never the
+    quadratic within-group pair set.  Two shuffles of narrow rows:
+    min-by-fp (map-side combined) and the join back.
+    """
+    fp = pages.select(
+        F.col(url_col).alias("alias_url"), h16(_norm(text_col)).alias("content_fp")
+    )
+    canon = fp.groupBy("content_fp").agg(
+        F.min("alias_url").alias("canonical_url"),
+        F.countDistinct("alias_url").alias("n_urls"),
+    )
+    return (
+        fp.join(canon, "content_fp")
+        .filter((F.col("n_urls") > 1) & (F.col("alias_url") != F.col("canonical_url")))
+        .select("alias_url", "canonical_url", "content_fp")
+    )
+
+
+def dust_param_rules(
+    aliases: DataFrame,
+    min_votes: int = 2,
+) -> DataFrame:
+    """Alias table → per-host irrelevant-query-parameter rules.
+
+    For alias/canonical pairs that agree on host AND path (the alias is
+    *only* a query-string variation), each parameter present in the
+    alias but absent from the canonical collects one vote; parameters
+    with ``>= min_votes`` independent supporting pairs become
+    ``(host, param, votes)`` rules.  The canonicalizer strips a rule's
+    param host-wide, collapsing the alias space before fetch.
+
+    str_to_map parses the query string JVM-side; the vote aggregation
+    is a two-phase count on (host, param) — skew-free (a host's params
+    are few) and tiny.
+    """
+    host = F.regexp_extract(F.col("alias_url"), _HOST_RE, 1)
+    a_path = F.regexp_extract(F.col("alias_url"), _PATH_RE, 1)
+    c_path = F.regexp_extract(F.col("canonical_url"), _PATH_RE, 1)
+    c_host = F.regexp_extract(F.col("canonical_url"), _HOST_RE, 1)
+    a_params = F.map_keys(
+        F.str_to_map(F.regexp_extract(F.col("alias_url"), _QUERY_RE, 1), F.lit("&"), F.lit("="))
+    )
+    c_params = F.map_keys(
+        F.str_to_map(F.regexp_extract(F.col("canonical_url"), _QUERY_RE, 1), F.lit("&"), F.lit("="))
+    )
+    extra = F.array_except(a_params, c_params)
+    return (
+        aliases.filter((host == c_host) & (a_path == c_path))
+        .select(host.alias("host"), F.explode(extra).alias("param"))
+        .filter(F.col("param") != "")
+        .groupBy("host", "param")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+
+
+def apply_dust_rules(
+    candidates: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Strip ruled-out query parameters from candidate URLs before the
+    seen-set anti-join (aliases then collapse onto their canonical and
+    dedup for free).  rules is tiny → broadcast; the rewrite is a pure
+    expression: parse query → map_filter against the host's param set →
+    re-serialize in original order (re-sorting would break byte-parity
+    for params the rules DON'T cover).
+    """
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    host_rules = F.broadcast(
+        rules.groupBy("host").agg(F.collect_set("param").alias("drop_params"))
+    )
+    out = candidates.withColumn("_h", host).join(host_rules.withColumnRenamed("host", "_h"), "_h", "left")
+    base = F.regexp_extract(F.col(url_col), r"^([^?#]*)", 1)
+    query = F.regexp_extract(F.col(url_col), _QUERY_RE, 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: ~F.array_contains(
+            F.col("drop_params"), F.split(kv, "=").getItem(0)
+        ),
+    )
+    rewritten = F.when(
+        F.col("drop_params").isNull() | (query == ""), F.col(url_col)
+    ).otherwise(
+        F.when(F.size(kept) == 0, base).otherwise(
+            F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+        )
+    )
+    return out.withColumn(url_col, rewritten).drop("_h", "drop_params")
+
+
+def host_trap_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host crawl-trap signals: URL inflation over distinct content
+    plus URL-shape aggregates.
+
+    - ``n_urls`` / ``n_content`` / ``url_inflation`` — a trap serves few
+      pages under many URLs, so inflation ≫ 1 is the primary signal;
+    - ``avg_path_depth`` / ``max_path_depth`` — calendar/recursion traps
+      grow path segments without bound;
+    - ``query_frac`` — session-id traps mint query variants;
+    - ``trap_score`` — bounded [0,1) composite: 1 - 1/inflation weighted
+      with depth and query pressure (rational, bit-stable both engines).
+
+    One scan, one groupBy(host); at 10^10 rows swap the exact distinct
+    for approx_count_distinct exactly as in host_quality_stats.
+    """
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    has_q = F.regexp_extract(F.col(url_col), _QUERY_RE, 1) != ""
+    base = pages.select(
+        host.alias("host"),
+        h16(_norm(text_col)).alias("fp"),
+        depth.cast("double").alias("depth"),
+        has_q.cast("double").alias("has_q"),
+    )
+    agg = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("fp").alias("n_content"),
+        F.round(F.avg("depth"), 4).alias("avg_path_depth"),
+        F.max("depth").cast("int").alias("max_path_depth"),
+        F.round(F.avg("has_q"), 4).alias("query_frac"),
+    )
+    inflation = F.col("n_urls").cast("double") / F.col("n_content").cast("double")
+    depth_sig = F.col("avg_path_depth") / (F.lit(4.0) + F.col("avg_path_depth"))
+    score = (
+        F.lit(0.6) * (F.lit(1.0) - F.lit(1.0) / inflation)
+        + F.lit(0.25) * depth_sig
+        + F.lit(0.15) * F.col("query_frac")
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_content",
+        F.round(inflation, 4).alias("url_inflation"),
+        "avg_path_depth",
+        "max_path_depth",
+        "query_frac",
+        F.round(score, 4).alias("trap_score"),
+    )

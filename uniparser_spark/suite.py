@@ -1233,6 +1233,64 @@ def q_host_stats(spark, sf_dir):
     return host_quality_stats(docs.select(host.alias("host"), "text"))
 
 
+def _dust_pages(spark, sf_dir):
+    """Deterministic DUST corpus: every 3 consecutive doc_ids serve one
+    content blob under a clean URL + two query-string aliases."""
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    grp = (F.col("doc_id") / 3).cast("long")
+    base = F.concat(F.lit("https://d.example.org/p/"), grp.cast("string"))
+    url = F.when(F.col("doc_id") % 3 == 0, base).when(
+        F.col("doc_id") % 3 == 1, F.concat(base, F.lit("?utm_source=feed"))
+    ).otherwise(
+        F.concat(base, F.lit("?utm_source=feed&sess="), F.col("doc_id").cast("string"))
+    )
+    text = F.concat(F.lit("content block "), grp.cast("string"))
+    return docs.select(url.alias("url"), text.alias("text"))
+
+
+def q_url_aliases(spark, sf_dir):
+    """DUST alias mining (crawl/dust.py): distinct URLs serving
+    byte-identical normalized content collapse onto MIN(url) — one row
+    per alias (linear), never the quadratic within-group pair set."""
+    from .crawl.dust import url_aliases
+
+    return url_aliases(_dust_pages(spark, sf_dir))
+
+
+def q_dust_rules(spark, sf_dir):
+    """Composed DUST pipeline: alias mining → per-host irrelevant-query-
+    parameter vote aggregation (str_to_map/array_except, zero Python).
+    utm_source collects 2 votes per content group, sess one."""
+    from .crawl.dust import dust_param_rules, url_aliases
+
+    return dust_param_rules(url_aliases(_dust_pages(spark, sf_dir)))
+
+
+def q_host_traps(spark, sf_dir):
+    """Crawl-trap detection: per-host URL-inflation / path-depth /
+    query-minting signals + bounded composite trap score.  Host h0
+    is synthesized as a calendar trap (one content blob, growing
+    paths, session params); h1-h6 serve honest unique pages."""
+    from .crawl.dust import host_trap_stats
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    hid = F.col("doc_id") % 7
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.org"))
+    depth = (F.col("doc_id") % 5 + 1).cast("int")
+    trap_url = F.concat(
+        F.lit("https://"), host, F.repeat(F.lit("/cal"), depth),
+        F.lit("?sess="), F.col("doc_id").cast("string"),
+    )
+    good_url = F.concat(
+        F.lit("https://"), host, F.lit("/a/"), F.col("doc_id").cast("string")
+    )
+    url = F.when(hid == 0, trap_url).otherwise(good_url)
+    text = F.when(hid == 0, F.lit("trap page")).otherwise(
+        F.concat(F.lit("page "), F.col("doc_id").cast("string"))
+    )
+    return host_trap_stats(docs.select(url.alias("url"), text.alias("text")))
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1419,6 +1477,9 @@ QUERIES = {
     "content_extract": q_content_extract,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
+    "url_aliases": q_url_aliases,
+    "dust_rules": q_dust_rules,
+    "host_traps": q_host_traps,
 }
 
 
@@ -1853,6 +1914,115 @@ ORACLES = {
                  AS dup_frac,
                ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS avg_quality
         FROM e GROUP BY 1
+    """,
+    # DUST corpus shared by url_aliases / dust_rules: every 3 doc_ids
+    # serve one content blob under base + ?utm_source + ?utm_source&sess
+    # URLs; canonical = MIN(url) (the bare base, shortest-prefix-first).
+    "url_aliases": r"""
+        WITH e AS (
+          SELECT 'https://d.example.org/p/' || CAST(doc_id // 3 AS VARCHAR)
+                 || CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed'
+                    ELSE '?utm_source=feed&sess=' || CAST(doc_id AS VARCHAR) END AS url,
+                 'content block ' || CAST(doc_id // 3 AS VARCHAR) AS text
+          FROM documents
+        ),
+        f AS (
+          SELECT url,
+                 substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+                   AS content_fp
+          FROM e
+        ),
+        c AS (
+          SELECT content_fp, MIN(url) AS canonical_url,
+                 COUNT(DISTINCT url) AS n
+          FROM f GROUP BY 1
+        )
+        SELECT f.url AS alias_url, c.canonical_url, f.content_fp
+        FROM f JOIN c USING (content_fp)
+        WHERE c.n > 1 AND f.url <> c.canonical_url
+    """,
+    "dust_rules": r"""
+        WITH e AS (
+          SELECT 'https://d.example.org/p/' || CAST(doc_id // 3 AS VARCHAR)
+                 || CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed'
+                    ELSE '?utm_source=feed&sess=' || CAST(doc_id AS VARCHAR) END AS url,
+                 'content block ' || CAST(doc_id // 3 AS VARCHAR) AS text
+          FROM documents
+        ),
+        f AS (
+          SELECT url,
+                 substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+                   AS content_fp
+          FROM e
+        ),
+        c AS (
+          SELECT content_fp, MIN(url) AS canonical_url,
+                 COUNT(DISTINCT url) AS n
+          FROM f GROUP BY 1
+        ),
+        al AS (
+          SELECT f.url AS alias_url, c.canonical_url
+          FROM f JOIN c USING (content_fp)
+          WHERE c.n > 1 AND f.url <> c.canonical_url
+        ),
+        p AS (
+          SELECT regexp_extract(alias_url, '^https?://([^/?#:]+)', 1) AS host,
+                 UNNEST(list_filter(
+                   list_transform(
+                     string_split(regexp_extract(alias_url, '^[^?#]*\?([^#]*)', 1), '&'),
+                     s -> string_split(s, '=')[1]),
+                   k -> k <> '' AND NOT list_contains(
+                     list_transform(
+                       string_split(regexp_extract(canonical_url, '^[^?#]*\?([^#]*)', 1), '&'),
+                       s -> string_split(s, '=')[1]), k)
+                 )) AS param
+          FROM al
+          WHERE regexp_extract(alias_url, '^https?://([^/?#:]+)', 1)
+                  = regexp_extract(canonical_url, '^https?://([^/?#:]+)', 1)
+            AND regexp_extract(alias_url, '^https?://[^/?#]+([^?#]*)', 1)
+                  = regexp_extract(canonical_url, '^https?://[^/?#]+([^?#]*)', 1)
+        )
+        SELECT host, param, COUNT(*) AS votes
+        FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    "host_traps": r"""
+        WITH e AS (
+          SELECT CASE WHEN doc_id % 7 = 0
+                   THEN 'https://h0.example.org'
+                        || repeat('/cal', CAST(doc_id % 5 + 1 AS INTEGER))
+                        || '?sess=' || CAST(doc_id AS VARCHAR)
+                   ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.org/a/' || CAST(doc_id AS VARCHAR) END AS url,
+                 CASE WHEN doc_id % 7 = 0 THEN 'trap page'
+                   ELSE 'page ' || CAST(doc_id AS VARCHAR) END AS text
+          FROM documents
+        ),
+        f AS (
+          SELECT regexp_extract(url, '^https?://([^/?#:]+)', 1) AS host,
+                 substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+                   AS fp,
+                 CAST(len(list_filter(
+                   string_split(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/'),
+                   s -> s <> '')) AS DOUBLE) AS depth,
+                 CASE WHEN regexp_extract(url, '^[^?#]*\?([^#]*)', 1) <> ''
+                   THEN 1.0 ELSE 0.0 END AS has_q
+          FROM e
+        ),
+        a AS (
+          SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT fp) AS n_content,
+                 ROUND(AVG(depth), 4) AS avg_path_depth,
+                 CAST(MAX(depth) AS INTEGER) AS max_path_depth,
+                 ROUND(AVG(has_q), 4) AS query_frac
+          FROM f GROUP BY 1
+        )
+        SELECT host, n_urls, n_content,
+               ROUND(CAST(n_urls AS DOUBLE) / CAST(n_content AS DOUBLE), 4)
+                 AS url_inflation,
+               avg_path_depth, max_path_depth, query_frac,
+               ROUND(0.6 * (1.0 - 1.0 / (CAST(n_urls AS DOUBLE) / CAST(n_content AS DOUBLE)))
+                   + 0.25 * (avg_path_depth / (4.0 + avg_path_depth))
+                   + 0.15 * query_frac, 4) AS trap_score
+        FROM a
     """,
     "minhash_lsh_pairs": rf"""
         WITH toks AS (
