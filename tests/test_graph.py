@@ -120,3 +120,22 @@ def test_connected_components_raises_on_no_convergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, max_iter=1)
+
+
+def test_select_canonical_quality_ranked(spark):
+    from uniparser_spark.graph import dedup_clusters, select_canonical
+
+    edges = spark.createDataFrame([(7, 2), (2, 9)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (2, 3, 7, 9)], "node long")
+    clusters = dedup_clusters(edges, nodes)
+    # doc 9 has the best quality in its cluster; 3 is a singleton
+    quality = spark.createDataFrame(
+        [(2, 0.4), (7, 0.9), (9, 0.9), (3, 0.1)], "doc_id long, quality double"
+    )
+    rows = {r["doc_id"]: r for r in select_canonical(clusters, quality).collect()}
+    # min-id default (2) is overridden; quality tie 7 vs 9 -> smaller id wins
+    assert rows[7]["is_canonical"] == 1 and rows[7]["quality"] == 0.9
+    assert rows[2]["is_canonical"] == 0 and rows[9]["is_canonical"] == 0
+    assert rows[3]["is_canonical"] == 1  # singleton keeps itself
+    assert rows[9]["cluster_size"] == 3 and rows[9]["cluster_id"] == 2
+    assert sum(r["is_canonical"] for r in rows.values()) == 2

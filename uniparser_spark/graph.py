@@ -22,7 +22,7 @@ k=1..fanout, self-loops dropped) — the oracle re-synthesizes it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def synth_edges(
@@ -199,5 +199,43 @@ def dedup_clusters(
             .cast("int")
             .alias("is_canonical"),
             F.col("cluster_size"),
+        )
+    )
+
+
+def select_canonical(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-ranked retention: re-elect each cluster's canonical as
+    its BEST-quality document (ties → smallest id) instead of
+    :func:`dedup_clusters`' min-id default.
+
+    min-id is deterministic but content-blind — a truncated mirror can
+    out-rank the full original purely by crawl order.  Joining the
+    per-doc quality signal (``textops.quality.quality_expr`` or any
+    (id, quality) table) and ranking inside the cluster keeps the copy
+    a training pipeline actually wants.
+
+    One join + one window over ``cluster_id`` — rows are narrow
+    (two longs + a double) and near-dup clusters are small, so the
+    window's per-key state is tiny; skew would only appear if one
+    cluster held a measurable fraction of the corpus, which the LSH
+    band-cap upstream already prevents.
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        clusters.join(quality.select(id_col, quality_col), id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col("_rk") == 1).cast("int").alias("is_canonical"),
+            "cluster_size",
+            quality_col,
         )
     )

@@ -1185,6 +1185,27 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(edges, nodes)
 
 
+def q_canonical_docs(spark, sf_dir):
+    """End-of-pipeline dedup retention: LSH pairs → connected
+    components → QUALITY-ranked canonical election (graph.py
+    select_canonical) — the keep-set a training pipeline materializes.
+    min-id retention is content-blind (a truncated mirror can win by
+    crawl order); ranking by the quality signal inside each cluster
+    keeps the best copy.  The DuckDB twin recomputes the closure with a
+    recursive CTE and re-elects with the same (quality DESC, id ASC)
+    window."""
+    from .graph import dedup_clusters, select_canonical
+    from .textops.quality import quality_expr
+
+    docs = tp(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=16, bands=8, shingle_k=3)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    clusters = dedup_clusters(edges, nodes)
+    quality = docs.select("doc_id", quality_expr("text").alias("quality"))
+    return select_canonical(clusters, quality)
+
+
 def q_langid(spark, sf_dir):
     return langid(tp(spark, sf_dir, "documents"))
 
@@ -1474,6 +1495,7 @@ QUERIES = {
     "link_degrees": q_link_degrees,
     "pagerank3": q_pagerank3,
     "dedup_clusters": q_dedup_clusters,
+    "canonical_docs": q_canonical_docs,
     "content_extract": q_content_extract,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
@@ -2134,6 +2156,71 @@ ORACLES = {
                  AS is_canonical,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
+    """,
+    # canonical_docs: the dedup_clusters closure + quality-ranked
+    # canonical election (quality DESC, id ASC within each cluster).
+    "canonical_docs": rf"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(tk) - 2),
+                                i -> array_to_string(tk[i+1:i+3], ' ')) AS s
+          FROM toks WHERE len(tk) >= 3
+        ),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 16),
+                   h -> list_min(list_transform(s,
+                          g -> substr(md5(h || ':' || g), 1, 16)))) AS sg
+          FROM sh WHERE len(s) > 0
+        ),
+        bands AS (
+          SELECT doc_id, j.band_idx,
+                 md5(array_to_string(sg[j.band_idx*2+1:j.band_idx*2+2], ',')) AS band_key
+          FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) j
+        ),
+        cand AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b USING (band_idx, band_key)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT id1 AS a, id2 AS b FROM cand
+          UNION ALL
+          SELECT id2 AS a, id1 AS b FROM cand
+        ),
+        reach AS (
+          SELECT doc_id AS node, doc_id AS r FROM documents
+          UNION
+          SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        sized AS (
+          SELECT node, cluster_id,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM comp
+        ),
+        q AS (
+          SELECT doc_id,
+                 ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                     + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                              / CAST(len({_TOKS}) AS DOUBLE))
+                     + 0.2 * (1.0 - CAST(length(text)
+                              - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE))
+                     + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS},
+                              t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+                              / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS quality
+          FROM documents
+        )
+        SELECT node AS doc_id, cluster_id,
+               CAST(CASE WHEN ROW_NUMBER() OVER (
+                 PARTITION BY cluster_id ORDER BY quality DESC, node ASC
+               ) = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_canonical,
+               cluster_size, quality
+        FROM sized JOIN q ON q.doc_id = sized.node
     """,
     # recrawl_priority: the rational staleness model re-derived in SQL;
     # every operation is IEEE +,×,÷ (correctly rounded in both engines)
