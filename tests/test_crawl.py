@@ -377,3 +377,55 @@ def test_expire_and_requeue_freshness_ranked(spark, corpus, tmp_path):
     # the hot page outranks every static one
     assert prio[hot] == max(prio.values())
     assert all(prio[hot] > prio[u] for u in others)
+
+
+def test_seed_df_from_sitemap_entries(spark, corpus, tmp_path):
+    """Distributed seeding: sitemap XML -> entry table -> seeds_from_
+    entries -> CrawlEngine.seed_df.  The crawl result matches a
+    list-seeded run, and round-0 frontier carries the advertised
+    priorities with canonical-collision dedup (max priority, min url)."""
+    from uniparser_spark.sources.sitemap import (
+        build_sitemap,
+        seeds_from_entries,
+        sitemap_entries,
+    )
+
+    pages, storage_json, store = corpus
+    seeds = [testgen.list_url(testgen.host_name(i)) for i in range(3)]
+    sm = build_sitemap(
+        [{"loc": seeds[0], "priority": 0.9},
+         {"loc": seeds[0].replace("https://", "HTTPS://"), "priority": 0.4},
+         {"loc": seeds[1], "priority": 0.7},
+         {"loc": seeds[2]}]  # default 0.5
+    )
+    sm_pages = spark.createDataFrame(
+        [("https://seeds.example.org/sitemap.xml", bytearray(sm))],
+        "url string, html binary",
+    )
+    seed_tbl = seeds_from_entries(sitemap_entries(sm_pages))
+
+    eng = CrawlEngine(spark, pages, storage_json, tmp_path / "state_smseed",
+                      state_partitions=4)
+    eng.seed_df(seed_tbl)
+    frontier = spark.read.parquet(str(tmp_path / "state_smseed" / "frontier" / "r0"))
+    rows = {r["url_canon"]: r for r in frontier.collect()}
+    # the HTTPS:// variant canonicalizes onto seeds[0]: max priority won,
+    # one frontier row fetching the canonical form
+    assert len(rows) == 3
+    s0 = rows[canonicalize_url(seeds[0])]
+    assert s0["priority"] == 0.9 and s0["url"] == canonicalize_url(seeds[0])
+    assert rows[canonicalize_url(seeds[1])]["priority"] == 0.7
+    assert rows[canonicalize_url(seeds[2])]["priority"] == 0.5
+
+    rounds = eng.run(max_rounds=10)
+    assert rounds[-1]["done"] or rounds[-1]["scheduled"] == 0
+    got = eng.assemble_results(seeds)
+    # same extraction results as a plain list-seeded crawl
+    ref = CrawlEngine(spark, pages, storage_json, tmp_path / "state_listseed",
+                      state_partitions=4)
+    ref.seed(seeds)
+    ref.run(max_rounds=10)
+    assert got == ref.assemble_results(seeds)
+    assert {r["url_canon"] for r in eng.seen().collect()} == {
+        r["url_canon"] for r in ref.seen().collect()
+    }

@@ -214,6 +214,68 @@ class CrawlEngine:
             }
         )
 
+    def seed_df(self, seeds: DataFrame) -> None:
+        """Initialize frontier round 0 from a ``(url, priority)``
+        DataFrame — the distributed seeding path for table-sized seed
+        sources (sitemap entries via ``sources.sitemap.seeds_from_entries``,
+        a previous crawl's frontier export, a URL dump).
+
+        Unlike :func:`seed` there is no caller list order to preserve:
+        within-host order comes entirely from ``host_order`` (priority
+        DESC, then url_canon) so ``list_index`` is 0 everywhere — fully
+        deterministic without a global row-number (which would serialize
+        a 10^10-row seed set onto one window partition).  URLs that
+        canonicalize to the same ``url_canon`` collapse to one frontier
+        row keeping the max advertised priority, and the engine fetches
+        the CANONICAL form (there is no single raw variant to prefer;
+        canonicalization only normalizes scheme/host case and default
+        ports, which never changes the resource) — order-independent,
+        so the unique-url_hash invariant holds from round 0.
+        """
+        keyed = add_url_keys(
+            seeds.select(
+                "url",
+                F.coalesce(F.col("priority").cast("double"), F.lit(0.0)).alias(
+                    "priority"
+                ),
+            )
+        )
+        dedup = (
+            keyed.groupBy("url_canon", "url_hash", "host")
+            .agg(F.max("priority").alias("priority"))
+            .select(
+                F.col("url_canon").alias("url"),
+                "url_canon",
+                "url_hash",
+                "host",
+                "priority",
+                F.lit(0).alias("depth"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.lit(0).alias("list_index"),
+                F.lit(0).alias("discovered_round"),
+            )
+        )
+        obs = Observation("seed_df")
+        frontier = dedup.observe(obs, F.count(F.lit(1)).alias("n")).select(
+            *_META_COLS
+        )
+        self._write_state(frontier, self._p("frontier", 0))
+        n = int(obs.get["n"])
+        empty_seen = self.spark.createDataFrame(
+            [], "url_hash long, url_canon string, crawled_round int"
+        )
+        self._write_state(empty_seen, self._p("seen", 0), partitions=1)
+        self._commit_manifest(
+            {
+                "round": 0,
+                "done": False,
+                "seeded": n,
+                "n_pending": n,
+                "seen_total": 0,
+                "seen_base": 0,
+            }
+        )
+
     def _write_state(
         self,
         df: DataFrame,
