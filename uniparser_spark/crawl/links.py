@@ -1,0 +1,115 @@
+"""Anchor-text link extraction — pages table → typed link table.
+
+Bridges the extraction engine and the link-graph analytics
+(``graph.py``): one Arrow-batched ``mapInPandas`` walks each page's DOM
+(the engine's own ``dom.html`` parser — same tree the rule chains see,
+reference parsers.py:222-282 CSS semantics) and emits one row per
+``<a href>`` with the resolved absolute target, normalized anchor text,
+document order, and the two flags ranking pipelines consume (nofollow,
+same-host).  Feeding :func:`link_edges` output into
+``graph.pagerank`` / ``graph.link_degrees`` closes the loop:
+crawl → link table → priority signal → scheduler.
+
+Scale: HTML crosses into Python exactly once and never shuffles — the
+emitted rows are narrow strings/ints; the downstream graph state is
+(hash, hash) longs.  Relative-URL resolution is stdlib ``urljoin``
+(the same resolution `urls.fix_relative_path` applies inside rule
+chains).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List
+from urllib.parse import urljoin
+
+from pyspark.sql import DataFrame, functions as F
+
+LINKS_SCHEMA = (
+    "src string, dst string, anchor string, link_idx int, "
+    "nofollow int, internal int"
+)
+
+_WS = re.compile(r"\s+")
+_HOST = re.compile(r"^https?://([^/?#:]+)", re.I)
+
+
+def _page_links(src: str, markup: str) -> List[tuple]:
+    from ..dom.html import parse_html
+
+    src_host = m.group(1).lower() if (m := _HOST.match(src)) else ""
+    out: List[tuple] = []
+    idx = 0
+    for el in parse_html(markup).iter_elements():
+        if el.tag != "a":
+            continue
+        href = el.get("href")
+        if href is None or href == "" or href.startswith(("#", "javascript:")):
+            continue
+        dst = urljoin(src, href)
+        rel = el.get("rel") or ""
+        if isinstance(rel, list):  # html LIST_ATTRS expose rel as tokens
+            rel = " ".join(rel)
+        nofollow = int("nofollow" in rel.lower().split())
+        dst_host = m.group(1).lower() if (m := _HOST.match(dst)) else ""
+        anchor = _WS.sub(" ", el.text).strip()
+        out.append((src, dst, anchor, idx, nofollow, int(dst_host == src_host)))
+        idx += 1
+    return out
+
+
+def links_from_html(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Pages → (src, dst, anchor, link_idx, nofollow, internal).
+
+    ``html_col`` may be string or binary (utf-8 decoded with replace —
+    the pages-table contract).  Fragment-only and ``javascript:`` hrefs
+    are skipped (not navigation); everything else resolves against the
+    page URL, so relative, root-relative and protocol-relative links
+    all land absolute.  ``link_idx`` is document order — the crawl
+    frontier's ``list_index`` analog for link-discovery seeding.
+    """
+    import pandas as pd
+
+    cols = pages.select(
+        F.col(url_col).alias("src"), F.col(html_col).alias("markup")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: List[tuple] = []
+            for src, markup in zip(batch["src"], batch["markup"]):
+                if isinstance(markup, (bytes, bytearray, memoryview)):
+                    markup = bytes(markup).decode("utf-8", errors="replace")
+                rows.extend(_page_links(src, markup))
+            yield pd.DataFrame(
+                rows,
+                columns=["src", "dst", "anchor", "link_idx", "nofollow", "internal"],
+            )
+
+    return cols.mapInPandas(run, schema=LINKS_SCHEMA)
+
+
+def link_edges(
+    links: DataFrame,
+    follow_only: bool = True,
+) -> DataFrame:
+    """Link table → (src, dst) LONG edge list for ``graph.pagerank`` /
+    ``link_degrees``: node id = xxhash64 of the canonical-ish lowered
+    URL (deterministic, no global id assignment — the same
+    hash-as-identity device as the frontier's url_hash).  Self-loops
+    and (by default) nofollow edges are dropped, parallel edges
+    collapse to one."""
+    e = links
+    if follow_only:
+        e = e.filter(F.col("nofollow") == 0)
+    src = F.xxhash64(F.lower(F.col("src")))
+    dst = F.xxhash64(F.lower(F.col("dst")))
+    return (
+        e.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )

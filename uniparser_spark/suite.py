@@ -1312,6 +1312,30 @@ def q_host_traps(spark, sf_dir):
     return host_trap_stats(docs.select(url.alias("url"), text.alias("text")))
 
 
+def q_links_extract(spark, sf_dir):
+    """Anchor-text link extraction (crawl/links.py): per-doc HTML with
+    a relative link (nested markup in the anchor), an external nofollow
+    link, and a fragment link (skipped) — one DOM walk per page, rows
+    re-predicted field-by-field by the oracle (resolution, whitespace
+    normalization, document order, both flags)."""
+    from .crawl.links import links_from_html
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"), d)
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="/d/'),
+        (F.col("doc_id") * 2).cast("string"),
+        F.lit('">next  <b>item</b></a><a href="https://ext.example.net/e/'),
+        d,
+        F.lit('?x=1" rel="nofollow">ext '),
+        d,
+        F.lit('</a><a href="#top">skip</a></body></html>'),
+    )
+    return links_from_html(docs.select(url.alias("url"), html.alias("html")))
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1502,6 +1526,7 @@ QUERIES = {
     "url_aliases": q_url_aliases,
     "dust_rules": q_dust_rules,
     "host_traps": q_host_traps,
+    "links_extract": q_links_extract,
 }
 
 
@@ -2045,6 +2070,28 @@ ORACLES = {
                    + 0.25 * (avg_path_depth / (4.0 + avg_path_depth))
                    + 0.15 * query_frac, 4) AS trap_score
         FROM a
+    """,
+    "links_extract": """
+        WITH s AS (
+          SELECT doc_id,
+                 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+                   AS origin,
+                 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS src
+          FROM documents
+        )
+        SELECT src, origin || '/d/' || CAST(doc_id * 2 AS VARCHAR) AS dst,
+               'next item' AS anchor, CAST(0 AS INTEGER) AS link_idx,
+               CAST(0 AS INTEGER) AS nofollow, CAST(1 AS INTEGER) AS internal
+        FROM s
+        UNION ALL
+        SELECT src,
+               'https://ext.example.net/e/' || CAST(doc_id AS VARCHAR) || '?x=1'
+                 AS dst,
+               'ext ' || CAST(doc_id AS VARCHAR) AS anchor,
+               CAST(1 AS INTEGER) AS link_idx,
+               CAST(1 AS INTEGER) AS nofollow, CAST(0 AS INTEGER) AS internal
+        FROM s
     """,
     "minhash_lsh_pairs": rf"""
         WITH toks AS (
