@@ -180,3 +180,39 @@ def test_recrawl_priority_feeds_scheduler(spark):
     )
     out = {r["url_canon"]: r["scheduled"] for r in schedule_batch(pending, default_budget=1).collect()}
     assert out == {"http://h/a": True, "http://h/b": False}
+
+
+def test_update_fetch_history_four_regimes(spark):
+    from uniparser_spark.frontier.freshness import update_fetch_history
+
+    history = spark.createDataFrame(
+        [
+            ("u_same", 3, 1, 5, "aaa"),   # refetched, fp unchanged
+            ("u_diff", 2, 0, 4, "aaa"),   # refetched, fp changed
+            ("u_idle", 7, 3, 2, "bbb"),   # untouched pass-through
+        ],
+        "url_canon string, fetch_count long, change_count long, "
+        "last_fetch_round int, content_fp string",
+    )
+    fetched = spark.createDataFrame(
+        [("u_same", "aaa"), ("u_diff", "zzz"), ("u_new", "qqq")],
+        "url_canon string, content_fp string",
+    )
+    rows = {
+        r["url_canon"]: r
+        for r in update_fetch_history(history, fetched, now_round=9).collect()
+    }
+    assert len(rows) == 4
+    assert (rows["u_same"]["fetch_count"], rows["u_same"]["change_count"],
+            rows["u_same"]["last_fetch_round"], rows["u_same"]["content_fp"]) == (4, 1, 9, "aaa")
+    assert (rows["u_diff"]["fetch_count"], rows["u_diff"]["change_count"],
+            rows["u_diff"]["last_fetch_round"], rows["u_diff"]["content_fp"]) == (3, 1, 9, "zzz")
+    assert (rows["u_idle"]["fetch_count"], rows["u_idle"]["change_count"],
+            rows["u_idle"]["last_fetch_round"], rows["u_idle"]["content_fp"]) == (7, 3, 2, "bbb")
+    # first observation is not a change
+    assert (rows["u_new"]["fetch_count"], rows["u_new"]["change_count"],
+            rows["u_new"]["last_fetch_round"], rows["u_new"]["content_fp"]) == (1, 0, 9, "qqq")
+
+    # bootstrap: history=None initializes from the fetch alone
+    init = {r["url_canon"]: r for r in update_fetch_history(None, fetched, 0).collect()}
+    assert init["u_new"]["fetch_count"] == 1 and init["u_new"]["change_count"] == 0

@@ -34,6 +34,8 @@ exists.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -76,4 +78,65 @@ def recrawl_priority(
         "*",
         F.row_number().over(w).alias("recrawl_rank"),
         (F.col("staleness") >= F.lit(threshold)).cast("int").alias("due"),
+    )
+
+
+def update_fetch_history(
+    history: Optional[DataFrame],
+    fetched: DataFrame,
+    now_round: int,
+) -> DataFrame:
+    """Fold one crawl round's fetch results into the per-URL history
+    the freshness model consumes — the state-maintenance half of the
+    recrawl loop (model half: :func:`recrawl_priority`).
+
+    history: (url_canon, fetch_count, change_count, last_fetch_round,
+    content_fp) or None for the first round; fetched: (url_canon,
+    content_fp) — the round's pages with their content fingerprints
+    (e.g. ``crawl.dust._norm`` + ``textops.exprs.h16``).
+
+    Semantics: a fetch increments fetch_count; change_count increments
+    only when a PREVIOUS fingerprint exists and differs (the first
+    observation of a URL is not a "change"); last_fetch_round advances
+    only for fetched rows; untouched history rows pass through.
+
+    Scale shape: one full-outer join on url_canon — the same key the
+    seen state buckets on, so in the engine's round loop this
+    piggybacks on existing co-partitioning (zero extra Exchange with
+    bucketed state tables); all columns are narrow.
+    """
+    if history is None:
+        return fetched.select(
+            "url_canon",
+            F.lit(1).cast("long").alias("fetch_count"),
+            F.lit(0).cast("long").alias("change_count"),
+            F.lit(now_round).cast("int").alias("last_fetch_round"),
+            "content_fp",
+        )
+    h = history.select(
+        "url_canon",
+        F.col("fetch_count").alias("_fc"),
+        F.col("change_count").alias("_cc"),
+        F.col("last_fetch_round").alias("_lr"),
+        F.col("content_fp").alias("_fp"),
+    )
+    f = fetched.select("url_canon", F.col("content_fp").alias("_new_fp"))
+    fetched_now = F.col("_new_fp").isNotNull()
+    changed = (
+        fetched_now & F.col("_fp").isNotNull() & (F.col("_fp") != F.col("_new_fp"))
+    ).cast("long")
+    return (
+        h.join(f, "url_canon", "full")
+        .select(
+            "url_canon",
+            (F.coalesce(F.col("_fc"), F.lit(0)) + fetched_now.cast("long")).alias(
+                "fetch_count"
+            ),
+            (F.coalesce(F.col("_cc"), F.lit(0)) + changed).alias("change_count"),
+            F.when(fetched_now, F.lit(now_round))
+            .otherwise(F.col("_lr"))
+            .cast("int")
+            .alias("last_fetch_round"),
+            F.coalesce(F.col("_new_fp"), F.col("_fp")).alias("content_fp"),
+        )
     )

@@ -1336,6 +1336,35 @@ def q_links_extract(spark, sf_dir):
     return links_from_html(docs.select(url.alias("url"), html.alias("html")))
 
 
+def q_fetch_history(spark, sf_dir):
+    """Fetch-history fold (frontier/freshness.py update_fetch_history):
+    one round's (url, fingerprint) results merged into the per-URL
+    change-rate state — increment-on-fetch, change only when a PRIOR
+    differing fingerprint exists, pass-through for untouched rows, init
+    for first-seen URLs.  Synthesis covers all four regimes (unchanged
+    refetch, changed refetch, new URL, untouched history)."""
+    from .frontier.freshness import update_fetch_history
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.org/d/"), d.cast("string"),
+    )
+    history = docs.filter(d % 4 != 2).select(
+        url.alias("url_canon"),
+        (d % 5 + 1).cast("long").alias("fetch_count"),
+        (d % 3).cast("long").alias("change_count"),
+        (d % 11).cast("int").alias("last_fetch_round"),
+        F.when(d % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("content_fp"),
+    )
+    fetched = docs.filter(d % 2 == 0).select(
+        url.alias("url_canon"),
+        F.when(d % 8 == 0, F.lit("a")).otherwise(F.lit("c")).alias("content_fp"),
+    )
+    return update_fetch_history(history, fetched, now_round=17)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1527,6 +1556,7 @@ QUERIES = {
     "dust_rules": q_dust_rules,
     "host_traps": q_host_traps,
     "links_extract": q_links_extract,
+    "fetch_history": q_fetch_history,
 }
 
 
@@ -2070,6 +2100,39 @@ ORACLES = {
                    + 0.25 * (avg_path_depth / (4.0 + avg_path_depth))
                    + 0.15 * query_frac, 4) AS trap_score
         FROM a
+    """,
+    "fetch_history": """
+        WITH u AS (
+          SELECT doc_id,
+                 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/d/'
+                   || CAST(doc_id AS VARCHAR) AS url_canon
+          FROM documents
+        ),
+        h AS (
+          SELECT url_canon,
+                 CAST(doc_id % 5 + 1 AS BIGINT) AS fetch_count,
+                 CAST(doc_id % 3 AS BIGINT) AS change_count,
+                 CAST(doc_id % 11 AS INTEGER) AS last_fetch_round,
+                 CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS content_fp
+          FROM u WHERE doc_id % 4 <> 2
+        ),
+        f AS (
+          SELECT url_canon,
+                 CASE WHEN doc_id % 8 = 0 THEN 'a' ELSE 'c' END AS new_fp
+          FROM u WHERE doc_id % 2 = 0
+        )
+        SELECT COALESCE(h.url_canon, f.url_canon) AS url_canon,
+               COALESCE(h.fetch_count, 0)
+                 + CASE WHEN f.url_canon IS NOT NULL THEN 1 ELSE 0 END
+                 AS fetch_count,
+               COALESCE(h.change_count, 0)
+                 + CASE WHEN f.url_canon IS NOT NULL AND h.url_canon IS NOT NULL
+                             AND h.content_fp <> f.new_fp THEN 1 ELSE 0 END
+                 AS change_count,
+               CAST(CASE WHEN f.url_canon IS NOT NULL THEN 17
+                    ELSE h.last_fetch_round END AS INTEGER) AS last_fetch_round,
+               COALESCE(f.new_fp, h.content_fp) AS content_fp
+        FROM h FULL OUTER JOIN f ON h.url_canon = f.url_canon
     """,
     "links_extract": """
         WITH s AS (
