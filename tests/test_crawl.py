@@ -429,3 +429,46 @@ def test_seed_df_from_sitemap_entries(spark, corpus, tmp_path):
     assert {r["url_canon"] for r in eng.seen().collect()} == {
         r["url_canon"] for r in ref.seen().collect()
     }
+
+
+def test_crawl_dust_rules_collapse_aliases_prefetch(spark, tmp_path):
+    """Engine-integrated DUST: discovered children carrying a ruled-out
+    query param are rewritten BEFORE canonicalization, so aliases
+    collapse onto the canonical (one fetch, no FetchMiss) and the
+    unruled param survives untouched."""
+    import uniparser_spark.config as cfg
+
+    pages = testgen.generate_pages(spark, n_hosts=1, n_details=3)
+    storage = testgen.build_storage(1, keep_first=3)
+    host = testgen.host_name(0)
+    # children: the same detail page under utm-tracked aliases + one
+    # page whose param is NOT ruled out (stays a distinct URL -> miss)
+    storage[host]["crawler_rules"]["list"]["parse_rules"][0]["chain_rules"] = [
+        ["udf",
+         f"['https://{host}/item-000000/?utm=a', "
+         f"'https://{host}/item-000000/?utm=b&m=1', "
+         f"'https://{host}/item-000001/?keep=1']",
+         ""]
+    ]
+    rules = spark.createDataFrame(
+        [(host, "utm", 5), (host, "m", 5)], "host string, param string, votes long"
+    )
+    eng = CrawlEngine(
+        spark, pages, cfg.json_dumps(storage), tmp_path / "state_dust",
+        state_partitions=2, dust_rules=rules,
+    )
+    eng.seed([testgen.list_url(host)])
+    eng.run(max_rounds=5)
+    [result] = eng.assemble_results([testgen.list_url(host)])
+    children = result["list"]["__result__"]
+    # both aliases collapsed onto the canonical item-000000 -> extracted
+    assert children[0] == {"detail": {"title": f"Item 0 – synthetic page on {host}"}}
+    assert children[1] == {"detail": {"title": f"Item 0 – synthetic page on {host}"}}
+    # keep=1 was not ruled out: the URL stays distinct (and here fails
+    # rule dispatch, since the detail regex doesn't admit a query)
+    assert children[2].startswith("RuleNotFoundError")
+    assert "keep=1" in children[2]
+    # the seen set holds ONE canonical entry for item-000000 (no aliases)
+    seen = {r["url_canon"] for r in eng.seen().collect()}
+    assert f"https://{host}/item-000000/" in seen
+    assert not any("utm=" in u for u in seen)

@@ -142,6 +142,22 @@ def apply_dust_rules(
     return out.withColumn(url_col, rewritten).drop("_h", "drop_params")
 
 
+def strip_params_py(url: str, drop_params) -> str:
+    """Pure-Python twin of :func:`apply_dust_rules`' rewrite for
+    driver-side lookups (crawl result re-nesting at test scale): same
+    semantics — no query → unchanged, all params stripped → bare base,
+    surviving params keep original order, fragment dropped with the
+    query (fetch-identical)."""
+    base, sep, rest = url.partition("?")
+    if not sep:
+        return url
+    query = rest.split("#", 1)[0]
+    if query == "":
+        return url
+    kept = [kv for kv in query.split("&") if kv.split("=", 1)[0] not in drop_params]
+    return base if not kept else base + "?" + "&".join(kept)
+
+
 def host_trap_stats(
     pages: DataFrame,
     url_col: str = "url",

@@ -104,6 +104,7 @@ class CrawlEngine:
         html_col: Optional[str] = None,
         adapter=None,
         seen_compact_every: int = 64,
+        dust_rules: Optional[DataFrame] = None,
     ):
         """``adapter``: an :class:`uniparser_spark.adapters.Adapter` to
         fetch page bodies with, replacing the pages-table join (the
@@ -127,6 +128,10 @@ class CrawlEngine:
         self.state_dir = Path(state_dir)
         self.budgets = budgets
         self.robots = robots
+        # (host, param) DUST rules (crawl/dust.dust_param_rules): applied
+        # to discovered child URLs before canonicalization, so known
+        # aliases collapse onto their canonical and dedup pre-fetch
+        self.dust_rules = dust_rules
         self.default_budget = default_budget
         self.salt_buckets = salt_buckets
         self.bloom = BloomSeenFilter(n_buckets=bloom_buckets) if use_bloom else None
@@ -479,6 +484,13 @@ class CrawlEngine:
                 F.lit(rnd + 1).alias("discovered_round"),
             )
         )
+        if self.dust_rules is not None:
+            from .dust import apply_dust_rules
+
+            # rewrite BEFORE canonicalization: stripped aliases collapse
+            # onto one url_hash and the first-discovery window below
+            # dedups them — every collapsed alias is a fetch saved
+            exploded = apply_dust_rules(exploded, self.dust_rules, url_col="url")
         candidates = add_url_keys(exploded).select(*_META_COLS)
         # first-discovery-wins within the round (deterministic order)
         first_seen = Window.partitionBy("url_hash").orderBy("depth", "parent_url", "list_index")
@@ -674,9 +686,28 @@ class CrawlEngine:
         """Driver-side re-nesting of records into reference-shaped crawl
         results (test scale only — collect()s all records)."""
         rows = {r["url"]: r.asDict() for r in self.records().collect()}
+        drop_by_host: Dict[str, set] = {}
+        if self.dust_rules is not None:
+            # aliases were rewritten pre-fetch, so a child named by its
+            # raw __request__ string resolves to the canonical's record
+            for r in self.dust_rules.collect():
+                drop_by_host.setdefault(r["host"], set()).add(r["param"])
+
+        def lookup(url: str):
+            rec = rows.get(url)
+            if rec is None and drop_by_host:
+                import re as _re
+
+                from .dust import _HOST_RE, strip_params_py
+
+                m = _re.match(_HOST_RE, url)
+                drop = drop_by_host.get(m.group(1) if m else "")
+                if drop:
+                    rec = rows.get(strip_params_py(url, drop))
+            return rec
 
         def build(url: str, path: frozenset):
-            rec = rows.get(url)
+            rec = lookup(url)
             if rec is None or rec["result"] is None:
                 err = rec["error"] if rec else None
                 return err if err else None
