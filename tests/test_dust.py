@@ -96,3 +96,32 @@ def test_host_trap_stats_flags_trap_host(spark):
     assert t["query_frac"] == 1.0 and g["query_frac"] == 0.0
     assert t["max_path_depth"] == 3 and g["max_path_depth"] == 1
     assert t["trap_score"] > 0.6 > g["trap_score"]
+
+
+def test_trap_score_as_scheduler_budget(spark):
+    """Trap stats -> budget: the trap host's budget collapses to 1 so
+    only its best URL schedules, while the honest host drains fully."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.politeness import schedule_batch
+
+    trap = [(f"http://trap.org/c/{i}?s={i}", "same blob") for i in range(4)]
+    good = [(f"http://good.org/a{i}", f"content {i}") for i in range(4)]
+    budgets = host_trap_stats(_pages(spark, trap + good)).select(
+        "host",
+        F.when(F.col("trap_score") >= 0.5, F.lit(1)).otherwise(F.lit(10)).alias("budget"),
+    )
+    pending = spark.createDataFrame(
+        [(u, u.split("/")[2]) for u, _ in trap + good],
+        "url_canon string, host string",
+    ).select(
+        "url_canon", "host",
+        F.lit(0.0).alias("priority"), F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("list_index"),
+    )
+    out = schedule_batch(pending, budgets=budgets)
+    sched = {r["url_canon"] for r in out.collect() if r["scheduled"]}
+    assert sum(u.startswith("http://trap.org") for u in sched) == 1
+    assert sum(u.startswith("http://good.org") for u in sched) == 4

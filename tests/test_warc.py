@@ -100,3 +100,24 @@ def test_read_warc_binaryfile_path(spark, tmp_path):
     from uniparser_spark.dom import parse_html
 
     assert parse_html(r0.text).select_one("h1").text == "Page 0"
+
+
+def test_wet_conversion_records_roundtrip():
+    """WET (extracted-text) segments: conversion records parse onto the
+    canonical pages schema with the plain-text payload as text."""
+    from datetime import datetime, timezone
+
+    from uniparser_spark.sources.warc import build_wet, records_to_pages
+
+    ts = datetime(2026, 5, 6, 7, 8, 9, tzinfo=timezone.utc)
+    wet = build_wet(
+        [("https://a.org/p1", ts, "extracted text one"),
+         ("https://a.org/p2", ts, "unicode ünïcodé")]
+    )
+    pages = list(records_to_pages(wet))
+    assert [p["url"] for p in pages] == ["https://a.org/p1", "https://a.org/p2"]
+    assert pages[0]["text"] == "extracted text one"
+    assert pages[1]["text"] == "unicode ünïcodé"
+    assert pages[0]["warc_ts"] == ts
+    assert pages[0]["html"] == b"extracted text one"  # raw payload bytes
+    assert pages[0]["lang"] is None  # no HTTP envelope -> no header

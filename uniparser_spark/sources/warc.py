@@ -117,13 +117,16 @@ def _parse_warc_date(value: str) -> Optional[datetime]:
 
 
 def records_to_pages(data: bytes) -> Iterator[Dict[str, Any]]:
-    """WARC stream → page dicts on the canonical schema.  Only
-    ``response``/``resource`` records become pages; request/metadata/
-    warcinfo records are skipped (they describe the crawl, not the
-    web)."""
+    """WARC stream → page dicts on the canonical schema.  Pages come
+    from ``response``/``resource`` records (raw crawls) and
+    ``conversion`` records (Common Crawl WET extracted-text segments —
+    plain-text payload, no HTTP envelope; ``split_http_payload`` passes
+    it through untouched so ``text`` is the extracted text and ``html``
+    its utf-8 bytes).  request/metadata/warcinfo records are skipped
+    (they describe the crawl, not the web)."""
     for headers, payload in iter_warc_records(data):
         rtype = headers.get("warc-type", "")
-        if rtype not in ("response", "resource"):
+        if rtype not in ("response", "resource", "conversion"):
             continue
         http_headers, body = split_http_payload(payload)
         yield {
@@ -205,6 +208,38 @@ def build_warc(
         record = head + _CRLF + _CRLF + http + _CRLF + _CRLF
         if gzip_per_record:
             # mtime pinned for byte-determinism
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(record)
+            out.write(buf.getvalue())
+        else:
+            out.write(record)
+    return out.getvalue()
+
+
+def build_wet(
+    records: Iterable[Tuple[str, datetime, str]],
+    gzip_per_record: bool = True,
+) -> bytes:
+    """Deterministic WET writer (Common Crawl's extracted-text sibling
+    of ``build_warc``): ``(url, ts, text)`` → ``conversion`` records
+    with a plain-text payload (no HTTP envelope), one pinned-mtime gzip
+    member each."""
+    out = io.BytesIO()
+    for url, ts, text in records:
+        body = text.encode("utf-8")
+        head = _CRLF.join(
+            [
+                b"WARC/1.0",
+                b"WARC-Type: conversion",
+                f"WARC-Target-URI: {url}".encode(),
+                f"WARC-Date: {ts.astimezone(timezone.utc):%Y-%m-%dT%H:%M:%SZ}".encode(),
+                b"Content-Type: text/plain",
+                f"Content-Length: {len(body)}".encode(),
+            ]
+        )
+        record = head + _CRLF + _CRLF + body + _CRLF + _CRLF
+        if gzip_per_record:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                 gz.write(record)

@@ -586,6 +586,38 @@ def q_warc_scan(spark, sf_dir):
     )
 
 
+def q_wet_scan(spark, sf_dir):
+    """WET (Common Crawl extracted-text) round-trip: conversion records
+    with plain-text payloads, same one-crossing shape as warc_scan; the
+    oracle re-predicts the parser output from the documents table."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    from .sources.warc import build_wet, records_to_pages
+
+    ts = datetime(2026, 5, 6, 7, 8, 9, tzinfo=timezone.utc)
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def roundtrip(batches):
+        for b in batches:
+            recs = [
+                (f"https://wet.example.org/d/{i}", ts, t)
+                for i, t in zip(b["doc_id"], b["text"])
+            ]
+            pages = list(records_to_pages(build_wet(recs)))
+            yield pd.DataFrame(
+                {
+                    "url": [p["url"] for p in pages],
+                    "text": [p["text"] for p in pages],
+                    "warc_epoch": [int(p["warc_ts"].timestamp()) for p in pages],
+                }
+            )
+
+    return docs.mapInPandas(
+        roundtrip, schema="url string, text string, warc_epoch long"
+    )
+
+
 def q_sitemap_scan(spark, sf_dir):
     """Sitemap source connector (sources/sitemap.py) round-trip: each
     partition of the documents table is encoded as a sitemaps.org
@@ -1499,6 +1531,7 @@ QUERIES = {
     "rule_css1": q_rule_css1,
     "rule_xpath": q_rule_xpath,
     "warc_scan": q_warc_scan,
+    "wet_scan": q_wet_scan,
     "sitemap_scan": q_sitemap_scan,
     "sitemap_discovery": q_sitemap_discovery,
     "rule_json": q_rule_json,
@@ -1732,6 +1765,12 @@ ORACLES = {
                text,
                'en' AS lang,
                CAST(epoch(TIMESTAMP '2026-01-02 03:04:05') AS BIGINT) AS warc_epoch
+        FROM documents
+    """,
+    "wet_scan": """
+        SELECT 'https://wet.example.org/d/' || doc_id AS url,
+               text,
+               CAST(epoch(TIMESTAMP '2026-05-06 07:08:09') AS BIGINT) AS warc_epoch
         FROM documents
     """,
     "sitemap_scan": """
