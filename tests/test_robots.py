@@ -113,3 +113,36 @@ def test_parse_robots_consecutive_user_agents():
     txt2 = "User-agent: a\nDisallow: /a-only\nUser-agent: b\nDisallow: /b-only"
     assert parse_robots(txt2, "a")[1] == ["/a-only"]
     assert parse_robots(txt2, "b")[1] == ["/b-only"]
+
+
+def test_apply_robots_wildcards_and_anchor(spark):
+    """RFC 9309 §2.2.3: '*' spans any characters, '$' anchors the end;
+    longest matching RULE (raw length) still decides allow-vs-disallow."""
+    from uniparser_spark.frontier.robots import apply_robots
+
+    cands = spark.createDataFrame(
+        [
+            ("w.org", "https://w.org/files/secret.pdf"),   # *.pdf$ -> blocked
+            ("w.org", "https://w.org/files/secret.pdfx"),  # not at end -> passes
+            ("w.org", "https://w.org/a/1/b"),              # /a/*/b -> blocked
+            ("w.org", "https://w.org/a/b"),                # '*' needs a middle? no: matches empty too
+            ("w.org", "https://w.org/cgi/keep/x"),         # allow longer -> passes
+            ("w.org", "https://w.org/cgi/other"),          # disallowed
+            ("w.org", "https://w.org/plain"),              # untouched
+        ],
+        "host string, url_canon string",
+    )
+    robots = spark.createDataFrame(
+        [("w.org", None, ["/*.pdf$", "/a/*/b", "/cgi/"], ["/cgi/keep/"])],
+        "host string, crawl_delay double, disallow array<string>, allow array<string>",
+    )
+    got = {r["url_canon"] for r in apply_robots(cands, robots).collect()}
+    # note /a/b passes: '/a/*/b' is '/a/' + anything + '/b', and /a/b
+    # has no middle '/b' segment ('*' may be empty, but the '/b' after
+    # it must still be present)
+    assert got == {
+        "https://w.org/files/secret.pdfx",
+        "https://w.org/a/b",
+        "https://w.org/cgi/keep/x",
+        "https://w.org/plain",
+    }

@@ -122,24 +122,46 @@ def _path_col(url_col: str = "url_canon") -> F.Column:
     return F.when(path == "", F.lit("/")).otherwise(path)
 
 
+def _rep_regex_col(p):
+    """REP rule → Java-regex Column: '*' = any chars, trailing '$' =
+    end anchor, everything else literal (RFC 9309 §2.2.3)."""
+    anchored = p.endswith("$")
+    core = F.when(anchored, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+    esc = F.regexp_replace(core, r"([.\[\]{}()+\-^$|?\\])", "\\\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), esc, F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
 def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """Filter frontier candidates against the robots cache.
 
-    Longest-prefix-match between allow and disallow decides (REP
-    semantics); hosts without a robots row pass through.  Pure
-    expressions after one broadcast join.
+    Full RFC 9309 rule matching — literal prefixes plus ``*`` wildcards
+    and the ``$`` end anchor — with most-specific-match semantics: the
+    longest matching rule (by raw rule length, §2.2.2) decides between
+    allow and disallow; hosts without a robots row pass through.  Pure
+    expressions after one broadcast join: each rule is rewritten to a
+    Java regex natively (so a hand-built (host, disallow, allow) table
+    works unchanged) and matched with ``regexp_like`` inside a
+    zip_with — no Python anywhere.
     """
     joined = candidates.join(F.broadcast(robots), "host", "left")
     path = _path_col()
-    longest = lambda rules: F.coalesce(  # noqa: E731
-        F.array_max(
-            F.transform(
-                F.filter(rules, lambda p: path.startswith(p)),
-                lambda p: F.length(p),
-            )
-        ),
-        F.lit(0),
-    )
+
+    def longest(rules):
+        rx = F.transform(rules, _rep_regex_col)
+        return F.coalesce(
+            F.array_max(
+                F.zip_with(
+                    rules,
+                    rx,
+                    lambda p, x: F.when(F.regexp_like(path, x), F.length(p)).otherwise(
+                        F.lit(0)
+                    ),
+                )
+            ),
+            F.lit(0),
+        )
+
     dis_len = longest(F.col("disallow"))
     allow_len = longest(F.col("allow"))
     blocked = F.col("disallow").isNotNull() & (dis_len > 0) & (dis_len > allow_len)

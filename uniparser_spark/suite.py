@@ -269,10 +269,11 @@ def q_schedule_split(spark, sf_dir):
 
 
 def q_robots_filter(spark, sf_dir):
-    """The robots disallow/allow filter (REP longest-prefix-match,
+    """The robots disallow/allow filter (RFC 9309 most-specific-match,
     frontier/robots.py apply_robots): broadcast-joined rule arrays +
-    pure expressions.  Hosts without a robots row pass through; a
-    longer allow overrides a disallow (RFC 9309 §2.2.2)."""
+    pure expressions, including '*' wildcards and the '$' end anchor.
+    Hosts without a robots row pass through; the longer matching rule
+    wins between allow and disallow (§2.2.2)."""
     from .frontier.robots import apply_robots
 
     o = t(spark, sf_dir, "orders")
@@ -290,6 +291,10 @@ def q_robots_filter(spark, sf_dir):
         [
             ("h0.example.org", 1.0, ["/a/"], ["/a/b/"]),
             ("h1.example.org", 1.0, ["/"], ["/c/"]),
+            # wildcard: /c/* blocked unless the longer /c/z/1* allows
+            ("h2.example.org", 1.0, ["/c/*"], ["/c/z/1*"]),
+            # end anchor: only /a/x/<k ending in 0> blocked
+            ("h3.example.org", 1.0, ["/a/x/*0$"], []),
         ],
         "host string, crawl_delay double, disallow array<string>, allow array<string>",
     )
@@ -1679,9 +1684,14 @@ ORACLES = {
                  || '/' || o_orderkey AS url_canon
         FROM orders
         -- h0: disallow /a/ unless allow /a/b/ is longer; h1: disallow /
-        -- unless allow /c/; h2/h3 have no robots row and pass through
+        -- unless allow /c/; h2: wildcard /c/* unless /c/z/1* allows;
+        -- h3: anchored /a/x/*0$ blocks only keys ending in 0
         WHERE NOT ((o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
-                OR (o_orderkey % 4 = 1 AND o_orderkey % 3 <> 2))
+                OR (o_orderkey % 4 = 1 AND o_orderkey % 3 <> 2)
+                OR (o_orderkey % 4 = 2 AND o_orderkey % 3 = 2
+                    AND CAST(o_orderkey AS VARCHAR) NOT LIKE '1%')
+                OR (o_orderkey % 4 = 3 AND o_orderkey % 3 = 0
+                    AND CAST(o_orderkey AS VARCHAR) LIKE '%0'))
     """,
     "url_canonical": """
         WITH u AS (
