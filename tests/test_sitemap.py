@@ -135,3 +135,31 @@ def test_seeds_from_entries(spark):
     )
     got = {r["url"]: r["priority"] for r in seeds_from_entries(entries).collect()}
     assert got == {"https://ex.org/a": 0.9, "https://ex.org/b": 0.5}
+
+
+def test_sitemap_refresh_regimes(spark):
+    from uniparser_spark.sources.sitemap import sitemap_refresh
+
+    entries = spark.createDataFrame(
+        [
+            ("s", "url", "https://e.org/new", None, None, 0.7),
+            ("s", "url", "https://e.org/modified", 200, None, None),
+            ("s", "url", "https://e.org/stale", 100, None, None),
+            ("s", "url", "https://e.org/nolastmod", None, None, None),
+            ("s", "sitemap", "https://e.org/child.xml", None, None, None),
+        ],
+        "sitemap_url string, kind string, loc string, lastmod_epoch long, "
+        "changefreq string, priority double",
+    )
+    history = spark.createDataFrame(
+        [("https://e.org/modified", 150), ("https://e.org/stale", 150),
+         ("https://e.org/nolastmod", 150)],
+        "url_canon string, last_fetch_epoch long",
+    )
+    got = {r["url"]: r for r in sitemap_refresh(entries, history).collect()}
+    assert set(got) == {"https://e.org/new", "https://e.org/modified"}
+    assert got["https://e.org/new"]["reason"] == "new"
+    assert got["https://e.org/new"]["priority"] == 0.7
+    assert got["https://e.org/modified"]["reason"] == "modified"
+    # default priority for entries without one
+    assert got["https://e.org/modified"]["priority"] == 0.5

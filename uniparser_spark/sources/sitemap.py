@@ -300,6 +300,51 @@ def sitemap_urls_from_robots(
     )
 
 
+def sitemap_refresh(
+    entries: DataFrame,
+    history: DataFrame,
+    round_epoch: DataFrame = None,
+) -> DataFrame:
+    """Incremental recrawl from sitemap ``lastmod``: which advertised
+    URLs actually need a fetch?
+
+    Joins url entries against the fetch-history table
+    (``frontier.freshness.update_fetch_history`` schema with a
+    ``last_fetch_epoch`` column) and keeps a URL when it is new (no
+    history) or its advertised ``lastmod_epoch`` is newer than the last
+    fetch.  Entries without a lastmod can't prove freshness either way
+    and are kept only when new — their recrawl cadence belongs to the
+    change-rate model (``recrawl_priority``), not the sitemap.
+
+    Returns (url, priority, reason) — reason ∈ ('new', 'modified'), the
+    lineage column a scheduler logs.  One join on the URL key, narrow
+    rows, same bucketing as every other frontier-state join.
+    """
+    e = entries.filter(F.col("kind") == "url").select(
+        F.col("loc").alias("url"),
+        F.coalesce(F.col("priority"), F.lit(0.5)).alias("priority"),
+        "lastmod_epoch",
+    )
+    e = e.groupBy("url").agg(
+        F.max("priority").alias("priority"),
+        F.max("lastmod_epoch").alias("lastmod_epoch"),
+    )
+    h = history.select(F.col("url_canon").alias("url"), "last_fetch_epoch")
+    j = e.join(h, "url", "left")
+    is_new = F.col("last_fetch_epoch").isNull()
+    modified = F.col("lastmod_epoch").isNotNull() & (
+        F.col("lastmod_epoch") > F.col("last_fetch_epoch")
+    )
+    return (
+        j.filter(is_new | modified)
+        .select(
+            "url",
+            "priority",
+            F.when(is_new, F.lit("new")).otherwise(F.lit("modified")).alias("reason"),
+        )
+    )
+
+
 def seeds_from_entries(entries: DataFrame) -> DataFrame:
     """Entry table → frontier-ready ``(url, priority)``.
 

@@ -696,6 +696,32 @@ def q_sitemap_discovery(spark, sf_dir):
     return sitemap_urls_from_robots(robots)
 
 
+def q_sitemap_refresh(spark, sf_dir):
+    """Incremental sitemap recrawl (sources/sitemap.py sitemap_refresh):
+    advertised URLs join the fetch history; kept when new or when
+    lastmod proves the page changed since the last fetch.  Covers all
+    regimes: new URL, modified, unmodified, and lastmod-less entries
+    (kept only when new)."""
+    from .sources.sitemap import sitemap_refresh
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    loc = F.concat(F.lit("https://s.example.org/p/"), d.cast("string"))
+    entries = docs.select(
+        F.lit("url").alias("kind"),
+        loc.alias("loc"),
+        F.when(d % 5 != 4, F.lit(1000000) + d % 100).cast("long").alias(
+            "lastmod_epoch"
+        ),
+        ((d % 10).cast("double") / 10.0).alias("priority"),
+    )
+    history = docs.filter(d % 3 != 0).select(
+        loc.alias("url_canon"),
+        (F.lit(1000000) + F.lit(50)).cast("long").alias("last_fetch_epoch"),
+    )
+    return sitemap_refresh(entries, history)
+
+
 def q_rule_json(spark, sf_dir):
     """loader(json) → jmespath chain over the events props column."""
     ev = tp(spark, sf_dir, "events")
@@ -1539,6 +1565,7 @@ QUERIES = {
     "wet_scan": q_wet_scan,
     "sitemap_scan": q_sitemap_scan,
     "sitemap_discovery": q_sitemap_discovery,
+    "sitemap_refresh": q_sitemap_refresh,
     "rule_json": q_rule_json,
     "rule_udf": q_rule_udf,
     "rule_regex_sub": q_rule_regex_sub,
@@ -1803,6 +1830,21 @@ ORACLES = {
                  ELSE 'https://' || host || '/sitemap-news.xml.gz'
                END AS sitemap_url
         FROM h, (SELECT UNNEST(range(0, 2)) AS sitemap_idx) j
+    """,
+    "sitemap_refresh": """
+        WITH e AS (
+          SELECT 'https://s.example.org/p/' || doc_id AS url,
+                 CAST(doc_id % 10 AS DOUBLE) / 10.0 AS priority,
+                 CASE WHEN doc_id % 5 <> 4 THEN 1000000 + doc_id % 100 END
+                   AS lastmod_epoch,
+                 doc_id
+          FROM documents
+        )
+        SELECT url, priority,
+               CASE WHEN doc_id % 3 = 0 THEN 'new' ELSE 'modified' END AS reason
+        FROM e
+        WHERE doc_id % 3 = 0
+           OR (lastmod_epoch IS NOT NULL AND lastmod_epoch > 1000050)
     """,
     "rule_json": """
         SELECT 'https://api.example.org/ev/' || event_id AS url,
