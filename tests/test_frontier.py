@@ -216,3 +216,41 @@ def test_update_fetch_history_four_regimes(spark):
     # bootstrap: history=None initializes from the fetch alone
     init = {r["url_canon"]: r for r in update_fetch_history(None, fetched, 0).collect()}
     assert init["u_new"]["fetch_count"] == 1 and init["u_new"]["change_count"] == 0
+
+
+def test_retry_state_fold_and_backoff(spark):
+    from uniparser_spark.frontier.retry import fold_retry_state, retry_candidates
+
+    errs_r1 = spark.createDataFrame(
+        [("u1", "Timeout"), ("u2", "503")], "url_canon string, error string"
+    )
+    s1 = fold_retry_state(None, errs_r1, None, now_round=1)
+    rows = {r["url_canon"]: r for r in s1.collect()}
+    assert rows["u1"]["attempts"] == 1 and rows["u1"]["first_round"] == 1
+
+    # round 2: u1 fails again, u2 succeeds (row cleared), u3 new failure
+    errs_r2 = spark.createDataFrame(
+        [("u1", "Timeout2"), ("u3", "Reset")], "url_canon string, error string"
+    )
+    ok_r2 = spark.createDataFrame([("u2",)], "url_canon string")
+    s2 = fold_retry_state(s1, errs_r2, ok_r2, now_round=2)
+    rows = {r["url_canon"]: r for r in s2.collect()}
+    assert set(rows) == {"u1", "u3"}
+    assert rows["u1"]["attempts"] == 2 and rows["u1"]["last_error"] == "Timeout2"
+    assert rows["u1"]["first_round"] == 1 and rows["u1"]["last_round"] == 2
+    assert rows["u3"]["attempts"] == 1
+
+    # backoff: attempt 2 waits 2 rounds -> u1 not due at round 3, due at 4
+    due3 = {r["url"] for r in retry_candidates(s2, now_round=3).collect()}
+    assert due3 == {"u3"}  # u3 attempt 1 waits 1 round
+    due4 = {r["url"]: r for r in retry_candidates(s2, now_round=4).collect()}
+    assert set(due4) == {"u1", "u3"}
+    # retries sink below recrawls: priority = -1 - attempts
+    assert due4["u1"]["priority"] == -3.0 and due4["u3"]["priority"] == -2.0
+
+    # cap: past max_retries the URL is dead
+    s_many = spark.createDataFrame(
+        [("dead", 4, 1, 5, "boom")],
+        "url_canon string, attempts long, first_round int, last_round int, last_error string",
+    )
+    assert retry_candidates(s_many, now_round=100, max_retries=3).count() == 0

@@ -1428,6 +1428,34 @@ def q_fetch_history(spark, sf_dir):
     return update_fetch_history(history, fetched, now_round=17)
 
 
+def q_retry_schedule(spark, sf_dir):
+    """Transient-failure retry pipeline (frontier/retry.py): fold one
+    round's errors/successes into the retry state, then emit the URLs
+    whose exponential backoff has elapsed.  Covers repeat failure,
+    success-clears-row, first failure, untouched state, the 2^(k-1)
+    backoff window, and the max-retries cap in one composed query."""
+    from .frontier.retry import fold_retry_state, retry_candidates
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://r.example.org/p/"), d.cast("string"))
+    state = docs.filter(d % 3 != 0).select(
+        url.alias("url_canon"),
+        (d % 3).cast("long").alias("attempts"),
+        F.lit(0).cast("int").alias("first_round"),
+        (d % 5).cast("int").alias("last_round"),
+        F.concat(F.lit("e"), d.cast("string")).alias("last_error"),
+    )
+    errors = docs.filter(d % 2 == 0).select(
+        url.alias("url_canon"), F.lit("E6").alias("error")
+    )
+    successes = docs.filter((d % 7 == 0) & (d % 2 == 1)).select(
+        url.alias("url_canon")
+    )
+    folded = fold_retry_state(state, errors, successes, now_round=6)
+    return retry_candidates(folded, now_round=9, max_retries=3)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1622,6 +1650,7 @@ QUERIES = {
     "host_traps": q_host_traps,
     "links_extract": q_links_extract,
     "fetch_history": q_fetch_history,
+    "retry_schedule": q_retry_schedule,
 }
 
 
@@ -2224,6 +2253,35 @@ ORACLES = {
                     ELSE h.last_fetch_round END AS INTEGER) AS last_fetch_round,
                COALESCE(f.new_fp, h.content_fp) AS content_fp
         FROM h FULL OUTER JOIN f ON h.url_canon = f.url_canon
+    """,
+    "retry_schedule": """
+        WITH u AS (
+          SELECT doc_id, 'https://r.example.org/p/' || doc_id AS url_canon
+          FROM documents
+        ),
+        s AS (
+          SELECT url_canon, CAST(doc_id % 3 AS BIGINT) AS attempts,
+                 0 AS first_round, CAST(doc_id % 5 AS INTEGER) AS last_round
+          FROM u
+          WHERE doc_id % 3 <> 0
+            AND NOT (doc_id % 7 = 0 AND doc_id % 2 = 1)  -- success clears
+        ),
+        e AS (SELECT url_canon FROM u WHERE doc_id % 2 = 0),
+        folded AS (
+          SELECT COALESCE(s.url_canon, e.url_canon) AS url_canon,
+                 COALESCE(s.attempts, 0)
+                   + CASE WHEN e.url_canon IS NOT NULL THEN 1 ELSE 0 END
+                   AS attempts,
+                 CAST(CASE WHEN e.url_canon IS NOT NULL THEN 6
+                      ELSE s.last_round END AS INTEGER) AS last_round
+          FROM s FULL OUTER JOIN e ON s.url_canon = e.url_canon
+        )
+        SELECT url_canon AS url,
+               -1.0 - CAST(attempts AS DOUBLE) AS priority,
+               attempts
+        FROM folded
+        WHERE attempts <= 3
+          AND CAST(9 - last_round AS DOUBLE) >= POWER(2.0, CAST(attempts - 1 AS DOUBLE))
     """,
     "links_extract": """
         WITH s AS (
