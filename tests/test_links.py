@@ -78,3 +78,41 @@ def test_links_feed_pagerank(spark):
         for r in pagerank(edges, nodes, n_nodes=3, iters=3).collect()
     }
     assert len(pr) == 3 and abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_anchor_text_index_topk(spark):
+    from uniparser_spark.crawl.links import anchor_text_index
+
+    rows = (
+        [("s%d" % i, "https://t.org/a", "buy now", 0, 0, 0) for i in range(3)]
+        + [("s%d" % i, "https://t.org/a", "cheap pills", 0, 0, 0) for i in range(2)]
+        + [("x", "https://t.org/a", "rare", 0, 0, 0)]
+        + [("y", "https://t.org/a", "spam anchor", 0, 1, 0)]  # nofollow excluded
+        + [("z", "https://t.org/a", "", 0, 0, 0)]             # empty excluded
+    )
+    links = spark.createDataFrame(
+        rows, "src string, dst string, anchor string, link_idx int, nofollow int, internal int"
+    )
+    [row] = anchor_text_index(links, top_k=2).collect()
+    assert row["dst"] == "https://t.org/a"
+    assert row["top_anchor_links"] == 5  # 3 + 2, 'rare' trimmed at k=2
+    assert row["top_anchors"] == "01:buy now|02:cheap pills"
+
+
+def test_host_graph_rollup(spark):
+    from uniparser_spark.crawl.links import host_graph
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.org/1", "https://b.org/x", "t", 0, 0, 0),
+            ("https://a.org/2", "https://b.org/y", "t", 0, 1, 0),
+            ("https://a.org/3", "https://a.org/4", "t", 0, 0, 1),
+            ("HTTPS://A.org/5", "https://b.org/z", "t", 0, 0, 0),  # case folds
+        ],
+        "src string, dst string, anchor string, link_idx int, nofollow int, internal int",
+    )
+    got = {(r["src_host"], r["dst_host"]): r for r in host_graph(links).collect()}
+    ab = got[("a.org", "b.org")]
+    assert ab["n_links"] == 3 and ab["n_nofollow"] == 1 and ab["internal"] == 0
+    aa = got[("a.org", "a.org")]
+    assert aa["n_links"] == 1 and aa["internal"] == 1

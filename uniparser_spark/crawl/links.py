@@ -113,3 +113,75 @@ def link_edges(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    top_k: int = 3,
+) -> DataFrame:
+    """The classic anchor-text index: what the web SAYS about each URL
+    (anchor text is the strongest relevance signal a crawler owns —
+    it describes the target, not the source).
+
+    Per target: in-link count, distinct source count, and the ``top_k``
+    most common non-empty anchors (count desc, text asc — fully
+    deterministic).  Two-phase count on (dst, anchor) → per-dst top-k
+    via min-heap-shaped window (Spark plans a map-side WindowGroupLimit
+    under rank ≤ k, so the shuffle carries at most k rows per (dst,
+    partition)) → one final per-dst fold.  Nofollow links are excluded
+    (they explicitly disclaim endorsement).
+    """
+    from pyspark.sql import Window
+
+    base = links.filter((F.col("nofollow") == 0) & (F.col("anchor") != ""))
+    counts = base.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    topk = counts.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= top_k
+    )
+    return (
+        topk.groupBy("dst")
+        .agg(
+            F.sum("n").alias("top_anchor_links"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("_rk").cast("string"), 2, "0"),
+                            F.lit(":"),
+                            F.col("anchor"),
+                        )
+                    )
+                ),
+                "|",
+            ).alias("top_anchors"),
+        )
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Domain-level link graph: (src_host, dst_host, n_links,
+    n_nofollow) — the rollup site-level authority/spam analyses run on
+    (host graphs are ~10^4× smaller than page graphs, so iterative
+    algorithms that are too wide at page level run comfortably here).
+    Self-edges (internal links) are kept and flagged; one two-phase
+    aggregate on the narrow host pair."""
+    src_host = F.lower(F.regexp_extract(F.col("src"), r"(?i)^https?://([^/?#:]+)", 1))
+    dst_host = F.lower(F.regexp_extract(F.col("dst"), r"(?i)^https?://([^/?#:]+)", 1))
+    return (
+        links.select(
+            src_host.alias("src_host"),
+            dst_host.alias("dst_host"),
+            F.col("nofollow"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum("nofollow").cast("long").alias("n_nofollow"),
+        )
+        .withColumn(
+            "internal", (F.col("src_host") == F.col("dst_host")).cast("int")
+        )
+    )

@@ -1399,6 +1399,46 @@ def q_links_extract(spark, sf_dir):
     return links_from_html(docs.select(url.alias("url"), html.alias("html")))
 
 
+def _synth_links(spark, sf_dir):
+    """Deterministic link table for the aggregation-side link ops
+    (links_extract already oracle-gates the HTML-extraction side)."""
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    return docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 5).cast("string"),
+            F.lit(".example.org/p/"), d.cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("https://t.example.org/t/"), (d % 20).cast("string")
+        ).alias("dst"),
+        F.concat(F.lit("label "), (d % 3).cast("string")).alias("anchor"),
+        F.lit(0).alias("link_idx"),
+        F.when(d % 7 == 0, 1).otherwise(0).alias("nofollow"),
+        F.lit(0).alias("internal"),
+    )
+
+
+def q_anchor_index(spark, sf_dir):
+    """Anchor-text index (crawl/links.py anchor_text_index): per-target
+    top-k most common anchors with deterministic tie-breaks; nofollow
+    links excluded.  The window under rank<=k plans a map-side
+    WindowGroupLimit so the shuffle carries at most k rows per (dst,
+    partition)."""
+    from .crawl.links import anchor_text_index
+
+    return anchor_text_index(_synth_links(spark, sf_dir), top_k=2)
+
+
+def q_host_graph(spark, sf_dir):
+    """Domain-level link graph rollup (crawl/links.py host_graph):
+    (src_host, dst_host) edge weights + nofollow counts — the ~10^4×
+    smaller graph that site-level authority/spam analyses iterate on."""
+    from .crawl.links import host_graph
+
+    return host_graph(_synth_links(spark, sf_dir))
+
+
 def q_fetch_history(spark, sf_dir):
     """Fetch-history fold (frontier/freshness.py update_fetch_history):
     one round's (url, fingerprint) results merged into the per-URL
@@ -1651,6 +1691,8 @@ QUERIES = {
     "links_extract": q_links_extract,
     "fetch_history": q_fetch_history,
     "retry_schedule": q_retry_schedule,
+    "anchor_index": q_anchor_index,
+    "host_graph": q_host_graph,
 }
 
 
@@ -2282,6 +2324,39 @@ ORACLES = {
         FROM folded
         WHERE attempts <= 3
           AND CAST(9 - last_round AS DOUBLE) >= POWER(2.0, CAST(attempts - 1 AS DOUBLE))
+    """,
+    "anchor_index": """
+        WITH l AS (
+          SELECT 'https://t.example.org/t/' || (doc_id % 20) AS dst,
+                 'label ' || (doc_id % 3) AS anchor
+          FROM documents WHERE doc_id % 7 <> 0
+        ),
+        c AS (SELECT dst, anchor, COUNT(*) AS n FROM l GROUP BY 1, 2),
+        r AS (
+          SELECT dst, anchor, n,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY dst ORDER BY n DESC, anchor ASC
+                 ) AS rk
+          FROM c
+        )
+        SELECT dst, SUM(n) AS top_anchor_links,
+               string_agg(lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor,
+                          '|' ORDER BY lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor)
+                 AS top_anchors
+        FROM r WHERE rk <= 2 GROUP BY dst
+    """,
+    "host_graph": """
+        WITH l AS (
+          SELECT 'h' || (doc_id % 5) || '.example.org' AS src_host,
+                 't.example.org' AS dst_host,
+                 CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS nf
+          FROM documents
+        )
+        SELECT src_host, dst_host, COUNT(*) AS n_links,
+               CAST(SUM(nf) AS BIGINT) AS n_nofollow,
+               CAST(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END AS INTEGER)
+                 AS internal
+        FROM l GROUP BY 1, 2
     """,
     "links_extract": """
         WITH s AS (
