@@ -254,3 +254,40 @@ def test_retry_state_fold_and_backoff(spark):
         "url_canon string, attempts long, first_round int, last_round int, last_error string",
     )
     assert retry_candidates(s_many, now_round=100, max_retries=3).count() == 0
+
+
+def test_priority_algebra_across_signal_sources(spark):
+    """The frontier's priority bands compose coherently: sitemap seeds
+    ((0,1]) > organic discoveries (0.0) > freshness recrawls ([-1,0))
+    > failure retries (-1-attempts).  One host, budget 4 => exactly the
+    top of each band schedules in that order."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.politeness import schedule_batch
+
+    rows = [
+        ("https://h.org/sitemap-hi", 0.9),    # sitemap, advertised 0.9
+        ("https://h.org/sitemap-lo", 0.3),
+        ("https://h.org/organic", 0.0),       # fresh link discovery
+        ("https://h.org/recrawl-hot", -0.2),  # staleness 0.8 - 1
+        ("https://h.org/recrawl-cold", -0.9),
+        ("https://h.org/retry-1", -2.0),      # 1 failed attempt
+        ("https://h.org/retry-3", -4.0),
+    ]
+    pending = spark.createDataFrame(
+        rows, "url_canon string, priority double"
+    ).select(
+        "url_canon", F.lit("h.org").alias("host"), "priority",
+        F.lit(0).alias("depth"), F.lit(0).alias("discovered_round"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("list_index"),
+    )
+    budgets = spark.createDataFrame([("h.org", 4)], "host string, budget int")
+    out = schedule_batch(pending, budgets=budgets)
+    sched = {r["url_canon"] for r in out.collect() if r["scheduled"]}
+    assert sched == {
+        "https://h.org/sitemap-hi",
+        "https://h.org/sitemap-lo",
+        "https://h.org/organic",
+        "https://h.org/recrawl-hot",
+    }
