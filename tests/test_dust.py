@@ -125,3 +125,28 @@ def test_trap_score_as_scheduler_budget(spark):
     sched = {r["url_canon"] for r in out.collect() if r["scheduled"]}
     assert sum(u.startswith("http://trap.org") for u in sched) == 1
     assert sum(u.startswith("http://good.org") for u in sched) == 4
+
+
+def test_url_templates_shapes(spark):
+    from uniparser_spark.crawl.dust import url_templates
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/item-1/",),
+            ("https://a.org/item-22/",),
+            ("https://a.org/blob/0123456789abcdef0123/raw",),
+            ("https://a.org/blob/fedcba9876543210fedc/raw",),
+            ("https://a.org/p?id=5&ref=x",),
+            ("https://a.org/p?id=6&ref=y",),
+            ("https://a.org/one-off/7",),  # below min_urls
+        ],
+        "url string",
+    )
+    got = {r["template"]: r for r in url_templates(pages).collect()}
+    assert set(got) == {
+        "a.org/item-{n}/",
+        "a.org/blob/{hex}/raw",
+        "a.org/p?id={v}&ref={v}",
+    }
+    assert got["a.org/item-{n}/"]["n_urls"] == 2
+    assert got["a.org/item-{n}/"]["example_url"] == "https://a.org/item-1/"

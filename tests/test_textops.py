@@ -383,3 +383,23 @@ def test_host_reputation_as_scheduler_budget(spark):
     out = schedule_batch(pending, budgets=budgets)
     sched = {r["url_canon"] for r in out.collect() if r["scheduled"]}
     assert sched == {"http://good/0", "http://good/1", "http://spam/0"}
+
+
+def test_doc_keywords_rational_tfidf(spark):
+    from uniparser_spark.textops.quality import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_keywords(docs, k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*(3-1+0.5)/1.5=3.3333 beats banana/common
+    assert rows[1]["keywords"].startswith("01:apple")
+    assert rows[1]["top_score"] == 3.3333
+    # 'common' appears in every doc -> idf (3-3+0.5)/3.5 is tiny, never rank 1
+    assert all(not r["keywords"].startswith("01:common") for r in rows.values())
+    assert set(rows) == {1, 2, 3}

@@ -211,3 +211,45 @@ def host_trap_stats(
         "query_frac",
         F.round(score, 4).alias("trap_score"),
     )
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 2,
+) -> DataFrame:
+    """URL-template discovery: collapse URLs onto their path SHAPE
+    (digit runs → ``{n}``, long hex runs → ``{hex}``, query values →
+    ``{v}``) and rank templates by population — the analytics a rule
+    author (reference CrawlerRule regex patterns) or a trap auditor
+    reads first: '/item-{n}/' with 10^6 URLs is a template worth one
+    extraction rule; '/cal/{n}/{n}/{n}' with 10^6 URLs and one content
+    fingerprint is a trap.
+
+    One scan + one groupBy on the (short) template string; example =
+    MIN(url) for a deterministic representative.
+    """
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    query = F.regexp_extract(F.col(url_col), _QUERY_RE, 1)
+    shape = F.regexp_replace(path, r"[0-9a-fA-F]{16,}", "{hex}")
+    shape = F.regexp_replace(shape, r"[0-9]+", "{n}")
+    qshape = F.regexp_replace(query, r"=[^&]*", "={v}")
+    template = F.concat(
+        host,
+        shape,
+        F.when(query != "", F.concat(F.lit("?"), qshape)).otherwise(F.lit("")),
+    )
+    return (
+        pages.select(
+            host.alias("host"),
+            template.alias("template"),
+            F.col(url_col).alias("url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+    )

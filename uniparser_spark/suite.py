@@ -1496,6 +1496,45 @@ def q_retry_schedule(spark, sf_dir):
     return retry_candidates(folded, now_round=9, max_retries=3)
 
 
+def q_url_templates(spark, sf_dir):
+    """URL-template discovery (crawl/dust.py url_templates): URLs
+    collapse onto their path shape (digit runs → {n}, long hex → {hex},
+    query values → {v}) — the first analytics a rule author or trap
+    auditor runs."""
+    from .crawl.dust import url_templates
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 3).cast("string"), F.lit(".example.org"))
+    url = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("https://"), host, F.lit("/item-"), d.cast("string"), F.lit("/")),
+    ).when(
+        d % 4 == 1,
+        F.concat(F.lit("https://"), host, F.lit("/cal/2026/"), (d % 12).cast("string")),
+    ).when(
+        d % 4 == 2,
+        F.concat(
+            F.lit("https://"), host, F.lit("/p?id="), d.cast("string"), F.lit("&ref=abc")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/blob/"),
+            F.md5(d.cast("string")), F.lit("/raw"),
+        )
+    )
+    return url_templates(docs.select(url.alias("url")))
+
+
+def q_doc_keywords(spark, sf_dir):
+    """TF-IDF keywords per document (textops/quality.py doc_keywords)
+    with the rational BM25 idf — explode → two map-side counts →
+    broadcast N → rank≤k window."""
+    from .textops.quality import doc_keywords
+
+    return doc_keywords(tp(spark, sf_dir, "documents"), k=3)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1693,6 +1732,8 @@ QUERIES = {
     "retry_schedule": q_retry_schedule,
     "anchor_index": q_anchor_index,
     "host_graph": q_host_graph,
+    "url_templates": q_url_templates,
+    "doc_keywords": q_doc_keywords,
 }
 
 
@@ -2324,6 +2365,63 @@ ORACLES = {
         FROM folded
         WHERE attempts <= 3
           AND CAST(9 - last_round AS DOUBLE) >= POWER(2.0, CAST(attempts - 1 AS DOUBLE))
+    """,
+    "url_templates": """
+        WITH u AS (
+          SELECT doc_id, 'h' || (doc_id % 3) || '.example.org' AS host,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'https://h' || (doc_id % 3) || '.example.org/item-'
+                               || doc_id || '/'
+                   WHEN 1 THEN 'https://h' || (doc_id % 3) || '.example.org/cal/2026/'
+                               || (doc_id % 12)
+                   WHEN 2 THEN 'https://h' || (doc_id % 3) || '.example.org/p?id='
+                               || doc_id || '&ref=abc'
+                   ELSE 'https://h' || (doc_id % 3) || '.example.org/blob/'
+                        || md5(CAST(doc_id AS VARCHAR)) || '/raw'
+                 END AS url
+          FROM documents
+        ),
+        t AS (
+          SELECT host,
+                 host || CASE doc_id % 4
+                   WHEN 0 THEN '/item-{n}/'
+                   WHEN 1 THEN '/cal/{n}/{n}'
+                   WHEN 2 THEN '/p?id={v}&ref={v}'
+                   ELSE '/blob/{hex}/raw'
+                 END AS template,
+                 url
+          FROM u
+        )
+        SELECT host, template, COUNT(*) AS n_urls, MIN(url) AS example_url
+        FROM t GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    "doc_keywords": rf"""
+        WITH terms AS (
+          SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tf.term,
+                 ROUND(CAST(tf AS DOUBLE)
+                       * (CAST(n_docs - df AS DOUBLE) + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5), 4) AS score
+          FROM tf JOIN dfq ON tf.term = dfq.term, n
+        ),
+        ranked AS (
+          SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+                 ) AS rk
+          FROM scored
+        )
+        SELECT doc_id,
+               MAX(CASE WHEN rk = 1 THEN score END) AS top_score,
+               string_agg(lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || term,
+                          '|' ORDER BY lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || term)
+                 AS keywords
+        FROM ranked WHERE rk <= 3 GROUP BY doc_id
     """,
     "anchor_index": """
         WITH l AS (

@@ -8,7 +8,7 @@ DuckDB oracle exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .exprs import h16, tokens, word_shingles
 
@@ -276,3 +276,68 @@ def doc_fingerprints(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """TF-IDF keyword extraction per document — the training-data
+    pipeline's cheap topical signal (corpus mixing, domain filters,
+    retrieval labels) without any model.
+
+    idf is the RATIONAL BM25 form ``(N - df + 0.5) / (df + 0.5)``
+    rather than a logarithm: same ranking monotonicity, but every
+    operation is IEEE +,×,÷ (correctly rounded in both Spark and the
+    DuckDB oracle) so scores are bit-stable — the same
+    no-transcendentals rule as the freshness model.
+
+    Shape: explode → two map-side-combined counts (term frequency per
+    doc, document frequency per term) → broadcast N → top-k per doc via
+    the rank≤k window (map-side WindowGroupLimit).  Terms are the
+    engine's standard whitespace tokens (case-sensitive, same as every
+    other textops operator).
+    """
+    toks = tokens(F.col(text_col))
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+                )
+                / (F.col("df").cast("double") + F.lit(0.5)),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    topk = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    return (
+        topk.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_rk") == 1, F.col("score"))).alias("top_score"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("_rk").cast("string"), 2, "0"),
+                            F.lit(":"),
+                            F.col("term"),
+                        )
+                    )
+                ),
+                "|",
+            ).alias("keywords"),
+        )
+    )
