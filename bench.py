@@ -194,6 +194,23 @@ def run_skew(spark, rows: int = 2_000_000, budget: int = 100) -> dict:
     }
 
 
+def cpu_calibration() -> float:
+    """Single-core md5-chain seconds — a box-speed marker embedded in
+    every bench record.  This shared VM shows hour-scale 1.5-3× speed
+    swings from neighbor contention (BENCH.md round-3 note) that are
+    invisible in load average; recording the calibration with the
+    measurement makes any two runs comparable (normalize by the ratio)
+    instead of silently conflating engine changes with box weather."""
+    import hashlib
+    import time as _t
+
+    h = b"x" * 1000
+    t0 = _t.monotonic()
+    for _ in range(200_000):
+        h = hashlib.md5(h).digest()
+    return round(_t.monotonic() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -206,6 +223,7 @@ def main() -> None:
     if os.path.isdir("/dev/shm"):
         local_dir = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
         extra["spark.local.dir"] = local_dir
+    calib_start = cpu_calibration()
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus, **extra)
     try:
         timings = {} if crawl_only else run_queries(spark, sf_dir)
@@ -221,9 +239,16 @@ def main() -> None:
             "value": round(sum(timings.values()) + crawl["wall_sec"], 3),
             "unit": "sec",
             "queries": timings,
+            "n_queries": len(timings),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "crawl": crawl,
             "cpus": cpus,
+            # single-core box-speed markers (see cpu_calibration docstring)
+            # bracketing the run: compare across runs (and against each
+            # other) to separate engine changes from box weather — a
+            # within-run swing means the wall numbers mix regimes
+            "cpu_calib_sec_start": calib_start,
+            "cpu_calib_sec_end": cpu_calibration(),
         }
         if skew is not None:
             out["skew"] = skew
