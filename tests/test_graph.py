@@ -139,3 +139,35 @@ def test_select_canonical_quality_ranked(spark):
     assert rows[3]["is_canonical"] == 1  # singleton keeps itself
     assert rows[9]["cluster_size"] == 3 and rows[9]["cluster_id"] == 2
     assert sum(r["is_canonical"] for r in rows.values()) == 2
+
+
+def test_star_contraction_matches_hashmin(spark):
+    """Large-star/small-star CC (the power-law-scale algorithm) must
+    produce the identical (node, comp) labeling as hash-min on random
+    graphs, including singletons, chains (worst diameter), and merged
+    star shapes."""
+    import random
+
+    from uniparser_spark.graph import connected_components, connected_components_star
+
+    rng = random.Random(42)
+    cases = [
+        [],                                            # all singletons
+        [(i, i + 1) for i in range(20)],               # one long chain
+        [(0, i) for i in range(1, 8)] + [(7, 30)],     # star + tail
+    ]
+    for _ in range(4):                                  # random graphs
+        n = 30
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        )
+    for i, pairs in enumerate(cases):
+        pairs = [(a, b) for a, b in pairs if a != b]
+        nodes = spark.createDataFrame([(j,) for j in range(31)], "node long")
+        if pairs:
+            edges = spark.createDataFrame(pairs, "src long, dst long")
+        else:
+            edges = spark.createDataFrame([], "src long, dst long")
+        hm = {r["node"]: r["comp"] for r in connected_components(edges, nodes).collect()}
+        st = {r["node"]: r["comp"] for r in connected_components_star(edges, nodes).collect()}
+        assert st == hm, f"case {i}: star != hash-min"

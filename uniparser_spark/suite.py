@@ -1248,6 +1248,22 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(edges, nodes)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """The same transitive-closure contract computed by the POWER-LAW
+    algorithm (graph.py connected_components_star: alternating
+    large-star/small-star, O(log n) rounds regardless of component
+    diameter) — oracle-gated against the identical recursive-CTE
+    closure as the hash-min path, so both algorithms are pinned to one
+    ground truth."""
+    from .graph import dedup_clusters
+
+    docs = tp(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=16, bands=8, shingle_k=3)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return dedup_clusters(edges, nodes, algorithm="star")
+
+
 def q_canonical_docs(spark, sf_dir):
     """End-of-pipeline dedup retention: LSH pairs → connected
     components → QUALITY-ranked canonical election (graph.py
@@ -1721,6 +1737,7 @@ QUERIES = {
     "pagerank3": q_pagerank3,
     "dedup_clusters": q_dedup_clusters,
     "canonical_docs": q_canonical_docs,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "content_extract": q_content_extract,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
@@ -3179,3 +3196,7 @@ from .streaming_suite import STREAM_ORACLES, STREAM_QUERIES  # noqa: E402
 
 QUERIES.update(STREAM_QUERIES)
 ORACLES.update(STREAM_ORACLES)
+
+# the star-contraction CC computes the same closure as hash-min: both
+# algorithms are pinned to the one recursive-CTE ground truth
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
