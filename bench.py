@@ -240,6 +240,12 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "n_queries": len(timings),
+            # size-invariant companion: the suite GROWS every round (41
+            # queries in r2 -> 85 in r3), so raw wall is not comparable
+            # across rounds
+            "sec_per_query": round(
+                sum(timings.values()) / max(1, len(timings)), 3
+            ),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "crawl": crawl,
             "cpus": cpus,
