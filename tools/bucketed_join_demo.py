@@ -70,6 +70,36 @@ def main() -> None:
         run("plain parquet ", spark.read.parquet(f"{wh}/cand_plain"),
             spark.read.parquet(f"{wh}/seen_plain"))
         run("bucketed table", spark.table("cand_bucketed"), spark.table("seen_bucketed"))
+
+        # the engine's REAL state shape: a big compacted base (bucketed
+        # table) + small append-only per-round deltas.  A union of
+        # bucketed scans loses the bucketing property, so the right
+        # plan is: anti-join candidates against the bucketed base with
+        # ZERO Exchange on the big side, then against the broadcast
+        # (tiny) deltas — total shuffle = 0 bytes of seen state.
+        from pyspark.sql import functions as F2
+
+        # delta overlaps the candidates' fresh range so the broadcast
+        # anti-join provably filters (fresh count drops by 1000)
+        delta = (
+            spark.range(n, n + 1000)
+            .select(F2.xxhash64(F2.col("id").cast("string")).alias("url_hash"))
+        )
+        delta.write.mode("overwrite").parquet(f"{wh}/delta_plain")
+        t0 = time.monotonic()
+        cand = spark.table("cand_bucketed")
+        base = spark.table("seen_bucketed").select("url_hash")
+        d = F.broadcast(spark.read.parquet(f"{wh}/delta_plain"))
+        out = cand.join(base, "url_hash", "left_anti").join(d, "url_hash", "left_anti")
+        cnt = out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # broadcast build is not a data-plane shuffle of the seen state;
+        # count Exchange nodes that are NOT BroadcastExchange
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        print(
+            f"base+delta     : {cnt} fresh rows, {time.monotonic() - t0:.2f}s, "
+            f"non-broadcast Exchanges: {shuffles}"
+        )
     finally:
         spark.stop()
         shutil.rmtree(wh, ignore_errors=True)
