@@ -150,3 +150,45 @@ def test_url_templates_shapes(spark):
     }
     assert got["a.org/item-{n}/"]["n_urls"] == 2
     assert got["a.org/item-{n}/"]["example_url"] == "https://a.org/item-1/"
+
+
+def test_dust_rewrite_parity_fuzz(spark):
+    """Property fuzz: the native apply_dust_rules rewrite and its
+    pure-Python twin strip_params_py agree on arbitrary query-string
+    shapes (empty values, missing '=', repeated keys, '&&', trailing
+    separators, fragments)."""
+    from hypothesis import given, settings, strategies as st
+
+    from uniparser_spark.crawl.dust import strip_params_py
+
+    key = st.sampled_from(["utm", "sess", "keep", "a", "", "x y"])
+    val = st.sampled_from(["", "1", "a=b", "%20", "é"])
+    kv = st.tuples(key, val).map(lambda t: t[0] + ("=" + t[1] if t[1] else ""))
+    query = st.lists(kv, min_size=0, max_size=4).map("&".join)
+    frag = st.sampled_from(["", "#f", "#a?b=1"])
+
+    collected = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(query, frag, st.booleans())
+    def gen(q, fr, with_q):
+        url = "http://d.org/p" + (("?" + q) if with_q else "") + fr
+        collected.append(url)
+
+    gen()
+    urls = sorted(set(collected))
+    drop = {"utm", "sess"}
+    rules = spark.createDataFrame(
+        [("d.org", p, 9) for p in sorted(drop)], "host string, param string, votes long"
+    )
+    cands = spark.createDataFrame([(u,) for u in urls], "url_canon string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["_orig"]: r["url_canon"]
+        for r in apply_dust_rules(
+            cands.withColumn("_orig", F.col("url_canon")), rules
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == strip_params_py(u, drop), repr(u)

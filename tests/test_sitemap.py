@@ -163,3 +163,42 @@ def test_sitemap_refresh_regimes(spark):
     assert got["https://e.org/modified"]["reason"] == "modified"
     # default priority for entries without one
     assert got["https://e.org/modified"]["priority"] == 0.5
+
+
+def test_sitemap_roundtrip_fuzz():
+    """Property fuzz: build_sitemap -> parse_sitemap is the identity on
+    arbitrary loc/lastmod/changefreq/priority combinations (XML
+    escaping, W3C date formatting, float formatting)."""
+    from datetime import datetime, timedelta, timezone
+
+    from hypothesis import given, settings, strategies as st
+
+    locs = st.text(alphabet="ab/&<>\"'é?=1", min_size=1, max_size=20).map(
+        lambda s: "https://f.org/" + s
+    )
+    lastmods = st.one_of(
+        st.none(),
+        st.integers(min_value=0, max_value=10**9).map(
+            lambda s: datetime(2026, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=s)
+        ),
+    )
+    freqs = st.sampled_from([None, "daily", "weekly", "never"])
+    prios = st.one_of(st.none(), st.integers(0, 10).map(lambda i: i / 10.0))
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.tuples(locs, lastmods, freqs, prios), min_size=0, max_size=4))
+    def roundtrip(entries):
+        built = build_sitemap(
+            [
+                {"loc": l, "lastmod": lm, "changefreq": cf, "priority": p}
+                for l, lm, cf, p in entries
+            ]
+        )
+        got = parse_sitemap(built)
+        assert [e["loc"] for e in got] == [l for l, *_ in entries]
+        for e, (l, lm, cf, p) in zip(got, entries):
+            assert e["lastmod"] == lm
+            assert e["changefreq"] == cf
+            assert e["priority"] == p
+
+    roundtrip()
