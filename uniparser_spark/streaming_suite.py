@@ -137,10 +137,39 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("url")
 
 
+def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text link extraction running INSIDE a streaming query:
+    the same one-Arrow-crossing DOM walk (crawl/links.py) composes with
+    readStream unchanged (mapInPandas is micro-batch-transparent), so
+    link discovery keeps up with page arrival — the incremental half of
+    the crawl loop's frontier expansion.  Drained sink must match the
+    batch links_extract oracle field-for-field."""
+    from .crawl.links import links_from_html
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"), d.cast("string"))
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="/d/'),
+        (d * 2).cast("string"),
+        F.lit('">next  <b>item</b></a><a href="https://ext.example.net/e/'),
+        d.cast("string"),
+        F.lit('?x=1" rel="nofollow">ext '),
+        d.cast("string"),
+        F.lit('</a><a href="#top">skip</a></body></html>'),
+    )
+    pages = _docs_stream(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    base = tempfile.mkdtemp(prefix="us_stream_links_")
+    out_dir, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    _await(run_to_parquet(links_from_html(pages), out_dir, ck))
+    return spark.read.parquet(out_dir)
+
+
 STREAM_QUERIES = {
     "stream_host_rates": q_stream_host_rates,
     "stream_extract": q_stream_extract,
     "stream_dedup": q_stream_dedup,
+    "stream_links": q_stream_links,
 }
 
 STREAM_ORACLES = {

@@ -3200,3 +3200,5 @@ ORACLES.update(STREAM_ORACLES)
 # the star-contraction CC computes the same closure as hash-min: both
 # algorithms are pinned to the one recursive-CTE ground truth
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+# streaming link extraction drains to the same rows as the batch op
+ORACLES["stream_links"] = ORACLES["links_extract"]
