@@ -1,0 +1,112 @@
+"""CDX(J) index source — Common Crawl's URL catalog.
+
+Next to the WARC/WET payload segments, Common Crawl publishes CDXJ
+index files: one line per capture, ``<urlkey> <timestamp> <json>``,
+where the JSON carries url/status/mime/digest/offsets.  A crawler uses
+the index for URL DISCOVERY AND TRIAGE WITHOUT FETCHING — seed the
+frontier from it, skip non-200s and non-HTML, dedup by content digest,
+and locate payload bytes in the WARC segments — so the engine carries
+a connector for it alongside the payload readers.
+
+Everything is native expressions: ``spark.read.text`` → two
+``substring_index``-style splits + ``from_json`` with an explicit
+schema.  Zero Python, full predicate pushdown above the source, and
+the line is the parallelism unit (a 300 GB CDX shard set splits like
+any text table).  Malformed lines surface as NULL-parsed columns, kept
+(error-as-data) with ``valid = 0`` rather than dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CDX_JSON_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("status", StringType(), True),
+        StructField("mime", StringType(), True),
+        StructField("digest", StringType(), True),
+        StructField("length", StringType(), True),
+        StructField("offset", StringType(), True),
+        StructField("filename", StringType(), True),
+        StructField("languages", StringType(), True),
+    ]
+)
+
+
+def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Text lines → typed capture rows.
+
+    CDXJ format: ``urlkey SP timestamp SP {json}`` — the urlkey is a
+    SURT-ordered key (host segments reversed), the timestamp is
+    ``yyyyMMddHHmmss``.  Output: (urlkey, ts timestamp, url, status
+    int, mime, digest, length long, offset long, filename, lang,
+    valid int).  Lines whose JSON fails to parse keep the raw columns
+    with valid = 0.
+    """
+    v = F.col(value_col)
+    urlkey = F.substring_index(v, " ", 1)
+    ts_raw = F.element_at(F.split(v, " ", 3), 2)
+    js = F.element_at(F.split(v, " ", 3), 3)
+    parsed = F.from_json(js, CDX_JSON_SCHEMA)
+    # try_* variants: malformed lines must become NULL-typed columns
+    # (error-as-data), not ANSI exceptions that kill the scan
+    return lines.select(
+        urlkey.alias("urlkey"),
+        F.try_to_timestamp(ts_raw, F.lit("yyyyMMddHHmmss")).alias("ts"),
+        parsed["url"].alias("url"),
+        parsed["status"].try_cast("int").alias("status"),
+        parsed["mime"].alias("mime"),
+        parsed["digest"].alias("digest"),
+        parsed["length"].try_cast("long").alias("length"),
+        parsed["offset"].try_cast("long").alias("offset"),
+        parsed["filename"].alias("filename"),
+        parsed["languages"].alias("lang"),
+        F.when(parsed["url"].isNotNull(), 1).otherwise(0).alias("valid"),
+    )
+
+
+def read_cdx(spark: SparkSession, path: str, path_glob: str = "*.cdx*") -> DataFrame:
+    """Directory of CDX(J) shards → capture table (gzip handled by the
+    text source's codec inference)."""
+    return parse_cdx_lines(
+        spark.read.option("pathGlobFilter", path_glob).text(path)
+    )
+
+
+def cdx_seed_candidates(
+    captures: DataFrame,
+    mime_prefixes: tuple = ("text/html",),
+) -> DataFrame:
+    """Capture table → frontier-ready (url, priority) discovery feed:
+
+    - keep valid 200s whose mime starts with an accepted prefix,
+    - one row per url: the LATEST capture wins (max ts — the index
+      holds every historical capture),
+    - dedup by content digest afterwards: mirrors with identical
+      payloads collapse onto MIN(url) exactly like the DUST aliases,
+      so only one representative per digest is seeded.
+
+    Priority 0.0 (organic band): the index proves existence, not
+    importance.  All narrow columns; two map-side-combined aggregates.
+    """
+    ok = captures.filter(
+        (F.col("valid") == 1)
+        & (F.col("status") == 200)
+        & F.col("mime").isNotNull()
+    )
+    pref = None
+    for p in mime_prefixes:
+        c = F.col("mime").startswith(p)
+        pref = c if pref is None else (pref | c)
+    ok = ok.filter(pref)
+    latest = (
+        ok.groupBy("url")
+        .agg(F.max_by("digest", "ts").alias("digest"))
+    )
+    return (
+        latest.groupBy("digest")
+        .agg(F.min("url").alias("url"))
+        .select("url", F.lit(0.0).alias("priority"))
+    )

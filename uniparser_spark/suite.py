@@ -696,6 +696,55 @@ def q_sitemap_discovery(spark, sf_dir):
     return sitemap_urls_from_robots(robots)
 
 
+def _cdx_lines(spark, sf_dir):
+    """Deterministic CDXJ shard derived from documents: urlkey SP
+    timestamp SP {json}, with status/mime/digest cycling so the triage
+    paths all populate."""
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/d/"), d.cast("string"))
+    js = F.to_json(
+        F.struct(
+            url.alias("url"),
+            F.when(d % 5 == 0, F.lit("404")).otherwise(F.lit("200")).alias("status"),
+            F.when(d % 3 == 0, F.lit("image/png"))
+            .otherwise(F.lit("text/html; charset=utf-8"))
+            .alias("mime"),
+            F.concat(F.lit("D"), (d % 50).cast("string")).alias("digest"),
+            (d * 100).cast("string").alias("length"),
+        )
+    )
+    line = F.concat(
+        F.lit("org,example)/d/"), d.cast("string"),
+        F.lit(" 2026010"), (d % 9 + 1).cast("string"), F.lit("000000 "),
+        js,
+    )
+    return docs.select(line.alias("value"))
+
+
+def q_cdx_scan(spark, sf_dir):
+    """CDX(J) index connector (sources/cdx.py): one capture line per
+    doc, parsed with pure native expressions (split + from_json +
+    try_casts); every typed field re-predicted by the oracle."""
+    from .sources.cdx import parse_cdx_lines
+
+    caps = parse_cdx_lines(_cdx_lines(spark, sf_dir))
+    return caps.select(
+        "urlkey",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "url", "status", "mime", "digest", "length", "valid",
+    )
+
+
+def q_cdx_seeds(spark, sf_dir):
+    """CDX triage → frontier discovery feed: 200s + text/html only,
+    latest capture per url, mirrors collapsed by content digest onto
+    MIN(url) — URL discovery without a single fetch."""
+    from .sources.cdx import cdx_seed_candidates, parse_cdx_lines
+
+    return cdx_seed_candidates(parse_cdx_lines(_cdx_lines(spark, sf_dir)))
+
+
 def q_sitemap_refresh(spark, sf_dir):
     """Incremental sitemap recrawl (sources/sitemap.py sitemap_refresh):
     advertised URLs join the fetch history; kept when new or when
@@ -1689,6 +1738,8 @@ QUERIES = {
     "sitemap_scan": q_sitemap_scan,
     "sitemap_discovery": q_sitemap_discovery,
     "sitemap_refresh": q_sitemap_refresh,
+    "cdx_scan": q_cdx_scan,
+    "cdx_seeds": q_cdx_seeds,
     "rule_json": q_rule_json,
     "rule_udf": q_rule_udf,
     "rule_regex_sub": q_rule_regex_sub,
@@ -2353,6 +2404,30 @@ ORACLES = {
                     ELSE h.last_fetch_round END AS INTEGER) AS last_fetch_round,
                COALESCE(f.new_fp, h.content_fp) AS content_fp
         FROM h FULL OUTER JOIN f ON h.url_canon = f.url_canon
+    """,
+    "cdx_scan": """
+        SELECT 'org,example)/d/' || doc_id AS urlkey,
+               CAST(epoch(make_timestamp(2026, 1, CAST(doc_id % 9 + 1 AS INTEGER),
+                                         0, 0, 0)) AS BIGINT) AS ts_epoch,
+               'https://example.org/d/' || doc_id AS url,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INTEGER)
+                 AS status,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                 ELSE 'text/html; charset=utf-8' END AS mime,
+               'D' || (doc_id % 50) AS digest,
+               doc_id * 100 AS length,
+               CAST(1 AS INTEGER) AS valid
+        FROM documents
+    """,
+    "cdx_seeds": """
+        WITH ok AS (
+          SELECT 'https://example.org/d/' || doc_id AS url,
+                 'D' || (doc_id % 50) AS digest
+          FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+        )
+        SELECT MIN(url) AS url, 0.0 AS priority
+        FROM ok GROUP BY digest
     """,
     "retry_schedule": """
         WITH u AS (
