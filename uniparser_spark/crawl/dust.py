@@ -27,7 +27,7 @@ expressions (str_to_map / array_except / regexp) — zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..textops.exprs import h16
 
@@ -52,19 +52,25 @@ def url_aliases(
 
     canonical = MIN(url) of the fingerprint group — deterministic and
     order-independent; one output row per alias (linear), never the
-    quadratic within-group pair set.  Two shuffles of narrow rows:
-    min-by-fp (map-side combined) and the join back.
+    quadratic within-group pair set.  Computed as window functions over
+    the fingerprint partition rather than groupBy+self-join: the join
+    form re-evaluates the pages scan (and re-hashes every text) on both
+    sides, which at 100 TB is a second full pass over the corpus — the
+    window form scans once and shuffles once, carrying only the narrow
+    (url, fp16) relation.
     """
+    w = Window.partitionBy("content_fp")
     fp = pages.select(
         F.col(url_col).alias("alias_url"), h16(_norm(text_col)).alias("content_fp")
     )
-    canon = fp.groupBy("content_fp").agg(
-        F.min("alias_url").alias("canonical_url"),
-        F.countDistinct("alias_url").alias("n_urls"),
-    )
     return (
-        fp.join(canon, "content_fp")
-        .filter((F.col("n_urls") > 1) & (F.col("alias_url") != F.col("canonical_url")))
+        fp.select(
+            "alias_url",
+            F.min("alias_url").over(w).alias("canonical_url"),
+            "content_fp",
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter((F.col("_n") > 1) & (F.col("alias_url") != F.col("canonical_url")))
         .select("alias_url", "canonical_url", "content_fp")
     )
 
