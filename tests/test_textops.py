@@ -403,3 +403,22 @@ def test_doc_keywords_rational_tfidf(spark):
     # 'common' appears in every doc -> idf (3-3+0.5)/3.5 is tiny, never rank 1
     assert all(not r["keywords"].startswith("01:common") for r in rows.values())
     assert set(rows) == {1, 2, 3}
+
+
+def test_readability_scores_flesch(spark):
+    from uniparser_spark.textops.quality import readability_scores
+
+    docs = docs_df(
+        spark,
+        [(1, "The cat sat. The dog ran!"),
+         (2, "Incomprehensibility notwithstanding, multisyllabic terminology predominates.")],
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # vowel groups: the|cat|sat -> e,a,a ; the|dog|ran -> e,o,a = 6
+    assert r1["n_syllables"] == 6
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 4)
+    assert r1["flesch"] == expected and r1["band"] == "easy"
+    # polysyllabic monster scores far lower
+    assert rows[2]["flesch"] < r1["flesch"] and rows[2]["band"] == "hard"

@@ -1600,6 +1600,14 @@ def q_doc_keywords(spark, sf_dir):
     return doc_keywords(tp(spark, sf_dir, "documents"), k=3)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease (textops/quality.py readability_scores):
+    rational arithmetic end-to-end, one scan, zero shuffles."""
+    from .textops.quality import readability_scores
+
+    return readability_scores(tp(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1802,6 +1810,7 @@ QUERIES = {
     "host_graph": q_host_graph,
     "url_templates": q_url_templates,
     "doc_keywords": q_doc_keywords,
+    "readability": q_readability,
 }
 
 
@@ -2457,6 +2466,28 @@ ORACLES = {
         FROM folded
         WHERE attempts <= 3
           AND CAST(9 - last_round AS DOUBLE) >= POWER(2.0, CAST(attempts - 1 AS DOUBLE))
+    """,
+    "readability": rf"""
+        WITH b AS (
+          SELECT doc_id,
+                 GREATEST(CAST(len({_TOKS}) AS DOUBLE), 1.0) AS w,
+                 GREATEST(CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+                   AS DOUBLE), 1.0) AS s,
+                 GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS DOUBLE), 1.0) AS sy
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS n_words,
+               CAST(s AS BIGINT) AS n_sentences,
+               CAST(sy AS BIGINT) AS n_syllables,
+               ROUND(206.835 - 1.015 * (w / s) - 84.6 * (sy / w), 4) AS flesch,
+               CASE WHEN 206.835 - 1.015 * (w / s) - 84.6 * (sy / w) >= 60.0
+                      THEN 'easy'
+                    WHEN 206.835 - 1.015 * (w / s) - 84.6 * (sy / w) >= 30.0
+                      THEN 'medium'
+                    ELSE 'hard' END AS band
+        FROM b
     """,
     "url_templates": """
         WITH u AS (
