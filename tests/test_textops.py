@@ -422,3 +422,19 @@ def test_readability_scores_flesch(spark):
     assert r1["flesch"] == expected and r1["band"] == "easy"
     # polysyllabic monster scores far lower
     assert rows[2]["flesch"] < r1["flesch"] and rows[2]["band"] == "hard"
+
+
+def test_host_stats_approx_path(spark):
+    """The HLL scale path (approx=True) plans without the distinct
+    expand and lands within sketch tolerance of the exact counts."""
+    from uniparser_spark.textops.quality import host_quality_stats
+
+    rows = [("h", f"text number {i % 40} with words") for i in range(200)]
+    df = spark.createDataFrame(rows, "host string, text string")
+    exact = host_quality_stats(df).collect()[0]
+    approx = host_quality_stats(df, approx=True).collect()[0]
+    assert exact["n_docs"] == approx["n_docs"] == 200
+    # HLL default rsd 5%: 40 distinct fingerprints -> within +-20%
+    assert abs(approx["dup_frac"] - exact["dup_frac"]) < 0.2
+    plan = host_quality_stats(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan or "HyperLogLog" in plan

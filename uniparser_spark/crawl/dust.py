@@ -16,9 +16,9 @@ must run between rounds:
   (same consumption seam as ``textops.quality.host_quality_stats``).
 
 Scale notes: :func:`url_aliases` is alias→canonical (one row per alias,
-NOT per pair) — a groupBy + min over narrow (fp, url) rows, linear in
-the corpus where the naive same-fp self-join is quadratic inside
-boilerplate mega-groups.  :func:`dust_param_rules` and
+NOT per pair) — min/count windows over narrow (fp, url) rows in one
+scan + one shuffle, linear in the corpus where the naive same-fp
+self-join is quadratic inside boilerplate mega-groups.  :func:`dust_param_rules` and
 :func:`host_trap_stats` aggregate per (host, param) / host — shuffles
 carry only short strings and counts; page text crosses the wire
 nowhere (only its 16-byte fingerprint).  Everything is native
@@ -168,6 +168,7 @@ def host_trap_stats(
     pages: DataFrame,
     url_col: str = "url",
     text_col: str = "text",
+    approx: bool = False,
 ) -> DataFrame:
     """Per-host crawl-trap signals: URL inflation over distinct content
     plus URL-shape aggregates.
@@ -180,8 +181,9 @@ def host_trap_stats(
     - ``trap_score`` — bounded [0,1) composite: 1 - 1/inflation weighted
       with depth and query pressure (rational, bit-stable both engines).
 
-    One scan, one groupBy(host); at 10^10 rows swap the exact distinct
-    for approx_count_distinct exactly as in host_quality_stats.
+    One scan, one groupBy(host); ``approx=True`` swaps the exact
+    distinct for the HLL sketch exactly as in host_quality_stats —
+    the 10^10-row path, materialized in code rather than a comment.
     """
     host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
     path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
@@ -195,7 +197,9 @@ def host_trap_stats(
     )
     agg = base.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_urls"),
-        F.countDistinct("fp").alias("n_content"),
+        (
+            F.approx_count_distinct("fp") if approx else F.countDistinct("fp")
+        ).alias("n_content"),
         F.round(F.avg("depth"), 4).alias("avg_path_depth"),
         F.max("depth").cast("int").alias("max_path_depth"),
         F.round(F.avg("has_q"), 4).alias("query_frac"),

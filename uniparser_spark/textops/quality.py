@@ -168,6 +168,7 @@ def host_quality_stats(
     df: DataFrame,
     host_col: str = "host",
     text_col: str = "text",
+    approx: bool = False,
 ) -> DataFrame:
     """Per-host reputation: the crawl-side aggregate of the document
     quality signals (docs, decimal-exact summed/mean quality, exact-dup
@@ -176,9 +177,12 @@ def host_quality_stats(
     their crawl budget cut before their pages ever reach admission.
 
     One scan + one groupBy(host); the dup fraction needs COUNT(DISTINCT
-    fp) which Spark plans as a partial-aggregated expand — at 10^10 rows
-    swap in approx_count_distinct (HLL) for the exact distinct; the
-    4-dp contract makes the two indistinguishable for healthy hosts.
+    fp), which Spark plans as a partial-aggregated expand.  At 10^10
+    rows pass ``approx=True``: the HLL sketch (approx_count_distinct)
+    replaces the exact distinct — one ordinary two-phase aggregate, no
+    expand — and the 4-dp contract makes the two indistinguishable for
+    healthy hosts (oracle rows pin the exact path; a tolerance test
+    pins the sketch).
     Quality is summed as DECIMAL(18,4) so the double is bit-stable
     across engines (same device as corpus_stats).
     """
@@ -193,7 +197,9 @@ def host_quality_stats(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("q").cast("double").alias("sum_quality"),
-            F.countDistinct("fp").alias("n_unique"),
+            (
+                F.approx_count_distinct("fp") if approx else F.countDistinct("fp")
+            ).alias("n_unique"),
         )
         .select(
             host_col,
