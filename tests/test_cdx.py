@@ -28,6 +28,27 @@ def test_parse_cdx_lines_typed(spark):
     assert got["garbage"]["valid"] == 0  # error-as-data, not dropped
 
 
+def test_parse_cdx_short_lines_survive_ansi(spark):
+    """<3-token lines (blank, urlkey-only, urlkey+ts) must land as
+    valid=0 rows — not abort the scan with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's ANSI mode."""
+    rows = [
+        "",
+        "org,example)/only-key",
+        "org,example)/key-and-ts 20260102030405",
+        'org,example)/ok 20260102030405 {"url": "https://e.org/ok"}',
+    ]
+    got = parse_cdx_lines(_lines(spark, rows)).collect()
+    assert len(got) == 4  # nothing dropped, nothing thrown
+    by_key = {r["urlkey"]: r for r in got}
+    assert by_key[""]["valid"] == 0
+    assert by_key["org,example)/only-key"]["valid"] == 0
+    assert by_key["org,example)/only-key"]["ts"] is None
+    kt = by_key["org,example)/key-and-ts"]
+    assert kt["valid"] == 0 and kt["ts"] is not None and kt["url"] is None
+    assert by_key["org,example)/ok"]["valid"] == 1
+
+
 def test_cdx_seed_candidates_triage(spark):
     rows = [
         # two captures of the same url: later one has digest DN
@@ -45,3 +66,23 @@ def test_cdx_seed_candidates_triage(spark):
     got = {r["url"]: r["priority"] for r in cdx_seed_candidates(caps).collect()}
     # mirror collapse: min("https://a.org/mirror-of-x", "https://a.org/x")
     assert got == {"https://a.org/mirror-of-x": 0.0, "https://a.org/y": 0.0}
+
+
+def test_cdx_seed_latest_capture_wins_over_stale_200(spark):
+    """A url whose MOST RECENT capture is a 404/410 (page since
+    deleted) must not be seeded from an older 200 capture; conversely
+    a url that recovered (old 404, new 200) must be seeded."""
+    rows = [
+        # deleted page: old 200, latest 410 -> must NOT seed
+        'k1 20260101000000 {"url": "https://a.org/gone", "status": "200", "mime": "text/html", "digest": "G1"}',
+        'k1 20260301000000 {"url": "https://a.org/gone", "status": "410", "mime": "text/html", "digest": "G2"}',
+        # recovered page: old 404, latest 200 -> must seed
+        'k2 20260101000000 {"url": "https://a.org/back", "status": "404", "mime": "text/html", "digest": "B1"}',
+        'k2 20260301000000 {"url": "https://a.org/back", "status": "200", "mime": "text/html", "digest": "B2"}',
+        # mime flip: old text/html, latest image/png -> must NOT seed
+        'k3 20260101000000 {"url": "https://a.org/now-img", "status": "200", "mime": "text/html", "digest": "M1"}',
+        'k3 20260301000000 {"url": "https://a.org/now-img", "status": "200", "mime": "image/png", "digest": "M2"}',
+    ]
+    caps = parse_cdx_lines(_lines(spark, rows))
+    got = {r["url"] for r in cdx_seed_candidates(caps).collect()}
+    assert got == {"https://a.org/back"}

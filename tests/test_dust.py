@@ -83,6 +83,56 @@ def test_apply_dust_rules_rewrites_candidates(spark):
     )
 
 
+def test_apply_dust_rules_preserves_fragment_when_no_param_stripped(spark):
+    """canonicalize_url preserves #fragments for reference parity, so a
+    URL on a ruled host whose query matches NO rule must pass through
+    byte-identical — fragment intact — both in the column form and the
+    pure-Python twin."""
+    from uniparser_spark.crawl.dust import strip_params_py
+
+    rules = spark.createDataFrame(
+        [("a.org", "utm", 3)], "host string, param string, votes long"
+    )
+    cands = spark.createDataFrame(
+        [
+            ("http://a.org/p?keep=1#sec2",),   # ruled host, no ruled param
+            ("http://a.org/p?utm=1&k=2#sec2",),  # ruled param present
+        ],
+        "url_canon string",
+    )
+    got = sorted(r["url_canon"] for r in apply_dust_rules(cands, rules).collect())
+    assert got == sorted(["http://a.org/p?keep=1#sec2", "http://a.org/p?k=2"])
+    assert strip_params_py("http://a.org/p?keep=1#sec2", {"utm"}) == (
+        "http://a.org/p?keep=1#sec2"
+    )
+    assert strip_params_py("http://a.org/p?utm=1&k=2#sec2", {"utm"}) == (
+        "http://a.org/p?k=2"
+    )
+
+
+def test_approx_sketch_clamped_to_bounds(spark):
+    """approx=True uses HLL, which can over-estimate distinct counts;
+    the clamp keeps url_inflation >= 1 / trap_score, dup_frac in [0,1)
+    on every host regardless of sketch error."""
+    from uniparser_spark.textops.quality import host_quality_stats
+
+    rows = [
+        (f"https://h{i % 7}.org/p/{i}?s={i}", f"text {i % 13}") for i in range(400)
+    ]
+    traps = host_trap_stats(_pages(spark, rows), approx=True).collect()
+    assert traps
+    for r in traps:
+        assert r["n_content"] <= r["n_urls"]
+        assert r["url_inflation"] >= 1.0
+        assert 0.0 <= r["trap_score"] < 1.0
+    docs = spark.createDataFrame(
+        [(f"h{i % 7}.org", f"doc body {i % 13}") for i in range(400)],
+        "host string, text string",
+    )
+    for r in host_quality_stats(docs, approx=True).collect():
+        assert 0.0 <= r["dup_frac"] < 1.0
+
+
 def test_host_trap_stats_flags_trap_host(spark):
     # trap.org: 6 urls over 1 content blob, deep paths, all query-minted
     trap = [

@@ -97,6 +97,10 @@ def test_anchor_text_index_topk(spark):
     assert row["dst"] == "https://t.org/a"
     assert row["top_anchor_links"] == 5  # 3 + 2, 'rare' trimmed at k=2
     assert row["top_anchors"] == "01:buy now|02:cheap pills"
+    # totals cover ALL follow in-links, not just the top-k anchors:
+    # 3 'buy now' + 2 'cheap pills' + 1 'rare'; distinct srcs s0..s2, x
+    assert row["in_links"] == 6
+    assert row["n_src"] == 4  # s0, s1, s2, x (s0-s2 repeat across anchors)
 
 
 def test_host_graph_rollup(spark):

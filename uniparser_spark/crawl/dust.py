@@ -124,6 +124,13 @@ def apply_dust_rules(
     expression: parse query → map_filter against the host's param set →
     re-serialize in original order (re-sorting would break byte-parity
     for params the rules DON'T cover).
+
+    The rewrite fires ONLY when a ruled param was actually stripped
+    (size(kept) < size(split(query))): canonicalize_url (urls.py)
+    deliberately preserves #fragments for reference parity, so a
+    fragment-carrying URL on a ruled host that matches none of the
+    host's params must pass through byte-identical — otherwise
+    dust-enabled crawls would fetch different URLs than the reference.
     """
     host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
     host_rules = F.broadcast(
@@ -138,9 +145,12 @@ def apply_dust_rules(
             F.col("drop_params"), F.split(kv, "=").getItem(0)
         ),
     )
-    rewritten = F.when(
-        F.col("drop_params").isNull() | (query == ""), F.col(url_col)
-    ).otherwise(
+    untouched = (
+        F.col("drop_params").isNull()
+        | (query == "")
+        | (F.size(kept) == F.size(F.split(query, "&")))
+    )
+    rewritten = F.when(untouched, F.col(url_col)).otherwise(
         F.when(F.size(kept) == 0, base).otherwise(
             F.concat(base, F.lit("?"), F.array_join(kept, "&"))
         )
@@ -152,8 +162,9 @@ def strip_params_py(url: str, drop_params) -> str:
     """Pure-Python twin of :func:`apply_dust_rules`' rewrite for
     driver-side lookups (crawl result re-nesting at test scale): same
     semantics — no query → unchanged, all params stripped → bare base,
-    surviving params keep original order, fragment dropped with the
-    query (fetch-identical)."""
+    surviving params keep original order, and — matching the column
+    form's gate — the URL passes through byte-identical (fragment
+    intact) when no ruled param is present."""
     base, sep, rest = url.partition("?")
     if not sep:
         return url
@@ -161,6 +172,8 @@ def strip_params_py(url: str, drop_params) -> str:
     if query == "":
         return url
     kept = [kv for kv in query.split("&") if kv.split("=", 1)[0] not in drop_params]
+    if len(kept) == len(query.split("&")):
+        return url
     return base if not kept else base + "?" + "&".join(kept)
 
 
@@ -199,11 +212,17 @@ def host_trap_stats(
         F.count(F.lit(1)).alias("n_urls"),
         (
             F.approx_count_distinct("fp") if approx else F.countDistinct("fp")
-        ).alias("n_content"),
+        ).alias("_n_content_raw"),
         F.round(F.avg("depth"), 4).alias("avg_path_depth"),
         F.max("depth").cast("int").alias("max_path_depth"),
         F.round(F.avg("has_q"), 4).alias("query_frac"),
-    )
+    ).select(
+        "*",
+        # HLL can over-estimate: n_content > n_urls would push
+        # url_inflation below 1 and trap_score negative, breaking the
+        # documented [0,1) bound — clamp the sketch to the exact count.
+        F.least(F.col("n_urls"), F.col("_n_content_raw")).alias("n_content"),
+    ).drop("_n_content_raw")
     inflation = F.col("n_urls").cast("double") / F.col("n_content").cast("double")
     depth_sig = F.col("avg_path_depth") / (F.lit(4.0) + F.col("avg_path_depth"))
     score = (

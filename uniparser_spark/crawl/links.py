@@ -123,17 +123,25 @@ def anchor_text_index(
     (anchor text is the strongest relevance signal a crawler owns —
     it describes the target, not the source).
 
-    Per target: in-link count, distinct source count, and the ``top_k``
-    most common non-empty anchors (count desc, text asc — fully
-    deterministic).  Two-phase count on (dst, anchor) → per-dst top-k
-    via min-heap-shaped window (Spark plans a map-side WindowGroupLimit
-    under rank ≤ k, so the shuffle carries at most k rows per (dst,
-    partition)) → one final per-dst fold.  Nofollow links are excluded
-    (they explicitly disclaim endorsement).
+    Per target: total in-link count (``in_links``), distinct source
+    count (``n_src``), the link count covered by the top anchors
+    (``top_anchor_links``), and the ``top_k`` most common non-empty
+    anchors (count desc, text asc — fully deterministic).  Two-phase
+    count on (dst, anchor) → per-dst top-k via min-heap-shaped window
+    (Spark plans a map-side WindowGroupLimit under rank ≤ k, so the
+    shuffle carries at most k rows per (dst, partition)) → one final
+    per-dst fold, joined with the per-dst totals (both sides already
+    hash-partitioned on dst, so the join adds no extra shuffle under
+    AQE).  Nofollow links are excluded (they explicitly disclaim
+    endorsement).
     """
     from pyspark.sql import Window
 
     base = links.filter((F.col("nofollow") == 0) & (F.col("anchor") != ""))
+    totals = base.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("in_links"),
+        F.countDistinct("src").alias("n_src"),
+    )
     counts = base.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("dst").orderBy(
         F.col("n").desc(), F.col("anchor").asc()
@@ -141,7 +149,7 @@ def anchor_text_index(
     topk = counts.withColumn("_rk", F.row_number().over(w)).filter(
         F.col("_rk") <= top_k
     )
-    return (
+    folded = (
         topk.groupBy("dst")
         .agg(
             F.sum("n").alias("top_anchor_links"),
@@ -158,6 +166,9 @@ def anchor_text_index(
                 "|",
             ).alias("top_anchors"),
         )
+    )
+    return folded.join(totals, "dst").select(
+        "dst", "in_links", "n_src", "top_anchor_links", "top_anchors"
     )
 
 

@@ -47,8 +47,12 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """
     v = F.col(value_col)
     urlkey = F.substring_index(v, " ", 1)
-    ts_raw = F.element_at(F.split(v, " ", 3), 2)
-    js = F.element_at(F.split(v, " ", 3), 3)
+    # try_element_at, not element_at: under Spark 4's default ANSI mode
+    # a blank/truncated line (<3 space-separated fields) would raise
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT and abort the whole scan;
+    # try_element_at yields NULL ts/json so the line lands as valid=0.
+    ts_raw = F.try_element_at(F.split(v, " ", 3), F.lit(2))
+    js = F.try_element_at(F.split(v, " ", 3), F.lit(3))
     parsed = F.from_json(js, CDX_JSON_SCHEMA)
     # try_* variants: malformed lines must become NULL-typed columns
     # (error-as-data), not ANSI exceptions that kill the scan
@@ -81,9 +85,12 @@ def cdx_seed_candidates(
 ) -> DataFrame:
     """Capture table → frontier-ready (url, priority) discovery feed:
 
-    - keep valid 200s whose mime starts with an accepted prefix,
-    - one row per url: the LATEST capture wins (max ts — the index
-      holds every historical capture),
+    - one row per url FIRST: the LATEST capture wins (max ts over ALL
+      valid captures — the index holds every historical capture), so a
+      URL whose most recent capture is a 404/redirect (page since
+      deleted) is NOT resurrected from a stale older 200,
+    - then keep urls whose latest capture is a 200 with an accepted
+      mime prefix,
     - dedup by content digest afterwards: mirrors with identical
       payloads collapse onto MIN(url) exactly like the DUST aliases,
       so only one representative per digest is seeded.
@@ -91,22 +98,29 @@ def cdx_seed_candidates(
     Priority 0.0 (organic band): the index proves existence, not
     importance.  All narrow columns; two map-side-combined aggregates.
     """
-    ok = captures.filter(
-        (F.col("valid") == 1)
-        & (F.col("status") == 200)
-        & F.col("mime").isNotNull()
+    latest = (
+        captures.filter(F.col("valid") == 1)
+        # lexicographic max_by over a (ts, …) struct: row-consistent
+        # (status/mime/digest all come from the SAME winning capture)
+        # and deterministic under ts ties.
+        .groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("ts", "status", "mime", "digest"),
+                F.struct("ts", "status", "mime", "digest"),
+            ).alias("cap")
+        )
+        .select("url", "cap.status", "cap.mime", "cap.digest")
     )
     pref = None
     for p in mime_prefixes:
         c = F.col("mime").startswith(p)
         pref = c if pref is None else (pref | c)
-    ok = ok.filter(pref)
-    latest = (
-        ok.groupBy("url")
-        .agg(F.max_by("digest", "ts").alias("digest"))
+    ok = latest.filter(
+        (F.col("status") == 200) & F.col("mime").isNotNull() & pref
     )
     return (
-        latest.groupBy("digest")
+        ok.groupBy("digest")
         .agg(F.min("url").alias("url"))
         .select("url", F.lit(0.0).alias("priority"))
     )

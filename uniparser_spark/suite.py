@@ -737,12 +737,49 @@ def q_cdx_scan(spark, sf_dir):
 
 
 def q_cdx_seeds(spark, sf_dir):
-    """CDX triage → frontier discovery feed: 200s + text/html only,
-    latest capture per url, mirrors collapsed by content digest onto
-    MIN(url) — URL discovery without a single fetch."""
+    """CDX triage → frontier discovery feed: the LATEST capture per url
+    wins over ALL captures (so a page whose most recent capture is a
+    410 is not resurrected from a stale older 200), then 200s +
+    text/html only, mirrors collapsed by content digest onto MIN(url)
+    — URL discovery without a single fetch.  The synthetic shard adds
+    later captures for doc_id%4∈{0,1}: a 410 tombstone (url must drop
+    even though an older 200 exists) and a re-crawl with a NEW digest
+    (the latest digest must win the mirror grouping)."""
     from .sources.cdx import cdx_seed_candidates, parse_cdx_lines
 
-    return cdx_seed_candidates(parse_cdx_lines(_cdx_lines(spark, sf_dir)))
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/d/"), d.cast("string"))
+    gone = docs.filter(d % 4 == 0).select(
+        F.concat(
+            F.lit("org,example)/d/"), d.cast("string"),
+            F.lit(" 20260115000000 "),
+            F.to_json(
+                F.struct(
+                    url.alias("url"),
+                    F.lit("410").alias("status"),
+                    F.lit("text/html; charset=utf-8").alias("mime"),
+                    F.concat(F.lit("D"), (d % 50).cast("string")).alias("digest"),
+                )
+            ),
+        ).alias("value")
+    )
+    recrawled = docs.filter(d % 4 == 1).select(
+        F.concat(
+            F.lit("org,example)/d/"), d.cast("string"),
+            F.lit(" 20260116000000 "),
+            F.to_json(
+                F.struct(
+                    url.alias("url"),
+                    F.lit("200").alias("status"),
+                    F.lit("text/html; charset=utf-8").alias("mime"),
+                    F.concat(F.lit("E"), (d % 97).cast("string")).alias("digest"),
+                )
+            ),
+        ).alias("value")
+    )
+    lines = _cdx_lines(spark, sf_dir).union(gone).union(recrawled)
+    return cdx_seed_candidates(parse_cdx_lines(lines))
 
 
 def q_sitemap_refresh(spark, sf_dir):
@@ -2429,11 +2466,22 @@ ORACLES = {
         FROM documents
     """,
     "cdx_seeds": """
-        WITH ok AS (
+        WITH latest AS (
           SELECT 'https://example.org/d/' || doc_id AS url,
-                 'D' || (doc_id % 50) AS digest
+                 CASE WHEN doc_id % 4 = 0 THEN 410
+                      WHEN doc_id % 4 = 1 THEN 200
+                      WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status,
+                 CASE WHEN doc_id % 4 IN (0, 1)
+                        THEN 'text/html; charset=utf-8'
+                      WHEN doc_id % 3 = 0 THEN 'image/png'
+                      ELSE 'text/html; charset=utf-8' END AS mime,
+                 CASE WHEN doc_id % 4 = 1 THEN 'E' || (doc_id % 97)
+                      ELSE 'D' || (doc_id % 50) END AS digest
           FROM documents
-          WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0
+        ),
+        ok AS (
+          SELECT url, digest FROM latest
+          WHERE status = 200 AND mime LIKE 'text/html%'
         )
         SELECT MIN(url) AS url, 0.0 AS priority
         FROM ok GROUP BY digest
@@ -2548,9 +2596,15 @@ ORACLES = {
     """,
     "anchor_index": """
         WITH l AS (
-          SELECT 'https://t.example.org/t/' || (doc_id % 20) AS dst,
+          SELECT 'https://h' || (doc_id % 5) || '.example.org/p/' || doc_id
+                   AS src,
+                 'https://t.example.org/t/' || (doc_id % 20) AS dst,
                  'label ' || (doc_id % 3) AS anchor
           FROM documents WHERE doc_id % 7 <> 0
+        ),
+        t AS (
+          SELECT dst, COUNT(*) AS in_links, COUNT(DISTINCT src) AS n_src
+          FROM l GROUP BY 1
         ),
         c AS (SELECT dst, anchor, COUNT(*) AS n FROM l GROUP BY 1, 2),
         r AS (
@@ -2559,12 +2613,16 @@ ORACLES = {
                    PARTITION BY dst ORDER BY n DESC, anchor ASC
                  ) AS rk
           FROM c
+        ),
+        f AS (
+          SELECT dst, SUM(n) AS top_anchor_links,
+                 string_agg(lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor,
+                            '|' ORDER BY lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor)
+                   AS top_anchors
+          FROM r WHERE rk <= 2 GROUP BY dst
         )
-        SELECT dst, SUM(n) AS top_anchor_links,
-               string_agg(lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor,
-                          '|' ORDER BY lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor)
-                 AS top_anchors
-        FROM r WHERE rk <= 2 GROUP BY dst
+        SELECT f.dst, t.in_links, t.n_src, f.top_anchor_links, f.top_anchors
+        FROM f JOIN t ON f.dst = t.dst
     """,
     "host_graph": """
         WITH l AS (

@@ -199,8 +199,11 @@ def host_quality_stats(
             F.sum("q").cast("double").alias("sum_quality"),
             (
                 F.approx_count_distinct("fp") if approx else F.countDistinct("fp")
-            ).alias("n_unique"),
+            ).alias("_n_unique_raw"),
         )
+        # HLL can over-estimate (n_unique > n_docs → dup_frac < 0);
+        # clamp the sketch so dup_frac keeps its documented [0,1) bound.
+        .withColumn("n_unique", F.least(F.col("n_docs"), F.col("_n_unique_raw")))
         .select(
             host_col,
             "n_docs",
