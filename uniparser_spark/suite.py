@@ -1391,7 +1391,12 @@ def q_corpus_filter(spark, sf_dir):
 def q_corpus_stats(spark, sf_dir):
     """Corpus sizing aggregate per (source, lang): docs, tokens, chars,
     decimal-exact summed quality — the numbers a training-mix plan is
-    built from."""
+    built from.  Output representation is pinned for cross-engine hash
+    stability: explicit long counts (DuckDB SUM yields HUGEINT, which
+    arrow-exports as decimal — the BIGINT cast keeps both engines on
+    int64) and sum_quality rounded to the 4-dp contract every other
+    quality row uses (the internal sum stays decimal-exact; only the
+    emitted double is rounded)."""
     from .textops.quality import quality_expr
 
     docs = tp(spark, sf_dir, "documents")
@@ -1400,9 +1405,9 @@ def q_corpus_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).cast("long").alias("n_tokens"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
-        F.sum(quality_expr("text").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("sum_quality"),
+        F.round(
+            F.sum(quality_expr("text").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_quality"),
     )
 
 
@@ -1666,22 +1671,32 @@ def q_dedup_verified_pairs(spark, sf_dir):
 def q_minhash_lsh_pairs_xx(spark, sf_dir):
     """PRODUCTION hash variant of minhash_lsh_pairs: native xxhash64
     inside whole-stage codegen (explode → map-side-combined groupBy →
-    band keys over the per-seed min columns).  No oracle row — DuckDB
-    has no Spark-compatible xxhash64, so the driver records the weaker
-    rows-only check; the md5 twin stays fully oracle-gated and the
-    dual-impl pair-set parity test pins the semantics."""
-    return lsh_candidate_pairs(
+    band keys over the per-seed min columns).  Value-paired against the
+    md5 oracle on the RECALL SET — xxhash64 candidates that survive
+    exact-Jaccard verification at θ=0.5.  Raw sub-threshold band
+    collisions are hash-family-specific by construction (DuckDB has no
+    Spark-compatible xxhash64), so the oracle-checkable surface is
+    exactly the pairs both families must recover: the corpus is bimodal
+    (true near-dups ≥0.9, collisions ≤0.06), so a green row proves the
+    production banding loses no true pair.  The raw candidate plan is
+    pinned by tests/test_textops.py pair-set parity + no-Python-eval
+    plan checks."""
+    return verified_near_dups(
         tp(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3,
-        impl="xxhash64",
-    )
+        threshold=0.5, impl="xxhash64",
+    ).select("id1", "id2")
 
 
 def q_dedup_verified_pairs_xx(spark, sf_dir):
-    """xxhash64 candidates → hash-free exact-Jaccard verify (production
-    twin of dedup_verified_pairs; rows-only driver check, see above)."""
+    """xxhash64 candidates → hash-free exact-Jaccard verify at the
+    production threshold (θ=0.5): the full near-dup pipeline on the
+    all-codegen path, value-paired — emitted (id1, id2, jaccard) must
+    equal the md5 twin's above-threshold set exactly (see
+    q_minhash_lsh_pairs_xx for why sub-threshold collisions can't be
+    cross-engine-paired)."""
     return verified_near_dups(
         tp(spark, sf_dir, "documents"), n_hashes=16, bands=8, shingle_k=3,
-        threshold=0.0, impl="xxhash64",
+        threshold=0.5, impl="xxhash64",
     )
 
 
@@ -2283,12 +2298,12 @@ ORACLES = {
     "corpus_stats": rf"""
         SELECT source, lang,
                COUNT(*) AS n_docs,
-               SUM(len({_TOKS})) AS n_tokens,
-               SUM(length(text)) AS n_chars,
-               CAST(SUM(CAST(ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               ROUND(CAST(SUM(CAST(ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
               + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
               + 0.2 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)))
-              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_quality
         FROM documents
         GROUP BY 1, 2
     """,
@@ -3078,6 +3093,22 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# The production-hash twins are value-paired on the recall set (exact
+# Jaccard >= 0.5): sub-threshold band collisions are hash-family
+# specific (DuckDB has no Spark-compatible xxhash64), but every true
+# near-dup pair must be recovered by BOTH families, so the md5 twin's
+# oracle filtered at the threshold predicts the xx output exactly.
+ORACLES["dedup_verified_pairs_xx"] = (
+    "SELECT id1, id2, jaccard FROM ("
+    + ORACLES["dedup_verified_pairs"]
+    + ") WHERE jaccard >= 0.5"
+)
+ORACLES["minhash_lsh_pairs_xx"] = (
+    "SELECT id1, id2 FROM ("
+    + ORACLES["dedup_verified_pairs"]
+    + ") WHERE jaccard >= 0.5"
+)
 
 
 # ------------------------------------------------------- corpus cleaning
