@@ -280,12 +280,57 @@ def test_paths_unsupported_syntax_is_named():
     from uniparser_spark.operators import apply_operator
     from uniparser_spark.paths import UnsupportedPathError, jsonpath_values
 
-    for bad in ("$.a[b,c]", "$.a[(@.length-1)]", "$..book[?(@.price)]"):
+    for bad in ("$.a[b,c]", "$.a[(@.length-1)]", "$..book[?(len(@.price) > 1)]"):
         with _pytest.raises(UnsupportedPathError, match="unsupported"):
             jsonpath_values({"a": [1, 2]}, bad)
     # error-as-data through the operator layer
     err = apply_operator("jsonpath", {"a": [1, 2]}, "$.a[(1+1)]", "")
     assert isinstance(err, UnsupportedPathError)
+
+
+def test_paths_filter_grammar():
+    """Round-3 grammar gap closed: boolean connectives, negation,
+    parenthesized groups, existence atoms, field-to-field comparison,
+    and in/not-in list membership inside [?(...)] / [@...] filters."""
+    from uniparser_spark.paths import jsonpath_values, objectpath_execute
+
+    books = {
+        "book": [
+            {"id": 1, "price": 5, "cap": 10, "tag": "a", "sale": True},
+            {"id": 2, "price": 15, "cap": 10, "tag": "b"},
+            {"id": 3, "price": 25, "cap": 30, "tag": "c"},
+        ]
+    }
+
+    def ids(path):
+        return [b["id"] for b in jsonpath_values(books, path)]
+
+    # existence / truthiness atom (jsonpath-rw-ext shape)
+    assert ids("$.book[?(@.sale)]") == [1]
+    # boolean connectives, both spellings, with precedence and > or
+    assert ids("$.book[?(@.price > 10 & @.price < 20)]") == [2]
+    assert ids("$.book[?(@.price > 10 and @.price < 20)]") == [2]
+    assert ids("$.book[?(@.id == 1 | @.id == 3)]") == [1, 3]
+    assert ids("$.book[?(@.sale or @.id == 2 and @.tag == 'b')]") == [1, 2]
+    # parenthesized groups override precedence
+    assert ids("$.book[?((@.sale or @.id == 2) and @.tag == 'b')]") == [2]
+    # negation
+    assert ids("$.book[?(not @.sale)]") == [2, 3]
+    assert ids("$.book[?(!(@.id == 2))]") == [1, 3]
+    # field-to-field comparison
+    assert ids("$.book[?(@.price < @.cap)]") == [1, 3]
+    # in / not in against list literals (bracket and paren forms)
+    assert ids("$.book[?(@.id in [1, 3])]") == [1, 3]
+    assert ids("$.book[?(@.tag in ('a', 'b'))]") == [1, 2]
+    assert ids("$.book[?(@.id not in [1, 3])]") == [2]
+    # scalar arrays filter through bare @
+    assert jsonpath_values({"l": [1, 5, 9]}, "$.l[?(@ > 3)]") == [5, 9]
+    # objectpath bracket filters share the grammar
+    got = objectpath_execute(books, "$.book[@.sale | @.id == 3]")
+    assert [b["id"] for b in got] == [1, 3]
+    # missing keys compare False, never raise
+    assert ids("$.book[?(@.nope > 1)]") == []
+    assert ids("$.book[?(@.nope > 1 | @.id == 2)]") == [2]
 
 
 def test_paths_unions_and_recursive_wildcard():

@@ -117,29 +117,34 @@ def connected_components(
     One iteration = symmetrized-edges ⋈ labels on the source endpoint →
     map-side-combined ``min`` by the destination → left join back onto
     the label state; every shuffle carries only (long, long) rows.  The
-    state is ``localCheckpoint``-ed per iteration, which both truncates
-    the growing lineage (essential for iterative plans) and shares the
-    materialized step between the convergence count and the next
-    iteration.  Converges in O(component diameter) rounds — for the
-    near-duplicate clusters this feeds on, diameter is tiny (docs tied
-    through shared LSH bands), so 3-4 rounds is typical.
+    state passes a LAZY :func:`~uniparser_spark.engine.ckpt.
+    step_checkpoint` barrier per iteration — the round's convergence
+    aggregate is then the ONLY action, materializing the barrier and
+    truncating lineage in one Spark job per round (an eager checkpoint
+    + separate count would pay two scheduler round-trips).  Converges
+    in O(component diameter) rounds — for the near-duplicate clusters
+    this feeds on, diameter is tiny (docs tied through shared LSH
+    bands), so 3-4 rounds is typical.
 
-    Scale notes for the 10^10-row regime: the per-iteration convergence
-    ``count`` is an action on already-materialized narrow state (cheap),
-    and a production run on power-law web graphs would switch to the
-    alternating large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") whose per-round
-    shuffle volume contracts geometrically; hash-min is the right choice
-    here because dedup components are shallow and the code stays a
-    direct composition of join+groupBy.
+    Scale notes for the 10^10-row regime: diameter-bound sequential
+    rounds with a driver-coordinated convergence action are the WEAK
+    plan on power-law web graphs — :func:`connected_components_star`
+    (the :func:`dedup_clusters` default) contracts geometrically in
+    O(log n) rounds and is differential-tested against this
+    implementation; hash-min stays as the simple twin for shallow
+    graphs.  Every ``RELIABLE_INTERVAL``-th round takes a durable
+    checkpoint when a checkpoint dir is configured (see engine/ckpt.py
+    for the executor-loss failure mode of local-only checkpoints).
 
     Returns (node, comp) — comp = min node id of the component.
     """
+    from .engine.ckpt import reliable_this_round, step_checkpoint
+
     sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
         edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
     comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.alias("e")
             .join(comp.alias("c"), F.col("e.a") == F.col("c.node"))
@@ -147,7 +152,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("nc").alias("nbr_min"))
         )
-        stepped = (
+        stepped = step_checkpoint(
             comp.alias("c")
             .join(nbr_min.alias("m"), "node", "left")
             .select(
@@ -156,8 +161,8 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                 ).alias("comp"),
-            )
-            .localCheckpoint()
+            ),
+            reliable=reliable_this_round(it),
         )
         changed = stepped.filter(F.col("comp") < F.col("old")).count()
         comp = stepped.select("node", "comp")
@@ -173,7 +178,7 @@ def dedup_clusters(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
-    algorithm: str = "hashmin",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs: the keep-one-per-
     cluster output a training-data dedup actually consumes (pairs alone
@@ -187,9 +192,14 @@ def dedup_clusters(
     of the component), an ``is_canonical`` 0/1 keep flag, and the
     cluster size — filter ``is_canonical = 1`` to materialize the
     deduplicated corpus.
+
+    The default algorithm is star-contraction (O(log n) rounds
+    regardless of component diameter — the plan that survives a
+    power-law web graph at 100×); hash-min stays available as the
+    differential twin for shallow graphs.
     """
     if algorithm == "hashmin":
-        # O(diameter) rounds — right for shallow near-dup components
+        # O(diameter) rounds — the simple twin for shallow components
         comp = connected_components(edges, nodes, max_iter=max_iter)
     elif algorithm == "star":
         # O(log n) rounds regardless of diameter — the power-law path
@@ -270,18 +280,26 @@ def connected_components_star(
 
     Both preserve connectivity and strictly reduce a potential
     function; the fixpoint is a star forest where every node's single
-    neighbor is its component minimum.  Convergence is detected on the
-    materialized (localCheckpoint'd) edge state via an order-free
-    xor-of-hashes signature — one cheap action per round on cached
-    blocks, no edge-set collect.
+    neighbor is its component minimum.  Convergence is detected via an
+    order-free (count, xor-of-xxhash64) signature of the edge state —
+    the round's ONLY action: both half-step checkpoints are LAZY
+    (engine/ckpt.py step_checkpoint), so the signature aggregate
+    materializes them and truncates lineage in a single Spark job per
+    round, instead of two eager checkpoint jobs + a convergence job.
+    Every ``RELIABLE_INTERVAL``-th round the barrier is a durable
+    ``checkpoint`` when a checkpoint dir is configured — bounding
+    re-lost work under executor failure to ``interval`` rounds of
+    narrow-edge shuffles (localCheckpoint blocks die with their
+    executor; see engine/ckpt.py).
 
     Same contract as :func:`connected_components`: returns
     (node, comp); singletons map to themselves.  A differential test
     pins equality with hash-min on random graphs.
     """
-    # parent relation p: (node, parent); start from the symmetrized
-    # edge list (smaller endpoint as parent candidate handled by the
-    # star steps themselves)
+    from .engine.ckpt import reliable_this_round, step_checkpoint
+
+    # symmetrized neighbor relation; the star steps reason over the
+    # full Γ(u) of each node
     e = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -290,7 +308,7 @@ def connected_components_star(
         .localCheckpoint()
     )
 
-    def signature(df: DataFrame) -> int:
+    def signature(df: DataFrame) -> tuple:
         row = df.select(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
@@ -299,7 +317,7 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["s"])
 
-    def star(e: DataFrame, large: bool) -> DataFrame:
+    def star(e: DataFrame, large: bool, reliable: bool) -> DataFrame:
         m = (
             e.groupBy("a")
             .agg(F.min("b").alias("_mn"))
@@ -315,16 +333,17 @@ def connected_components_star(
         out = rewired.union(self_link).filter(F.col("a") != F.col("b")).distinct()
         # re-symmetrize: the star steps reason over the full neighbor
         # relation of each node
-        return (
+        return step_checkpoint(
             out.union(out.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable=reliable,
         )
 
     sig = signature(e)
-    for _ in range(max_iter):
-        e = star(e, large=True)
-        e = star(e, large=False)
+    for it in range(max_iter):
+        durable = reliable_this_round(it)
+        e = star(e, large=True, reliable=False)
+        e = star(e, large=False, reliable=durable)
         new_sig = signature(e)
         if new_sig == sig:
             break

@@ -8,15 +8,29 @@ config.py demo rules):
 
 JSONPath: bare fields, ``$.a.b``, recursive ``$..k`` and ``$..*``,
 ``[n]``, ``[a:b]`` slices, ``[*]``, field unions ``['a','b']``, index
-unions ``[0,2]``, filters ``[?(@.k op literal)]``.
+unions ``[0,2]``, filters ``[?(...)]``.
 Results are lists of matches carrying ``value`` and ``full_path``.
 
 ObjectPath: ``$.a.b``, recursive ``$..k``, ``[n]``, unions, filters
-``[@.k op literal]`` with ops ``> < >= <= == = is not_is !=``.
+``[@.k op literal]``.
 Plain paths return a scalar; recursive/filter/union steps return lists.
 
+Filter predicates (shared by both dialects) are a full boolean
+expression grammar, parsed by a recursive-descent parser:
+
+- comparisons ``@.a.b op X`` with ops ``== = is != <> is not > >= <
+  <=`` and ``in`` / ``not in`` against list literals ``[1, 2]`` /
+  ``('a', 'b')``;
+- both operands may be ``@``-paths (field-to-field comparison:
+  ``@.price < @.limit``) or literals; bare ``@`` is the item itself;
+- existence/truthiness atoms: ``@.k`` alone keeps items where the key
+  exists with a truthy value;
+- boolean connectives ``&``/``and``, ``|``/``or``, negation
+  ``!``/``not``, and parenthesized groups, with the usual
+  not > and > or precedence.
+
 Anything beyond the subset — bare-word unions ``[a,b]``, script
-expressions ``[(...)]``, nested filters, functions — raises
+expressions ``[(...)]``, functions — raises
 :class:`UnsupportedPathError` with the offending construct named, so a
 rule author sees "unsupported path syntax" as the error value instead
 of a silently-empty result.
@@ -56,8 +70,6 @@ _STEP = re.compile(
     r"""
     \.\.(?P<rfield>[^.\[]+)
   | \.(?P<field>[^.\[]+)
-  | \[\?\((?P<jfilter>[^)]*)\)\]
-  | \[(?P<ofilter>@[^\]]*)\]
   | \[(?P<funion>(?:'[^']*'|"[^"]*")(?:\s*,\s*(?:'[^']*'|"[^"]*"))+)\]
   | \['(?P<qfield>[^']*)'\]
   | \["(?P<qqfield>[^"]*)"\]
@@ -66,70 +78,270 @@ _STEP = re.compile(
     re.VERBOSE,
 )
 
+
+def _scan_bracket(s: str, pos: int) -> Tuple[str, int]:
+    """``s[pos] == '['`` → (body, end_pos_after_close): finds the
+    MATCHING ``]`` by depth-counting brackets/parens and skipping
+    quoted strings, so filter bodies may contain nested ``[...]`` list
+    literals and ``(...)`` groups (the single-regex step tokenizer
+    stopped at the first ``]``)."""
+    depth = 0
+    i = pos
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = s.find(c, i + 1)
+            if j < 0:
+                break
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth == 0:
+                return s[pos + 1 : i], i + 1
+        i += 1
+    raise UnsupportedPathError(
+        f"unsupported path syntax: unbalanced bracket at offset {pos} in {s!r}"
+    )
+
 _QUOTED = re.compile(r"""'([^']*)'|"([^"]*)\"""")
-
-_FILTER = re.compile(
-    r"""\s*@\.(?P<key>[\w.-]+)\s*(?P<op>==|=|!=|>=|<=|>|<|\bis\s+not\b|\bis\b|\bnot\s+in\b|\bin\b)\s*(?P<lit>.+?)\s*$""",
-    re.VERBOSE,
-)
-
-
-def _parse_literal(lit: str) -> Any:
-    lit = lit.strip()
-    if lit and lit[0] in "\"'" and lit[-1] == lit[0]:
-        return lit[1:-1]
-    if lit == "true":
-        return True
-    if lit == "false":
-        return False
-    if lit == "null":
-        return None
-    try:
-        return int(lit)
-    except ValueError:
-        return float(lit)
-
 
 _OPS = {
     "=": lambda a, b: a == b,
     "==": lambda a, b: a == b,
     "is": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
+    "<>": lambda a, b: a != b,
+    "is not": lambda a, b: a != b,
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
     "<": lambda a, b: a < b,
     "<=": lambda a, b: a <= b,
+    "in": lambda a, b: a in b,
+    "not in": lambda a, b: a not in b,
 }
+
+# ----------------------------------------------------- filter expressions
+# Tokenizer for the predicate grammar; longest-match-first alternation.
+_FTOK = re.compile(
+    r"""\s*(?:
+        (?P<str>'[^']*'|"[^"]*")
+      | (?P<num>-?\d+\.\d+|-?\d+)
+      | (?P<at>@(?:\.[\w-]+)*)
+      | (?P<word>and|or|not\s+in|not|in|is\s+not|is|true|false|null)\b
+      | (?P<op>==|!=|<>|>=|<=|=|>|<|&&|\|\||&|\||!)
+      | (?P<punc>[()\[\],])
+    )""",
+    re.VERBOSE,
+)
+
+_MISSING = object()  # sentinel: @-path didn't resolve on this item
+
+
+class _Tok(NamedTuple):
+    kind: str
+    val: Any
+
+
+def _tokenize_filter(expr: str) -> List[_Tok]:
+    toks: List[_Tok] = []
+    pos = 0
+    while pos < len(expr):
+        if expr[pos].isspace():
+            pos += 1
+            continue
+        m = _FTOK.match(expr, pos)
+        if not m:
+            raise UnsupportedPathError(
+                f"unsupported filter expression: {expr!r} at {expr[pos:pos+12]!r}"
+            )
+        pos = m.end()
+        if m.group("str") is not None:
+            toks.append(_Tok("lit", m.group("str")[1:-1]))
+        elif m.group("num") is not None:
+            n = m.group("num")
+            toks.append(_Tok("lit", float(n) if "." in n else int(n)))
+        elif m.group("at") is not None:
+            parts = m.group("at")[1:]
+            toks.append(_Tok("at", tuple(parts.split(".")[1:]) if parts else ()))
+        elif m.group("word") is not None:
+            w = re.sub(r"\s+", " ", m.group("word"))
+            if w in ("true", "false", "null"):
+                toks.append(_Tok("lit", {"true": True, "false": False, "null": None}[w]))
+            elif w in ("and", "or", "not"):
+                toks.append(_Tok(w, w))
+            else:  # in / not in / is / is not -> comparison ops
+                toks.append(_Tok("cmp", w))
+        elif m.group("op") is not None:
+            o = m.group("op")
+            if o in ("&", "&&"):
+                toks.append(_Tok("and", o))
+            elif o in ("|", "||"):
+                toks.append(_Tok("or", o))
+            elif o == "!":
+                toks.append(_Tok("not", o))
+            else:
+                toks.append(_Tok("cmp", o))
+        else:
+            toks.append(_Tok(m.group("punc"), m.group("punc")))
+    return toks
+
+
+class _FilterParser:
+    """Recursive-descent parser for filter predicates; produces a
+    closure item -> bool.  Grammar (precedence low to high):
+
+        expr   := and ( OR  and )*
+        and    := not ( AND not )*
+        not    := NOT not | atom
+        atom   := '(' expr ')' | operand ( CMP rhs )?
+        operand:= @path | literal
+        rhs    := operand | '[' literal, ... ']' | '(' literal, ... ')'
+    """
+
+    def __init__(self, expr: str):
+        self.expr = expr
+        self.toks = _tokenize_filter(expr)
+        self.pos = 0
+
+    def _peek(self) -> Optional[_Tok]:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self._peek()
+        if t is None:
+            raise UnsupportedPathError(
+                f"unsupported filter expression (truncated): {self.expr!r}"
+            )
+        self.pos += 1
+        return t
+
+    def parse(self):
+        fn = self._expr()
+        if self._peek() is not None:
+            raise UnsupportedPathError(
+                f"unsupported filter expression (trailing tokens): {self.expr!r}"
+            )
+        return lambda item: bool(fn(item))
+
+    def _expr(self):
+        terms = [self._and()]
+        while (t := self._peek()) and t.kind == "or":
+            self._next()
+            terms.append(self._and())
+        if len(terms) == 1:
+            return terms[0]
+        return lambda item, fs=tuple(terms): any(f(item) for f in fs)
+
+    def _and(self):
+        terms = [self._not()]
+        while (t := self._peek()) and t.kind == "and":
+            self._next()
+            terms.append(self._not())
+        if len(terms) == 1:
+            return terms[0]
+        return lambda item, fs=tuple(terms): all(f(item) for f in fs)
+
+    def _not(self):
+        if (t := self._peek()) and t.kind == "not":
+            self._next()
+            inner = self._not()
+            return lambda item, f=inner: not f(item)
+        return self._atom()
+
+    def _atom(self):
+        t = self._peek()
+        if t is None:
+            raise UnsupportedPathError(
+                f"unsupported filter expression (truncated): {self.expr!r}"
+            )
+        if t.kind == "(":
+            self._next()
+            inner = self._expr()
+            if self._peek() is None or self._next().kind != ")":
+                raise UnsupportedPathError(
+                    f"unsupported filter expression (unbalanced parens): {self.expr!r}"
+                )
+            return inner
+        left = self._operand()
+        nxt = self._peek()
+        if nxt is not None and nxt.kind == "cmp":
+            op = self._next().val
+            fn = _OPS.get(op)
+            if fn is None:
+                raise UnsupportedPathError(f"unsupported filter op: {op!r}")
+            right = self._rhs(op)
+            def cmp(item, l=left, r=right, f=fn):
+                a, b = l(item), r(item)
+                if a is _MISSING or b is _MISSING:
+                    return False
+                try:
+                    return bool(f(a, b))
+                except TypeError:
+                    return False
+            return cmp
+        # bare operand: existence + truthiness
+        return lambda item, l=left: l(item) is not _MISSING and bool(l(item))
+
+    def _operand(self):
+        t = self._next()
+        if t.kind == "at":
+            return lambda item, ks=t.val: _at_resolve(item, ks)
+        if t.kind == "lit":
+            return lambda item, v=t.val: v
+        raise UnsupportedPathError(
+            f"unsupported filter operand in {self.expr!r}: {t.val!r}"
+        )
+
+    def _rhs(self, op: str):
+        t = self._peek()
+        if t is not None and t.kind in ("[", "(") and op in ("in", "not in"):
+            close = "]" if t.kind == "[" else ")"
+            self._next()
+            vals: List[Any] = []
+            while True:
+                tok = self._next()
+                if tok.kind == close and not vals:
+                    break  # empty list
+                if tok.kind != "lit":
+                    raise UnsupportedPathError(
+                        f"unsupported list literal in filter: {self.expr!r}"
+                    )
+                vals.append(tok.val)
+                sep = self._next()
+                if sep.kind == close:
+                    break
+                if sep.kind != ",":
+                    raise UnsupportedPathError(
+                        f"unsupported list literal in filter: {self.expr!r}"
+                    )
+            return lambda item, v=tuple(vals): v
+        return self._operand()
+
+
+def _at_resolve(item: Any, keys: Tuple[str, ...]) -> Any:
+    """Evaluate an ``@.a.b`` reference on one item; ``@`` alone is the
+    item itself.  A literal dotted key wins over traversal (an item
+    ``{'a.b': 1}`` matches ``@.a.b``), mirroring the pre-grammar
+    behavior."""
+    if not keys:
+        return item
+    dotted = ".".join(keys)
+    if isinstance(item, dict) and dotted in item:
+        return item[dotted]
+    val = item
+    for part in keys:
+        if not isinstance(val, dict) or part not in val:
+            return _MISSING
+        val = val[part]
+    return val
 
 
 def _filter_pred(expr: str):
-    m = _FILTER.match(expr)
-    if not m:
-        raise UnsupportedPathError(f"unsupported filter expression: {expr!r}")
-    key, op, lit = m.group("key"), re.sub(r"\s+", " ", m.group("op")), _parse_literal(m.group("lit"))
-    fn = _OPS.get(op)
-    if fn is None:
-        raise UnsupportedPathError(f"unsupported filter op: {op!r}")
-
-    def pred(item: Any) -> bool:
-        if not isinstance(item, dict):
-            return False
-        if key in item:  # a literal dotted key wins over traversal
-            val = item[key]
-        elif "." in key:  # @.a.b nested filter key
-            val = item
-            for part in key.split("."):
-                if not isinstance(val, dict) or part not in val:
-                    return False
-                val = val[part]
-        else:
-            return False
-        try:
-            return bool(fn(val, lit))
-        except TypeError:
-            return False
-
-    return pred
+    return _FilterParser(expr).parse()
 
 
 class Step(NamedTuple):
@@ -150,6 +362,25 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
     steps: List[Step] = []
     pos = 0
     while pos < len(s):
+        # filter steps are depth-scanned (their bodies may nest
+        # brackets/parens/quotes beyond what one regex can tokenize)
+        if s[pos] == "[":
+            body, end = _scan_bracket(s, pos)
+            st = body.strip()
+            if st.startswith("?"):
+                inner = st[1:].strip()
+                if not (inner.startswith("(") and inner.endswith(")")):
+                    raise UnsupportedPathError(
+                        f"unsupported path syntax: filter {st!r} in {path!r}"
+                    )
+                steps.append(Step("filter", _filter_pred(inner[1:-1])))
+                pos = end
+                continue
+            if st.startswith(("@", "!", "not ", "not@")):
+                steps.append(Step("filter", _filter_pred(st)))
+                pos = end
+                continue
+            # not a filter: fall through to the regular step tokenizer
         m = _STEP.match(s, pos)
         if not m:
             raise UnsupportedPathError(
@@ -162,10 +393,6 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
         elif m.group("field") is not None:
             f = m.group("field")
             steps.append(Step("wild", None) if f == "*" else Step("field", f))
-        elif m.group("jfilter") is not None:
-            steps.append(Step("filter", _filter_pred(m.group("jfilter"))))
-        elif m.group("ofilter") is not None:
-            steps.append(Step("filter", _filter_pred(m.group("ofilter"))))
         elif m.group("funion") is not None:
             names = tuple(
                 q.group(1) if q.group(1) is not None else q.group(2)

@@ -936,8 +936,11 @@ def q_rule_time(spark, sf_dir):
 def q_rule_paths(spark, sf_dir):
     """jsonpath and objectpath engines over nested JSON built from the
     props column: dotted paths, recursive descent ``$..k``, quoted field
-    unions ``['k','zz']`` and index unions ``[1,0]`` (the grammar the
-    reference gets from jsonpath-rw-ext, paths.py from scratch)."""
+    unions ``['k','zz']``, index unions ``[1,0]``, and FILTER chains —
+    boolean connectives ``[?(@.id > 1 & @.id < 3)]``, list membership
+    ``[?(@.id in [1, 3])]``, existence-or ``[?(@.flag | @.id == 3)]``
+    (the grammar the reference gets from jsonpath-rw-ext, paths.py from
+    scratch)."""
     ev = tp(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     nested = F.concat(
@@ -947,7 +950,13 @@ def q_rule_paths(spark, sf_dir):
         (k + 1).cast("string"),
         F.lit(", "),
         k.cast("string"),
-        F.lit("]}"),
+        F.lit('], "items": [{"id": 1, "p": '),
+        k.cast("string"),
+        F.lit(', "flag": true}, {"id": 2, "p": '),
+        (k + 10).cast("string"),
+        F.lit('}, {"id": 3, "p": '),
+        (k + 20).cast("string"),
+        F.lit("}]}"),
     )
     pages = ev.select(
         F.concat(F.lit("https://api.example.org/ev/"), F.col("event_id").cast("string")).alias("url"),
@@ -983,6 +992,21 @@ def q_rule_paths(spark, sf_dir):
                 "chain_rules": [["loader", "json", ""], ["jsonpath", "$.l[1,0]", ""], ["python", "getitem", "[0]"]],
                 "child_rules": [],
             },
+            {
+                "name": "fa",  # boolean AND of two comparisons -> id 2
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.items[?(@.id > 1 & @.id < 3)].p", ""], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
+            {
+                "name": "fi",  # list membership -> ids 1,3; [1] -> id 3
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.items[?(@.id in [1, 3])].p", ""], ["python", "getitem", "[1]"]],
+                "child_rules": [],
+            },
+            {
+                "name": "fo",  # existence OR comparison -> ids 1,3; [0] -> id 1
+                "chain_rules": [["loader", "json", ""], ["objectpath", "$.items[@.flag | @.id == 3]", ""], ["python", "getitem", "[0]"], ["jsonpath", "p", ""], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
         ],
     )
     res = extract_pages(pages, storage)
@@ -993,6 +1017,9 @@ def q_rule_paths(spark, sf_dir):
         F.get_json_object("result", "$.p.rk").cast("long").alias("k_recursive"),
         F.get_json_object("result", "$.p.un").cast("long").alias("k_union"),
         F.get_json_object("result", "$.p.iu").cast("long").alias("k_idx_union"),
+        F.get_json_object("result", "$.p.fa").cast("long").alias("k_filter_and"),
+        F.get_json_object("result", "$.p.fi").cast("long").alias("k_filter_in"),
+        F.get_json_object("result", "$.p.fo").cast("long").alias("k_filter_or"),
     )
 
 
@@ -1323,8 +1350,11 @@ def q_content_extract(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """LSH candidate pairs → connected components → keep-one-per-cluster:
     the composed end-of-pipeline dedup output (transitive closure of the
-    near-dup relation; pairs alone under-merge A~B~C chains).  The
-    DuckDB twin computes the identical closure with a recursive CTE."""
+    near-dup relation; pairs alone under-merge A~B~C chains).  Runs the
+    DEFAULT algorithm — star-contraction, O(log n) rounds regardless of
+    component diameter (the plan that survives a power-law web graph).
+    The DuckDB twin computes the identical closure with a recursive
+    CTE."""
     from .graph import dedup_clusters
 
     docs = tp(spark, sf_dir, "documents")
@@ -1335,12 +1365,11 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_dedup_clusters_star(spark, sf_dir):
-    """The same transitive-closure contract computed by the POWER-LAW
-    algorithm (graph.py connected_components_star: alternating
-    large-star/small-star, O(log n) rounds regardless of component
-    diameter) — oracle-gated against the identical recursive-CTE
-    closure as the hash-min path, so both algorithms are pinned to one
-    ground truth."""
+    """The transitive-closure contract with algorithm='star' named
+    EXPLICITLY (same path as the default — kept so the driver row keyed
+    to this name stays continuous across rounds) — oracle-gated against
+    the identical recursive-CTE closure as the hash-min twin, so both
+    algorithms are pinned to one ground truth."""
     from .graph import dedup_clusters
 
     docs = tp(spark, sf_dir, "documents")
@@ -1348,6 +1377,20 @@ def q_dedup_clusters_star(spark, sf_dir):
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     nodes = docs.select(F.col("doc_id").alias("node"))
     return dedup_clusters(edges, nodes, algorithm="star")
+
+
+def q_dedup_clusters_hashmin(spark, sf_dir):
+    """The differential twin: hash-min label propagation (O(diameter)
+    rounds — right for shallow near-dup components, the weak plan for
+    power-law graphs, which is why it is no longer the default).
+    Oracle-gated against the same recursive-CTE closure."""
+    from .graph import dedup_clusters
+
+    docs = tp(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, n_hashes=16, bands=8, shingle_k=3)
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return dedup_clusters(edges, nodes, algorithm="hashmin")
 
 
 def q_canonical_docs(spark, sf_dir):
@@ -1849,6 +1892,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "canonical_docs": q_canonical_docs,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_clusters_hashmin": q_dedup_clusters_hashmin,
     "content_extract": q_content_extract,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
@@ -2128,7 +2172,10 @@ ORACLES = {
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_objectpath,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_recursive,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_union,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_idx_union
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_idx_union,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) + 10 AS k_filter_and,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) + 20 AS k_filter_in,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_filter_or
         FROM events
     """,
     "rule_native": """
@@ -3395,5 +3442,43 @@ ORACLES.update(STREAM_ORACLES)
 # the star-contraction CC computes the same closure as hash-min: both
 # algorithms are pinned to the one recursive-CTE ground truth
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+
+# ----------------------------------------------- driver-gate registration order
+# The driver's correctness gate verifies the FIRST 50 queries() entries
+# per round.  Rounds 1-3 registered legacy-first, which re-verified the
+# same 50 green rows every round while 36 queries (streaming, the
+# cleaning family, graph/CC, DUST/trap/links/retry, media_dims,
+# readability) never received a driver row.  Order here = verification
+# priority: rows with NO prior driver certification first (streaming —
+# the r2 #1 ask — leads), then this round's three fixed rows
+# (corpus_stats was r3's one red row; the _xx twins were no_oracle),
+# then the long-certified legacy rows.  Dict order changes nothing
+# semantically — every entry still runs in the local sweep.
+_GATE_PRIORITY = [
+    # never driver-certified (streaming first)
+    "stream_host_rates", "stream_extract", "stream_dedup", "stream_links",
+    # cleaning family (textops/clean.py)
+    "c4_line_filter", "repetition_stats", "pii_redact", "para_dedup",
+    "top_tokens", "ngram_repetition", "doc_filter", "text_normalize",
+    # graph / CC (star default is new in r4)
+    "link_degrees", "pagerank3", "dedup_clusters", "canonical_docs",
+    "dedup_clusters_star", "dedup_clusters_hashmin",
+    # DUST / traps / links / retry / freshness
+    "url_aliases", "dust_rules", "host_traps", "url_templates",
+    "links_extract", "anchor_index", "host_graph", "retry_schedule",
+    "fetch_history", "recrawl_priority", "host_stats",
+    # remaining never-certified
+    "media_dims", "readability", "doc_keywords", "content_extract",
+    # fixed this round (red / no_oracle in r3)
+    "corpus_stats", "minhash_lsh_pairs_xx", "dedup_verified_pairs_xx",
+]
+assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
+    set(_GATE_PRIORITY) - set(QUERIES)
+)
+QUERIES = {k: QUERIES[k] for k in _GATE_PRIORITY} | {
+    k: v for k, v in QUERIES.items() if k not in set(_GATE_PRIORITY)
+}
