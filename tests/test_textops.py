@@ -167,21 +167,25 @@ def test_multimodal_decode_stub(spark):
 
 
 def test_multimodal_header_decode(spark):
-    """REAL stdlib container decode: synthesized valid PNG/GIF/JPEG/WAV
-    round-trip their id-derived dims through the struct/zlib/wave
-    parsers, and non-container payloads yield NULL dims (errors as
-    data)."""
+    """REAL stdlib container decode: synthesized valid
+    PNG/GIF/JPEG/WAV/BMP/TIFF/MP3 round-trip their id-derived dims
+    through the struct/zlib/wave parsers, and non-container payloads
+    yield NULL dims (errors as data)."""
     from uniparser_spark.textops.multimodal import synth_media
 
-    docs = docs_df(spark, [(i, f"doc {i}") for i in range(12)])
+    docs = docs_df(spark, [(i, f"doc {i}") for i in range(21)])
     media = synth_media(docs)
     feats = {r["media_id"]: r for r in decode_media(media, mode="header").collect()}
-    assert set(feats) == set(range(12))
+    assert set(feats) == set(range(21))
     for mid, r in feats.items():
-        fmt = ("png", "gif", "jpeg", "wav")[mid % 4]
+        fmt = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3")[mid % 7]
         assert r["fmt"] == fmt
         if fmt == "wav":
             assert r["width"] is None and r["duration_ms"] == 1000 + mid % 1000
+        elif fmt == "mp3":
+            frames = 10 + mid % 20
+            assert r["width"] is None and r["n_frames"] == frames
+            assert r["duration_ms"] == frames * 1152 * 1000 // 44100
         else:
             assert r["width"] == 16 + mid % 240
             assert r["height"] == 16 + (7 * mid) % 240
@@ -190,6 +194,47 @@ def test_multimodal_header_decode(spark):
     # text bytes are not a recognized container: NULLs, not a crash
     junk = decode_media(docs_as_media(docs), mode="header").collect()
     assert all(r["fmt"] is None and r["width"] is None for r in junk)
+
+
+def test_media_header_parsers_edge_shapes():
+    """Direct parser edge cases the synthesized corpus doesn't hit:
+    top-down BMP (negative height), BITMAPCOREHEADER, big-endian TIFF,
+    LONG-typed TIFF dims, ID3v2-prefixed MP3, truncated payloads."""
+    import struct
+
+    from uniparser_spark.textops.multimodal import (
+        make_bmp,
+        make_mp3,
+        make_tiff,
+        parse_media_header,
+    )
+
+    # top-down BMP: height stored negative, magnitude recovered
+    b = bytearray(make_bmp(10, 7))
+    b[22:26] = struct.pack("<i", -7)
+    assert parse_media_header(bytes(b)) == {
+        "fmt": "bmp", "width": 10, "height": 7, "n_frames": 1,
+    }
+    # big-endian TIFF with LONG dims
+    ifd = struct.pack(">H", 2)
+    ifd += struct.pack(">HHII", 256, 4, 1, 300)
+    ifd += struct.pack(">HHII", 257, 4, 1, 200)
+    ifd += struct.pack(">I", 0)
+    mm = b"MM\x00*" + struct.pack(">I", 8) + ifd
+    assert parse_media_header(mm) == {
+        "fmt": "tiff", "width": 300, "height": 200, "n_frames": 1,
+    }
+    assert parse_media_header(make_tiff(5, 6))["fmt"] == "tiff"
+    # ID3v2 prefix (syncsafe size) is skipped before the frame walk
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 5]) + b"\x00" * (128 + 5)
+    tagged = id3 + make_mp3(3)
+    got = parse_media_header(tagged)
+    assert got["fmt"] == "mp3" and got["n_frames"] == 3
+    assert got["duration_ms"] == 3 * 1152 * 1000 // 44100
+    # truncated / junk payloads parse to {} (errors as data upstream)
+    assert parse_media_header(b"BM\x00") == {}
+    assert parse_media_header(b"II*\x00\x08\x00\x00") == {}
+    assert parse_media_header(b"\xff\xfb") == {}
 
 
 def test_simhash_and_fingerprint_impls_agree(spark):

@@ -3125,18 +3125,25 @@ ORACLES = {
     # predicts what the struct/zlib/wave parsers must recover from bytes
     "media_dims": """
         SELECT doc_id AS media_id,
-               CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
-                               WHEN 2 THEN 'image' ELSE 'audio' END AS media_type,
-               (['png','gif','jpeg','wav'])[(doc_id % 4) + 1] AS fmt,
-               CASE WHEN doc_id % 4 <> 3
+               CASE doc_id % 7 WHEN 1 THEN 'video'
+                               WHEN 3 THEN 'audio'
+                               WHEN 6 THEN 'audio'
+                               ELSE 'image' END AS media_type,
+               (['png','gif','jpeg','wav','bmp','tiff','mp3'])[(doc_id % 7) + 1]
+                 AS fmt,
+               CASE WHEN doc_id % 7 NOT IN (3, 6)
                     THEN CAST(16 + doc_id % 240 AS INTEGER) END AS width,
-               CASE WHEN doc_id % 4 <> 3
+               CASE WHEN doc_id % 7 NOT IN (3, 6)
                     THEN CAST(16 + (7 * doc_id) % 240 AS INTEGER) END AS height,
-               CASE WHEN doc_id % 4 = 1 THEN CAST(1 + (doc_id // 4) % 4 AS INTEGER)
-                    WHEN doc_id % 4 IN (0, 2) THEN CAST(1 AS INTEGER)
+               CASE WHEN doc_id % 7 = 1 THEN CAST(1 + (doc_id // 4) % 4 AS INTEGER)
+                    WHEN doc_id % 7 IN (0, 2, 4, 5) THEN CAST(1 AS INTEGER)
+                    WHEN doc_id % 7 = 6 THEN CAST(10 + doc_id % 20 AS INTEGER)
                     END AS n_frames,
-               CASE WHEN doc_id % 4 = 3
-                    THEN CAST(1000 + doc_id % 1000 AS BIGINT) END AS duration_ms
+               CASE WHEN doc_id % 7 = 3
+                    THEN CAST(1000 + doc_id % 1000 AS BIGINT)
+                    WHEN doc_id % 7 = 6
+                    THEN CAST((10 + doc_id % 20) * 1152 * 1000 // 44100 AS BIGINT)
+                    END AS duration_ms
         FROM documents
     """,
 }

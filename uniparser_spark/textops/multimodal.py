@@ -170,9 +170,109 @@ def _parse_wav(b: bytes) -> Optional[dict]:
     }
 
 
+def _parse_bmp(b: bytes) -> Optional[dict]:
+    # BITMAPFILEHEADER 'BM' + DIB header; width/height live in the DIB
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib >= 40:  # BITMAPINFOHEADER and successors: int32 dims
+        w, h = struct.unpack("<ii", b[18:26])
+        # negative height = top-down row order, magnitude is the size
+        return {"fmt": "bmp", "width": w, "height": abs(h), "n_frames": 1}
+    if dib == 12 and len(b) >= 22:  # BITMAPCOREHEADER: uint16 dims
+        w, h = struct.unpack("<HH", b[18:22])
+        return {"fmt": "bmp", "width": w, "height": h, "n_frames": 1}
+    return None
+
+
+def _parse_tiff(b: bytes) -> Optional[dict]:
+    # TIFF 6.0: byte-order mark, magic 42, first IFD walk for tags
+    # 256/257 (ImageWidth/ImageLength), SHORT or LONG, inline values
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    off = struct.unpack(e + "I", b[4:8])[0]
+    if off + 2 > len(b):
+        return None
+    n_entries = struct.unpack(e + "H", b[off : off + 2])[0]
+    w = h = None
+    for i in range(n_entries):
+        p = off + 2 + 12 * i
+        if p + 12 > len(b):
+            break
+        tag, typ = struct.unpack(e + "HH", b[p : p + 4])
+        if typ == 3:  # SHORT: left-justified in the 4-byte value field
+            val = struct.unpack(e + "H", b[p + 8 : p + 10])[0]
+        elif typ == 4:  # LONG
+            val = struct.unpack(e + "I", b[p + 8 : p + 12])[0]
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    if w is None or h is None:
+        return None
+    return {"fmt": "tiff", "width": w, "height": h, "n_frames": 1}
+
+
+# MPEG1 Layer III bitrate (kbps) and sample-rate tables (index 0 =
+# free/reserved — treated as unparseable)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def _parse_mp3(b: bytes) -> Optional[dict]:
+    """MPEG1 Layer III frame-header walk: counts frames and sums sample
+    time (1152 samples/frame) — duration without decoding a single
+    sample.  An ID3v2 prefix is skipped via its syncsafe size."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = 0
+        for byte in b[6:10]:  # syncsafe uint28
+            size = (size << 7) | (byte & 0x7F)
+        pos = 10 + size
+    n = len(b)
+    frames = 0
+    samples = 0
+    rate = None
+    while pos + 4 <= n:
+        if b[pos] != 0xFF or (b[pos + 1] & 0xFE) != 0xFA:  # MPEG1 L3 sync
+            break
+        br = _MP3_BITRATES[b[pos + 2] >> 4]
+        sr = _MP3_RATES[(b[pos + 2] >> 2) & 0x03]
+        if not br or not sr:
+            break
+        pad = (b[pos + 2] >> 1) & 0x01
+        frames += 1
+        samples += 1152
+        rate = sr
+        pos += 144 * br * 1000 // sr + pad
+    if not frames:
+        return None
+    return {
+        "fmt": "mp3",
+        "n_frames": frames,
+        "duration_ms": int(samples * 1000 // rate),
+    }
+
+
 def parse_media_header(blob: bytes) -> dict:
     """Sniff + parse a media container header; {} when unrecognized."""
-    for parser in (_parse_png, _parse_gif, _parse_jpeg, _parse_wav):
+    for parser in (
+        _parse_png,
+        _parse_gif,
+        _parse_jpeg,
+        _parse_wav,
+        _parse_bmp,
+        _parse_tiff,
+        _parse_mp3,
+    ):
         meta = parser(blob)
         if meta is not None:
             return meta
@@ -237,21 +337,59 @@ def make_wav(n_samples: int, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def make_bmp(w: int, h: int) -> bytes:
+    """A fully valid 24-bit bottom-up BMP of zero pixels."""
+    row = ((24 * w + 31) // 32) * 4  # rows pad to 4-byte boundaries
+    pixels = b"\x00" * (row * h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def make_tiff(w: int, h: int) -> bytes:
+    """Minimal little-endian TIFF: one IFD carrying SHORT
+    ImageWidth/ImageLength entries."""
+    ifd = struct.pack("<H", 2)
+    ifd += struct.pack("<HHIHH", 256, 3, 1, w, 0)  # ImageWidth SHORT
+    ifd += struct.pack("<HHIHH", 257, 3, 1, h, 0)  # ImageLength SHORT
+    ifd += struct.pack("<I", 0)  # no next IFD
+    return b"II*\x00" + struct.pack("<I", 8) + ifd
+
+
+def make_mp3(n_frames: int) -> bytes:
+    """``n_frames`` valid MPEG1 Layer III frame headers (128 kbps,
+    44.1 kHz, zero payload) — enough for any frame-walking duration
+    sniffer; no entropy data."""
+    frame_len = 144 * 128000 // 44100  # 417 bytes, padding bit 0
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * (frame_len - 4)
+    return frame * n_frames
+
+
 def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """documents → media table of VALID container binaries whose dims
-    derive from the id (``id%4`` picks png/gif/jpeg/wav; width
-    ``16+id%240``, height ``16+(7*id)%240``, gif frames ``1+(id//4)%4``, wav
-    samples ``8*(1000+id%1000)`` @8kHz → ``1000+id%1000`` ms) — the SQL
-    oracle predicts exactly what the header parser must recover."""
-    fmts = ("png", "gif", "jpeg", "wav")
-    types = {"png": "image", "gif": "video", "jpeg": "image", "wav": "audio"}
+    derive from the id (``id%7`` picks png/gif/jpeg/wav/bmp/tiff/mp3;
+    width ``16+id%240``, height ``16+(7*id)%240``, gif frames
+    ``1+(id//4)%4``, wav samples ``8*(1000+id%1000)`` @8kHz →
+    ``1000+id%1000`` ms, mp3 frames ``10+id%20`` @1152 samples/44.1 kHz)
+    — the SQL oracle predicts exactly what the header parser must
+    recover."""
+    fmts = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3")
+    types = {
+        "png": "image", "gif": "video", "jpeg": "image", "wav": "audio",
+        "bmp": "image", "tiff": "image", "mp3": "audio",
+    }
+    mimes = {
+        "png": "image/png", "gif": "video/gif", "jpeg": "image/jpeg",
+        "wav": "audio/wav", "bmp": "image/bmp", "tiff": "image/tiff",
+        "mp3": "audio/mpeg",
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for mid in batch["media_id"]:
                 mid = int(mid)
-                fmt = fmts[mid % 4]
+                fmt = fmts[mid % 7]
                 w, h = 16 + mid % 240, 16 + (7 * mid) % 240
                 if fmt == "png":
                     blob = make_png(w, h)
@@ -259,12 +397,18 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     blob = make_gif(w, h, 1 + (mid // 4) % 4)
                 elif fmt == "jpeg":
                     blob = make_jpeg(w, h)
-                else:
+                elif fmt == "wav":
                     blob = make_wav(8 * (1000 + mid % 1000))
+                elif fmt == "bmp":
+                    blob = make_bmp(w, h)
+                elif fmt == "tiff":
+                    blob = make_tiff(w, h)
+                else:
+                    blob = make_mp3(10 + mid % 20)
                 rows["media_id"].append(mid)
                 rows["media_type"].append(types[fmt])
                 rows["content"].append(blob)
-                rows["mime"].append(f"image/{fmt}" if types[fmt] == "image" else f"{types[fmt]}/{fmt}")
+                rows["mime"].append(mimes[fmt])
             yield pd.DataFrame(rows)
 
     return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
