@@ -91,6 +91,7 @@ def run_crawl(spark, n_pages: int) -> dict:
                 default_budget=budget,
                 use_bloom=True,
             )
+            calib = cpu_calibration(50_000)  # per-run box-speed marker
             t0 = time.monotonic()
             eng.seed(seeds)
             stats = eng.run(max_rounds=40)
@@ -104,6 +105,8 @@ def run_crawl(spark, n_pages: int) -> dict:
                 "wall_sec": round(wall, 3),
                 "urls_per_sec": round(urls / wall, 1),
                 "rounds": len(stats),
+                # quarter-size calibration scaled ×4 to the standard unit
+                "calib_sec": round(calib * 4, 4),
             }
 
         # first pass warms python workers + JVM JIT; then best-of-K
@@ -111,13 +114,27 @@ def run_crawl(spark, n_pages: int) -> dict:
         # shows ±10-30% run-to-run variance (shared memory bandwidth,
         # staged JIT), so a single sample under-reports capability
         once("warmup")
-        runs = [once(f"timed{i}") for i in range(int(os.environ.get("BENCH_CRAWL_RUNS", "2")))]
+        n_runs = int(os.environ.get("BENCH_CRAWL_RUNS", "2"))
+        runs = [once(f"timed{i}") for i in range(n_runs)]
+        # congestion guard: if the per-run calibrations disagree by
+        # >1.4x, the samples mix box regimes (the r3 official-bench
+        # failure mode) — take up to 2 extra samples so the median has
+        # a chance to land inside one regime
+        extra = 0
+        while (
+            extra < 2
+            and max(r["calib_sec"] for r in runs)
+            > 1.4 * min(r["calib_sec"] for r in runs)
+        ):
+            runs.append(once(f"retry{extra}"))
+            extra += 1
         # headline = the MEDIAN run (robust to this VM's +-10-30% noise,
         # not upward-biased); best-of kept as a secondary field
         ordered = sorted(runs, key=lambda r: r["urls_per_sec"])
         best = dict(ordered[(len(ordered) - 1) // 2])  # lower median
         best["best_urls_per_sec"] = ordered[-1]["urls_per_sec"]
         best["all_runs_urls_per_sec"] = [r["urls_per_sec"] for r in runs]
+        best["all_runs_calib_sec"] = [r["calib_sec"] for r in runs]
         # politeness-BOUND variant: a per-host budget that actually binds
         # (Zipf head host needs many rounds), so the ranking/deferral
         # shuffles are in the measured path — the trivial-budget
@@ -194,7 +211,7 @@ def run_skew(spark, rows: int = 2_000_000, budget: int = 100) -> dict:
     }
 
 
-def cpu_calibration() -> float:
+def cpu_calibration(iters: int = 200_000) -> float:
     """Single-core md5-chain seconds — a box-speed marker embedded in
     every bench record.  This shared VM shows hour-scale 1.5-3× speed
     swings from neighbor contention (BENCH.md round-3 note) that are
@@ -206,7 +223,7 @@ def cpu_calibration() -> float:
 
     h = b"x" * 1000
     t0 = _t.monotonic()
-    for _ in range(200_000):
+    for _ in range(iters):
         h = hashlib.md5(h).digest()
     return round(_t.monotonic() - t0, 4)
 

@@ -280,12 +280,25 @@ def test_paths_unsupported_syntax_is_named():
     from uniparser_spark.operators import apply_operator
     from uniparser_spark.paths import UnsupportedPathError, jsonpath_values
 
-    for bad in ("$.a[b,c]", "$.a[(@.length-1)]", "$..book[?(len(@.price) > 1)]"):
+    for bad in ("$.a[b,c]", "$.a[(@.size * 2)]", "$..book[?(len(@.price) > 1)]"):
         with _pytest.raises(UnsupportedPathError, match="unsupported"):
             jsonpath_values({"a": [1, 2]}, bad)
     # error-as-data through the operator layer
     err = apply_operator("jsonpath", {"a": [1, 2]}, "$.a[(1+1)]", "")
     assert isinstance(err, UnsupportedPathError)
+
+
+def test_paths_index_script():
+    """[(@.length-1)] — the one arithmetic script jsonpath-rw-ext
+    defines — resolves to len±N; out-of-range yields no match."""
+    from uniparser_spark.paths import jsonpath_values, objectpath_execute
+
+    data = {"a": [10, 20, 30]}
+    assert jsonpath_values(data, "$.a[(@.length-1)]") == [30]
+    assert jsonpath_values(data, "$.a[(@.length-3)]") == [10]
+    assert jsonpath_values(data, "$.a[(@.length-9)]") == []  # oob
+    assert jsonpath_values(data, "$.a[(@.length)]") == []    # oob (== len)
+    assert objectpath_execute(data, "$.a[(@.length-2)]") == 20
 
 
 def test_paths_filter_grammar():

@@ -29,8 +29,11 @@ expression grammar, parsed by a recursive-descent parser:
   ``!``/``not``, and parenthesized groups, with the usual
   not > and > or precedence.
 
-Anything beyond the subset — bare-word unions ``[a,b]``, script
-expressions ``[(...)]``, functions — raises
+Index scripts ``[(@.length-1)]`` (the one arithmetic shape
+jsonpath-rw-ext defines) resolve to ``len±N``.
+
+Anything beyond the subset — bare-word unions ``[a,b]``, general
+script expressions ``[(...)]``, functions — raises
 :class:`UnsupportedPathError` with the offending construct named, so a
 rule author sees "unsupported path syntax" as the error value instead
 of a silently-empty result.
@@ -380,6 +383,22 @@ def _compile(path: str) -> Tuple[Tuple[Step, ...], bool]:
                 steps.append(Step("filter", _filter_pred(st)))
                 pos = end
                 continue
+            if st.startswith("(") and st.endswith(")"):
+                # index script: the one arithmetic shape jsonpath-rw-ext
+                # actually defines, [(@.length-1)] = last element
+                m_len = re.match(
+                    r"^@\.length\s*(?:(?P<sign>[-+])\s*(?P<n>\d+))?$",
+                    st[1:-1].strip(),
+                )
+                if not m_len:
+                    raise UnsupportedPathError(
+                        f"unsupported path syntax: script expression {st!r} in {path!r}"
+                    )
+                n = int(m_len.group("n") or 0)
+                offset = -n if m_len.group("sign") == "-" else n
+                steps.append(Step("idxscript", offset))
+                pos = end
+                continue
             # not a filter: fall through to the regular step tokenizer
         m = _STEP.match(s, pos)
         if not m:
@@ -484,6 +503,11 @@ def _apply_step(values: List[Any], step: Step) -> List[Any]:
                     out.append(v[step.arg])
                 except IndexError:
                     pass
+        elif step.kind == "idxscript":  # [(@.length+off)]: index len+off
+            if isinstance(v, (list, tuple)):
+                idx = len(v) + step.arg
+                if 0 <= idx < len(v):
+                    out.append(v[idx])
         elif step.kind == "slice":
             if isinstance(v, (list, tuple)):
                 out.extend(v[step.arg])
