@@ -299,13 +299,21 @@ def connected_components_star(
     from .engine.ckpt import reliable_this_round, step_checkpoint
 
     # symmetrized neighbor relation; the star steps reason over the
-    # full Γ(u) of each node
-    e = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .filter(F.col("a") != F.col("b"))
+    # full Γ(u) of each node.  Lazy barrier: the pre-loop signature is
+    # the materializing action (same one-job-per-step discipline as the
+    # rounds).
+    e = step_checkpoint(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .distinct()
-        .localCheckpoint()
     )
 
     def signature(df: DataFrame) -> tuple:
@@ -330,11 +338,20 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
         self_link = m.select(F.col("a"), F.col("m").alias("b"))
-        out = rewired.union(self_link).filter(F.col("a") != F.col("b")).distinct()
-        # re-symmetrize: the star steps reason over the full neighbor
-        # relation of each node
+        out = rewired.union(self_link).filter(F.col("a") != F.col("b"))
+        # re-symmetrize IN ONE PASS (explode both orientations of each
+        # edge) and dedup with a SINGLE distinct — the union-of-swapped
+        # form costs a second Exchange per half-step for the same rows
         return step_checkpoint(
-            out.union(out.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            out.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a"), F.col("b")),
+                        F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.a", "_e.b")
             .distinct(),
             reliable=reliable,
         )
