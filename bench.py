@@ -114,17 +114,20 @@ def run_crawl(spark, n_pages: int) -> dict:
         # shows ±10-30% run-to-run variance (shared memory bandwidth,
         # staged JIT), so a single sample under-reports capability
         once("warmup")
-        n_runs = int(os.environ.get("BENCH_CRAWL_RUNS", "2"))
+        n_runs = int(os.environ.get("BENCH_CRAWL_RUNS", "3"))
         runs = [once(f"timed{i}") for i in range(n_runs)]
         # congestion guard: if the per-run calibrations disagree by
-        # >1.4x, the samples mix box regimes (the r3 official-bench
-        # failure mode) — take up to 2 extra samples so the median has
-        # a chance to land inside one regime
+        # >1.4x the samples mix box regimes (the r3 official-bench
+        # failure mode), and a >1.5x throughput spread means neighbor
+        # contention the single-core calib can't see (memory bandwidth)
+        # hit some samples — take up to 2 extra samples either way so
+        # the median has a chance to land inside one regime
         extra = 0
-        while (
-            extra < 2
-            and max(r["calib_sec"] for r in runs)
+        while extra < 2 and (
+            max(r["calib_sec"] for r in runs)
             > 1.4 * min(r["calib_sec"] for r in runs)
+            or max(r["urls_per_sec"] for r in runs)
+            > 1.5 * min(r["urls_per_sec"] for r in runs)
         ):
             runs.append(once(f"retry{extra}"))
             extra += 1
