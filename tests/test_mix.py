@@ -1,0 +1,174 @@
+"""Corpus-assembly layer (textops/mix.py, frontier/budget.py):
+decontamination, reproducible sampling, sequence packing, unigram-LM
+scoring, crawl-budget allocation — hand-computed micro-fixtures plus
+the invariants each operator's contract promises."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from uniparser_spark.frontier.budget import allocate_budget
+from uniparser_spark.textops.mix import (
+    decontaminate,
+    eval_ngrams,
+    hex_bucket,
+    pack_sequences,
+    stratified_sample,
+    unigram_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------- decontaminate
+def test_decontaminate_counts_overlapping_grams(spark):
+    ev = _docs(spark, [(0, "a b c d e")])  # grams: 'a b c d', 'b c d e'
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d x"),       # grams {'a b c d','b c d x'} -> 1 hit
+            (2, "a b c d e"),       # exact mirror -> 2/2 hits
+            (3, "x y z w v"),       # no overlap
+            (4, "a b c"),           # < n tokens: no grams, dropped
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(docs, eval_ngrams(ev, n=4), n=4).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_grams"], got[1]["n_hit"], got[1]["contaminated"]) == (2, 1, 1)
+    assert got[1]["contamination"] == 0.5
+    assert (got[2]["n_hit"], got[2]["contamination"], got[2]["contaminated"]) == (2, 1.0, 1)
+    assert (got[3]["n_hit"], got[3]["contaminated"]) == (0, 0)
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    ev = _docs(spark, [(0, "a a a a a")])  # one distinct gram 'a a a a'
+    docs = _docs(spark, [(1, "a a a a a a a a")])  # 5 positions, 1 distinct
+    row = decontaminate(docs, eval_ngrams(ev, n=4), n=4).collect()[0]
+    assert (row["n_grams"], row["n_hit"]) == (1, 1)
+
+
+# ------------------------------------------------------- stratified_sample
+def test_hex_bucket_matches_md5(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), hex_bucket(F.col("id"), "sample").alias("b")
+    )
+    for r in df.collect():
+        want = int(hashlib.md5(f"sample:{r['doc_id']}".encode()).hexdigest()[:2], 16)
+        assert r["b"] == want
+
+
+def test_stratified_sample_gate_and_default(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(df, rates={"en": 128}, default_rate=0).collect()
+    # zh has no rate -> default 0 -> nothing survives
+    assert all(r["stratum"] == "en" for r in out)
+    for r in out:
+        b = int(hashlib.md5(f"sample:{r['doc_id']}".encode()).hexdigest()[:2], 16)
+        assert r["bucket"] == b < 128
+    # exact kept set is reproducible: a second run returns identical rows
+    again = stratified_sample(df, rates={"en": 128}, default_rate=0).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_stratified_sample_rate_256_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "doc_id long, lang string"
+    )
+    assert stratified_sample(df, rates={"en": 256}).count() == 50
+
+
+# ----------------------------------------------------------- pack_sequences
+def test_pack_sequences_running_layout(spark):
+    # one bucket, seq_len 10: docs of 4, 7, 12 tokens at offsets 0, 4, 11
+    docs = _docs(
+        spark,
+        [
+            (0, " ".join(["t"] * 4)),
+            (8, " ".join(["t"] * 7)),
+            (16, " ".join(["t"] * 12)),
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(docs, seq_len=10, n_buckets=8).collect()
+    }
+    assert all(r["bucket"] == 0 for r in got.values())
+    assert (got[0]["tok_offset"], got[0]["seq_first"], got[0]["seq_last"]) == (0, 0, 0)
+    # doc 8: tokens 4..10 -> spans sequences 0 and 1
+    assert (got[8]["tok_offset"], got[8]["seq_first"], got[8]["seq_last"]) == (4, 0, 1)
+    # doc 16: tokens 11..22 -> sequences 1 and 2
+    assert (got[16]["tok_offset"], got[16]["seq_first"], got[16]["seq_last"]) == (11, 1, 2)
+
+
+def test_pack_sequences_buckets_independent(spark):
+    docs = _docs(spark, [(i, "a b c") for i in range(16)])
+    rows = pack_sequences(docs, seq_len=128, n_buckets=4).collect()
+    # 4 docs per bucket, each 3 tokens: offsets 0,3,6,9 within every bucket
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["tok_offset"])
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for offs in by_bucket.values():
+        assert sorted(offs) == [0, 3, 6, 9]
+
+
+# ----------------------------------------------------------- unigram_scores
+def test_unigram_scores_vocab_cut_and_mass(spark):
+    # counts: a=4, b=2, c=1, d=1 -> vocab_size=2 keeps {a, b}; total=8
+    docs = _docs(spark, [(1, "a a b c"), (2, "a a b d")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in unigram_scores(docs, vocab_size=2).collect()
+    }
+    # doc 1: mass = 4+4+2+0 = 10, n=4 -> avg_p = 10/(4*8) = 0.3125
+    assert got[1]["n_oov"] == 1 and got[1]["oov_frac"] == 0.25
+    assert got[1]["avg_tok_prob"] == pytest.approx(0.3125)
+    assert got[2]["avg_tok_prob"] == pytest.approx(0.3125)
+
+
+def test_unigram_scores_deterministic_tie_break(spark):
+    # b and c tie at 2; (cnt desc, tok asc) must keep b
+    docs = _docs(spark, [(1, "a a a b b c c")])
+    row = unigram_scores(docs, vocab_size=2).collect()[0]
+    # vocab {a:3, b:2}; mass = 9 + 4 + 0 = 13; avg = 13/(7*7)
+    assert row["n_oov"] == 2
+    assert row["avg_tok_prob"] == pytest.approx(round(13 / 49, 10))
+
+
+# ----------------------------------------------------------- allocate_budget
+def test_allocate_budget_proportional_with_floor(spark):
+    log = spark.createDataFrame(
+        [("good", 9), ("good", 9), ("bad", 0), ("bad", 0), ("new", 2)],
+        "host string, q int",
+    )
+    got = {
+        r["host"]: r.asDict()
+        for r in allocate_budget(log, total_budget=1000, smooth=8).collect()
+    }
+    # totals: tq=20, nh=3 -> denom = 20 + 24 = 44
+    assert got["good"]["alloc"] == (1000 * (18 + 8)) // 44  # 590
+    assert got["bad"]["alloc"] == (1000 * (0 + 8)) // 44    # 181
+    assert got["new"]["alloc"] == (1000 * (2 + 8)) // 44    # 227
+    # exploration floor: the zero-reward host still gets budget
+    assert got["bad"]["alloc"] > 0
+    # never over-allocates
+    assert sum(r["alloc"] for r in got.values()) <= 1000
+    assert got["good"]["share"] == pytest.approx(round(26 / 44, 6))
+
+
+def test_allocate_budget_total_is_respected_under_skew(spark):
+    log = spark.createDataFrame(
+        [(f"h{i % 5}", i % 10) for i in range(1000)], "host string, q int"
+    )
+    rows = allocate_budget(log, total_budget=777, smooth=1).collect()
+    assert sum(r["alloc"] for r in rows) <= 777
+    assert all(r["alloc"] >= 0 for r in rows)

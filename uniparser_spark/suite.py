@@ -1693,6 +1693,77 @@ def q_readability(spark, sf_dir):
     return readability_scores(tp(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------- corpus assembly
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (textops/mix.py decontaminate): docs
+    with doc_id%17==0 stand in for the held-out eval set; every other
+    doc is scored by distinct-4-gram overlap against the eval set's
+    gram set (broadcast).  The corpus's near-duplicate pairs make the
+    overlap non-trivial — a training doc that mirrors an eval doc
+    lights up at contamination≈1."""
+    from .textops.mix import decontaminate, eval_ngrams
+
+    docs = tp(spark, sf_dir, "documents")
+    ev = eval_ngrams(docs.filter(F.col("doc_id") % 17 == 0), n=4)
+    return decontaminate(docs.filter(F.col("doc_id") % 17 != 0), ev, n=4)
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Reproducible stratified sampling (textops/mix.py
+    stratified_sample): per-lang keep rates out of 256 gated on an
+    md5-derived bucket of doc_id — same kept set from any engine,
+    partitioning or retry (df.sample() guarantees none of these).
+    zh exercises the default-rate path."""
+    from .textops.mix import stratified_sample
+
+    return stratified_sample(
+        tp(spark, sf_dir, "documents"),
+        rates={"en": 128, "de": 192, "fr": 64, "es": 32},
+        default_rate=16,
+    )
+
+
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (textops/mix.py
+    pack_sequences): each doc's placement (token offset, first/last
+    sequence id) in an 8-way-sharded 128-token-sequence training
+    stream — per-bucket running-sum window over narrow rows."""
+    from .textops.mix import pack_sequences
+
+    return pack_sequences(
+        tp(spark, sf_dir, "documents"), seq_len=128, n_buckets=8
+    )
+
+
+def q_lm_scores(spark, sf_dir):
+    """Corpus-unigram LM scoring (textops/mix.py unigram_scores):
+    top-16 vocabulary over the corpus, per-doc OOV fraction and mean
+    token probability mass — exact integer arithmetic to one final
+    double division."""
+    from .textops.mix import unigram_scores
+
+    return unigram_scores(tp(spark, sf_dir, "documents"), vocab_size=16)
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Explore/exploit crawl-budget allocation (frontier/budget.py
+    allocate_budget): the doc corpus stands in for one round's fetch
+    log — host from doc_id%7 (the streaming queries' derivation),
+    integer quality score doc_id%10 — folded into per-host
+    Laplace-smoothed proportional budget for the next round."""
+    from .frontier.budget import allocate_budget
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    log = docs.select(
+        F.concat(
+            F.lit("h"), (d % 7).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        (d % 10).cast("int").alias("q"),
+    )
+    return allocate_budget(log, total_budget=10000, smooth=8)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1907,6 +1978,11 @@ QUERIES = {
     "url_templates": q_url_templates,
     "doc_keywords": q_doc_keywords,
     "readability": q_readability,
+    "decontaminate": q_decontaminate,
+    "corpus_sample": q_corpus_sample,
+    "seq_pack": q_seq_pack,
+    "lm_scores": q_lm_scores,
+    "crawl_budget": q_crawl_budget,
 }
 
 
@@ -3438,6 +3514,108 @@ ORACLES.update(
 )
 
 
+# ----------------------------------------------------- corpus assembly oracles
+# textops/mix.py + frontier/budget.py — decontamination, reproducible
+# sampling, sequence packing, unigram-LM scoring, budget allocation.
+# Shared devices: list_transform n-grams (the ngram_jaccard pattern),
+# _hexbyte md5 buckets, exact-integer arithmetic to one final double
+# division (the module's cross-engine determinism contract).
+ORACLES.update(
+    {
+        "decontaminate": rf"""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 4
+                      THEN list_distinct(list_transform(range(0, len(tk) - 3),
+                           i -> array_to_string(tk[i+1:i+4], ' ')))
+                      ELSE CAST([] AS VARCHAR[]) END AS s
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+        ),
+        ev AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 17 = 0),
+        dg AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 17 <> 0),
+        per AS (
+          SELECT dg.doc_id, COUNT(dg.gram) AS n_grams, COUNT(ev.gram) AS n_hit
+          FROM dg LEFT JOIN ev USING (gram) GROUP BY 1
+        )
+        SELECT doc_id, n_grams, n_hit,
+               ROUND(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+                 AS contamination,
+               CAST(n_hit > 0 AS INT) AS contaminated
+        FROM per
+    """,
+        "corpus_sample": rf"""
+        WITH b AS (
+          SELECT doc_id, lang AS stratum,
+                 {_hexbyte("h", 0)} AS bucket,
+                 CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 192
+                           WHEN 'fr' THEN 64 WHEN 'es' THEN 32
+                           ELSE 16 END AS rate
+          FROM (SELECT doc_id, lang,
+                       md5('sample:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents)
+        )
+        SELECT doc_id, stratum, CAST(bucket AS INT) AS bucket,
+               CAST(rate AS INT) AS rate
+        FROM b WHERE bucket < rate
+    """,
+        "seq_pack": rf"""
+        WITH d AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, bucket, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_offset
+          FROM d
+        )
+        SELECT doc_id, bucket, n_tokens, tok_offset,
+               tok_offset // 128 AS seq_first,
+               (tok_offset + n_tokens - 1) // 128 AS seq_last
+        FROM o
+    """,
+        "lm_scores": rf"""
+        WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
+        v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 16),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        per AS (
+          SELECT tk.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS mass,
+                 COUNT(*) FILTER (v.cnt IS NULL) AS n_oov
+          FROM tk LEFT JOIN v USING (tok) GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, n_oov,
+               ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+                 AS oov_frac,
+               ROUND(CAST(mass AS DOUBLE) / CAST(n_tokens * total AS DOUBLE), 10)
+                 AS avg_tok_prob
+        FROM per, tot
+    """,
+        "crawl_budget": r"""
+        WITH log AS (
+          SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+                 CAST(doc_id % 10 AS INT) AS q
+          FROM documents
+        ),
+        per AS (
+          SELECT host, COUNT(*) AS n_fetches, CAST(SUM(q) AS BIGINT) AS sum_q
+          FROM log GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(sum_q) AS BIGINT) AS tq, COUNT(*) AS nh FROM per)
+        SELECT host, n_fetches, sum_q,
+               ROUND(CAST(sum_q + 8 AS DOUBLE) / CAST(tq + 8 * nh AS DOUBLE), 6)
+                 AS share,
+               (10000 * (sum_q + 8)) // (tq + 8 * nh) AS alloc
+        FROM per, tot
+    """,
+    }
+)
+
+
 # ------------------------------------------------------- streaming surface
 # Oracle-gated Structured Streaming queries (real readStream -> sink ->
 # drained-result pipelines); see streaming_suite.py for semantics.
@@ -3482,6 +3660,9 @@ _GATE_PRIORITY = [
     "media_dims", "readability", "doc_keywords", "content_extract",
     # fixed this round (red / no_oracle in r3)
     "corpus_stats", "minhash_lsh_pairs_xx", "dedup_verified_pairs_xx",
+    # new this round (corpus assembly + budget feedback) — never certified
+    "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
+    "crawl_budget",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)

@@ -1,0 +1,269 @@
+"""Corpus assembly — the step between a cleaned corpus and a training run.
+
+After cleaning and deduplication, a webtext pipeline still has to
+(a) prove the training set does not contain the eval benchmarks
+(n-gram decontamination, GPT-2/3 style), (b) mix sources to a target
+recipe with *reproducible* sampling (a `df.sample()` re-draws under
+task retries; a hash-gate does not), (c) pack variable-length documents
+into fixed-length training sequences, and (d) score documents against a
+corpus-level language model for quality-weighted selection (CCNet
+style).  These operators implement that layer Spark-first.
+
+Cross-engine determinism (the driver's DuckDB oracle hash-compares
+values): every operator stays in integer / decimal arithmetic until one
+final double division — no floating-point accumulation whose order
+could differ between engines, no transcendental functions (the unigram
+scorer emits mean token *probability* mass rather than log-probability:
+same ordering signal, exactly computable; log-space scoring is a
+monotone transform a production pipeline can apply downstream).
+
+Scale notes per operator are on the functions; the common theme is
+that document text crosses the wire zero times — every shuffle carries
+narrow (id, count) rows, eval-set n-grams and vocabularies broadcast.
+
+Reference scope note: the reference (uniparser) stops at per-page rule
+extraction; this module is part of the training-data layer the north
+rule adds on top.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .exprs import tokens, word_shingles
+
+
+# ------------------------------------------------------------ hash buckets
+def hex_bucket(col: Column, salt: str, nibbles: int = 2) -> Column:
+    """Deterministic uniform bucket in [0, 16**nibbles) from the leading
+    hex nibbles of md5('<salt>:<value>').  Engine-portable: DuckDB
+    reproduces it with ascii()/strpos() on the same digest — unlike
+    Spark's xxhash64 (no DuckDB twin) or rand() (not stable under task
+    retry, which is the whole point of hash-gated sampling)."""
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), col.cast("string")))
+
+    def _hexval(i: int) -> Column:
+        a = F.ascii(F.substring(h, i, 1))
+        # '0'-'9' -> 0-9, 'a'-'f' -> 10-15
+        return a - 48 - F.when(a >= 97, 39).otherwise(0)
+
+    out = F.lit(0)
+    for i in range(1, nibbles + 1):
+        out = out * 16 + _hexval(i)
+    return out
+
+
+# -------------------------------------------------------- decontamination
+def eval_ngrams(
+    eval_df: DataFrame, n: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-grams of an eval/benchmark set — one ``gram``
+    column.  Benchmarks are tiny next to a crawl corpus (MBs vs TBs),
+    so the output is built to be broadcast."""
+    toks = tokens(F.col(text_col))
+    return (
+        eval_df.select(
+            F.explode(F.array_distinct(word_shingles(toks, n))).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination via word n-gram overlap (the GPT-3
+    appendix-C procedure): per document, how many of its distinct
+    n-grams appear in the eval set.
+
+    Output: (id, n_grams, n_hit, contamination 4-dp, contaminated 0/1).
+    Documents with fewer than ``n`` tokens have no n-grams and drop out
+    (nothing to test).  Callers quarantine rows with ``contaminated=1``
+    (or threshold on ``contamination``) before training.
+
+    Scale: eval grams broadcast (never shuffled); the corpus scan
+    explodes distinct grams and the groupBy(id) is map-side combined,
+    so the one shuffle carries (id, partial-count) rows — document text
+    itself never leaves the scan stage.  At 100 TB the explode fan-out
+    is ~|tokens| rows per doc but they die in-stage at the join."""
+    toks = tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(toks, n))).alias("gram"),
+    )
+    hits = grams.join(
+        F.broadcast(eval_grams.select("gram", F.lit(1).alias("_hit"))),
+        "gram",
+        "left",
+    )
+    per = hits.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+    )
+    return per.select(
+        F.col(id_col),
+        "n_grams",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 4
+        ).alias("contamination"),
+        (F.col("n_hit") > 0).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------- reproducible sampling
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: int = 0,
+    denom: int = 256,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its hash bucket
+    (uniform in [0, denom)) is below its stratum's rate numerator —
+    e.g. ``{"en": 96}`` keeps 96/256 of English docs.
+
+    Why not ``df.sample()``: Spark's sampler is seeded per-partition,
+    so the kept set changes under repartitioning and task retries — a
+    training-mix recipe must be re-runnable to the row.  A hash gate on
+    a stable id is a pure narrow filter: same rows from any engine, any
+    partitioning, any retry, and the parquet scan prunes nothing less
+    (the filter composes with pushdown on the stratum column).
+
+    Scale: zero shuffles — this is a filter.  Output keeps the bucket
+    and rate columns for audit (lineage: WHY did this row survive)."""
+    bucket = hex_bucket(F.col(id_col), salt)
+    rate: Column = F.lit(default_rate)
+    for k in sorted(rates, reverse=True):
+        rate = F.when(F.col(stratum_col) == k, F.lit(rates[k])).otherwise(rate)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            bucket.cast("int").alias("bucket"),
+            rate.cast("int").alias("rate"),
+        )
+        .filter(F.col("bucket") < F.col("rate"))
+    )
+
+
+# -------------------------------------------------------- sequence packing
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 128,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT pretraining layout):
+    documents are concatenated in a deterministic order and the token
+    stream is cut every ``seq_len`` tokens; a document may span
+    sequences.  Emits each document's placement in the stream:
+    (id, bucket, n_tokens, tok_offset, seq_first, seq_last).
+
+    The stream is sharded into ``n_buckets`` independent sub-streams
+    (here ``id % n_buckets``; a production run uses a hash of the id)
+    because a single global concatenation order is a one-partition
+    sort.  Within a bucket the placement is a running sum — one
+    window over (bucket, id), so the sort is per-bucket and the
+    shuffle carries (id, n_tokens) only.  At 100 TB, n_buckets scales
+    with the cluster and each bucket's window sorts |corpus|/n_buckets
+    narrow rows; text itself is tokenized in the scan stage and never
+    shuffled (the trainer re-reads text by id, range-partitioned on
+    (bucket, seq_first), to materialize the actual sequences)."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    d = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.select(
+        F.col(id_col),
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("tok_offset"),
+    )
+    return d.select(
+        F.col(id_col),
+        "bucket",
+        "n_tokens",
+        "tok_offset",
+        F.expr(f"CAST(tok_offset DIV {seq_len} AS BIGINT)").alias("seq_first"),
+        F.expr(
+            f"CAST((tok_offset + n_tokens - 1) DIV {seq_len} AS BIGINT)"
+        ).alias("seq_last"),
+    )
+
+
+# ------------------------------------------------------- unigram LM scores
+def unigram_scores(
+    docs: DataFrame,
+    vocab_size: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM document scoring (the CCNet device, unigram order):
+    build a top-``vocab_size`` unigram vocabulary over the corpus, then
+    score each document by how much of the corpus's probability mass
+    its tokens carry.  Output per doc: (id, n_tokens, n_oov, oov_frac
+    4-dp, avg_tok_prob 10-dp) where avg_tok_prob = mean over the doc's
+    tokens of p(token) = corpus_count/corpus_total (OOV contributes 0).
+
+    Emitting probability mass instead of log-probability keeps the
+    whole computation in exact integer arithmetic until ONE final
+    double division (sum-of-counts / (n_tokens*total)) — the ranking it
+    induces is the same monotone signal, and it is reproducible
+    bit-for-bit across engines, partitionings and retries, which
+    ln()-accumulation in floats is not.
+
+    Scale: two map-side-combined shuffles — (token, count) to build the
+    vocabulary and (id, partials) to score — plus a broadcast of the
+    top-V vocabulary and a 1-row total.  The vocabulary cut
+    (orderBy.limit) moves |distinct tokens| aggregated rows, not token
+    instances; at web scale that is the zipf head after combine, and V
+    caps the broadcast."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(vocab_size)
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    per = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("mass"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 4
+        ).alias("oov_frac"),
+        F.round(
+            F.col("mass").cast("double")
+            / (F.col("n_tokens") * F.col("total")).cast("double"),
+            10,
+        ).alias("avg_tok_prob"),
+    )
