@@ -146,3 +146,42 @@ def test_apply_robots_wildcards_and_anchor(spark):
         "https://w.org/cgi/keep/x",
         "https://w.org/plain",
     }
+
+
+# ------------------------------------------------- page-level directives
+def test_page_directives_meta_header_union(spark):
+    from uniparser_spark.frontier.robots import page_directives
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<head><meta name="robots" content="noindex"></head>', None),
+            ("u2", '<head><meta content="NOFOLLOW, noarchive" name="ROBOTS"></head>', None),
+            ("u3", '<head><meta name="robots" content="none"></head>', None),
+            ("u4", "<body>plain</body>", "noindex, noarchive"),
+            ("u5", '<head><meta name="description" content="nofollow"></head>', None),
+            # meta + header union (most-restrictive-wins composition)
+            ("u6", '<head><meta name="robots" content="nofollow"></head>', "noindex"),
+        ],
+        "url string, html string, xrt string",
+    )
+    got = {
+        r["url"]: (r["noindex"], r["nofollow"], r["noarchive"])
+        for r in page_directives(pages, header_col="xrt").collect()
+    }
+    assert got["u1"] == (1, 0, 0)
+    assert got["u2"] == (0, 1, 1)          # case + attr order
+    assert got["u3"] == (1, 1, 0)          # none -> noindex, nofollow
+    assert got["u4"] == (1, 0, 1)          # header only
+    assert got["u5"] == (0, 0, 0)          # decoy description meta
+    assert got["u6"] == (1, 1, 0)          # union of meta and header
+
+
+def test_page_directives_binary_html_and_no_header_col(spark):
+    from uniparser_spark.frontier.robots import page_directives
+
+    pages = spark.createDataFrame(
+        [("u1", '<meta name="robots" content="noarchive">'.encode())],
+        "url string, html binary",
+    )
+    row = page_directives(pages).collect()[0]
+    assert (row["noindex"], row["nofollow"], row["noarchive"]) == (0, 0, 1)

@@ -180,3 +180,92 @@ def budgets_from_robots(
         ).cast("int"),
     ).otherwise(F.lit(default_budget))
     return robots.select("host", budget.alias("budget"))
+
+
+# ------------------------------------------------- page-level directives
+# REP's HTML/header extension: <meta name="robots"> and the X-Robots-Tag
+# response header carry per-PAGE directives that robots.txt (per-PATH)
+# cannot express.  A compliant crawl honors both: `noindex` pages are
+# fetched but excluded from the corpus, `nofollow` pages contribute no
+# out-links to the frontier, `noarchive` pages must not be cached.
+
+PAGE_DIRECTIVES_SCHEMA = "url string, noindex int, nofollow int, noarchive int"
+
+
+def _page_directive_flags(markup: str, header: Optional[str]) -> Tuple[int, int, int]:
+    """Union of all robots meta tags on the page plus the header value.
+    Directives are comma-separated, case-insensitive; `none` is the
+    spec's alias for `noindex, nofollow`; `all` is an explicit no-op."""
+    from ..dom.html import parse_html
+
+    toks: set = set()
+    for el in parse_html(markup).iter_elements():
+        if el.tag != "meta":
+            continue
+        name = el.get("name") or ""
+        if isinstance(name, list):
+            name = " ".join(name)
+        if name.strip().lower() != "robots":
+            continue
+        content = el.get("content") or ""
+        toks.update(t.strip().lower() for t in str(content).split(","))
+    if header:
+        toks.update(t.strip().lower() for t in header.split(","))
+    if "none" in toks:
+        toks.update(("noindex", "nofollow"))
+    return (
+        int("noindex" in toks),
+        int("nofollow" in toks),
+        int("noarchive" in toks),
+    )
+
+
+def page_directives(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    header_col: Optional[str] = None,
+) -> DataFrame:
+    """Pages -> (url, noindex, nofollow, noarchive).
+
+    Walks each page with the engine's own DOM parser (the same tree the
+    rule chains and ``links_from_html`` see — attribute-order, quoting
+    and case variants all parse identically), so a page the extractor
+    can read is a page whose directives are honored.  ``header_col``
+    optionally carries the page's X-Robots-Tag value; meta and header
+    directives union, per the spec's most-restrictive-wins composition.
+
+    Composition downstream: anti-join the corpus on ``noindex = 1``
+    before admission, and anti-join discovered links' src on
+    ``nofollow = 1`` before frontier insertion.
+
+    Scale: same shape as ``links_from_html`` — HTML crosses into Python
+    exactly once (Arrow-batched mapInPandas in the scan stage), the
+    output is four narrow columns, nothing shuffles."""
+    import pandas as pd  # noqa: F811 (module-level import is for type use)
+
+    sel = [F.col(url_col).alias("url"), F.col(html_col).alias("markup")]
+    sel.append(
+        F.col(header_col).alias("xrobots")
+        if header_col
+        else F.lit(None).cast("string").alias("xrobots")
+    )
+    cols = pages.select(*sel)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, markup, header in zip(
+                batch["url"], batch["markup"], batch["xrobots"]
+            ):
+                if isinstance(markup, (bytes, bytearray, memoryview)):
+                    markup = bytes(markup).decode("utf-8", errors="replace")
+                ni, nf, na = _page_directive_flags(
+                    markup, header if isinstance(header, str) else None
+                )
+                rows.append((url, ni, nf, na))
+            yield pd.DataFrame(
+                rows, columns=["url", "noindex", "nofollow", "noarchive"]
+            )
+
+    return cols.mapInPandas(run, schema=PAGE_DIRECTIVES_SCHEMA)

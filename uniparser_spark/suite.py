@@ -1764,6 +1764,40 @@ def q_crawl_budget(spark, sf_dir):
     return allocate_budget(log, total_budget=10000, smooth=8)
 
 
+def q_page_directives(spark, sf_dir):
+    """Page-level robots directives (frontier/robots.py
+    page_directives): <meta name=robots> parsed with the engine's own
+    DOM (case/attr-order/spacing variants), X-Robots-Tag header merged,
+    `none` aliased per spec; a decoy description meta on every page
+    must not trip the flags.  Oracle re-predicts all five synthesis
+    regimes field-by-field."""
+    from .frontier.robots import page_directives
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://m.example.org/p/"), d.cast("string"))
+    meta = (
+        F.when(d % 5 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 5 == 2, F.lit('<meta content="NOFOLLOW , noarchive" name="ROBOTS">'))
+        .when(d % 5 == 3, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="description" content="nofollow">'),
+        meta,
+        F.lit("</head><body>p"),
+        d.cast("string"),
+        F.lit("</body></html>"),
+    )
+    header = F.when(d % 5 == 4, F.lit("noindex")).otherwise(
+        F.lit(None).cast("string")
+    )
+    pages = docs.select(
+        url.alias("url"), html.alias("html"), header.alias("xrt")
+    )
+    return page_directives(pages, header_col="xrt")
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -1983,6 +2017,7 @@ QUERIES = {
     "seq_pack": q_seq_pack,
     "lm_scores": q_lm_scores,
     "crawl_budget": q_crawl_budget,
+    "page_directives": q_page_directives,
 }
 
 
@@ -3595,6 +3630,16 @@ ORACLES.update(
                  AS avg_tok_prob
         FROM per, tot
     """,
+        "page_directives": r"""
+        SELECT 'https://m.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(CASE WHEN doc_id % 5 IN (1, 3, 4) THEN 1 ELSE 0 END AS INT)
+                 AS noindex,
+               CAST(CASE WHEN doc_id % 5 IN (2, 3) THEN 1 ELSE 0 END AS INT)
+                 AS nofollow,
+               CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INT)
+                 AS noarchive
+        FROM documents
+    """,
         "crawl_budget": r"""
         WITH log AS (
           SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
@@ -3662,7 +3707,7 @@ _GATE_PRIORITY = [
     "corpus_stats", "minhash_lsh_pairs_xx", "dedup_verified_pairs_xx",
     # new this round (corpus assembly + budget feedback) — never certified
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
-    "crawl_budget",
+    "crawl_budget", "page_directives",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)
