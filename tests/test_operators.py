@@ -344,6 +344,13 @@ def test_paths_filter_grammar():
     # missing keys compare False, never raise
     assert ids("$.book[?(@.nope > 1)]") == []
     assert ids("$.book[?(@.nope > 1 | @.id == 2)]") == [2]
+    # =~ regex match (jsonpath-rw-ext): re.search semantics
+    assert ids('$.book[?(@.tag =~ "a|c")]') == [1, 3]
+    assert ids("$.book[?(@.tag =~ '^b$')]") == [2]
+    assert ids('$.book[?(@.tag =~ "a" | @.price > 20)]') == [1, 3]
+    # non-string operands never match (false, not error)
+    assert ids('$.book[?(@.price =~ "1")]') == []
+    assert ids('$.book[?(@.nope =~ "x")]') == []
 
 
 def test_paths_unions_and_recursive_wildcard():

@@ -125,6 +125,14 @@ _OPS = {
     "<=": lambda a, b: a <= b,
     "in": lambda a, b: a in b,
     "not in": lambda a, b: a not in b,
+    # jsonpath-rw-ext regex match: `@.k =~ "pat"` — re.search semantics,
+    # non-string operands never match (same false-not-error contract as
+    # the type-mismatch comparisons below)
+    "=~": lambda a, b: (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and re.search(b, a) is not None
+    ),
 }
 
 # ----------------------------------------------------- filter expressions
@@ -135,7 +143,7 @@ _FTOK = re.compile(
       | (?P<num>-?\d+\.\d+|-?\d+)
       | (?P<at>@(?:\.[\w-]+)*)
       | (?P<word>and|or|not\s+in|not|in|is\s+not|is|true|false|null)\b
-      | (?P<op>==|!=|<>|>=|<=|=|>|<|&&|\|\||&|\||!)
+      | (?P<op>==|!=|<>|>=|<=|=~|=|>|<|&&|\|\||&|\||!)
       | (?P<punc>[()\[\],])
     )""",
     re.VERBOSE,

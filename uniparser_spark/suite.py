@@ -950,11 +950,11 @@ def q_rule_paths(spark, sf_dir):
         (k + 1).cast("string"),
         F.lit(", "),
         k.cast("string"),
-        F.lit('], "items": [{"id": 1, "p": '),
+        F.lit('], "items": [{"id": 1, "tag": "row-1", "p": '),
         k.cast("string"),
-        F.lit(', "flag": true}, {"id": 2, "p": '),
+        F.lit(', "flag": true}, {"id": 2, "tag": "mid-2", "p": '),
         (k + 10).cast("string"),
-        F.lit('}, {"id": 3, "p": '),
+        F.lit('}, {"id": 3, "tag": "row-3", "p": '),
         (k + 20).cast("string"),
         F.lit("}]}"),
     )
@@ -1007,6 +1007,11 @@ def q_rule_paths(spark, sf_dir):
                 "chain_rules": [["loader", "json", ""], ["objectpath", "$.items[@.flag | @.id == 3]", ""], ["python", "getitem", "[0]"], ["jsonpath", "p", ""], ["python", "getitem", "[0]"]],
                 "child_rules": [],
             },
+            {
+                "name": "fr",  # regex match =~ -> tags row-1, row-3; [1] -> id 3
+                "chain_rules": [["loader", "json", ""], ["jsonpath", '$.items[?(@.tag =~ "^row-")].p', ""], ["python", "getitem", "[1]"]],
+                "child_rules": [],
+            },
         ],
     )
     res = extract_pages(pages, storage)
@@ -1020,6 +1025,7 @@ def q_rule_paths(spark, sf_dir):
         F.get_json_object("result", "$.p.fa").cast("long").alias("k_filter_and"),
         F.get_json_object("result", "$.p.fi").cast("long").alias("k_filter_in"),
         F.get_json_object("result", "$.p.fo").cast("long").alias("k_filter_or"),
+        F.get_json_object("result", "$.p.fr").cast("long").alias("k_filter_re"),
     )
 
 
@@ -2286,7 +2292,8 @@ ORACLES = {
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_idx_union,
                CAST(json_extract_string(props, '$.k') AS BIGINT) + 10 AS k_filter_and,
                CAST(json_extract_string(props, '$.k') AS BIGINT) + 20 AS k_filter_in,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_filter_or
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_filter_or,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) + 20 AS k_filter_re
         FROM events
     """,
     "rule_native": """
