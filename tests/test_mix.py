@@ -172,3 +172,37 @@ def test_allocate_budget_total_is_respected_under_skew(spark):
     rows = allocate_budget(log, total_budget=777, smooth=1).collect()
     assert sum(r["alloc"] for r in rows) <= 777
     assert all(r["alloc"] >= 0 for r in rows)
+
+
+# ----------------------------------------------------------- dup_spans
+def test_dup_spans_flags_shared_and_internal_repeats(spark):
+    from uniparser_spark.textops.dedup import dup_spans
+
+    w = lambda *xs: " ".join(xs)
+    blockA = w(*[f"a{i}" for i in range(4)])   # 4 tokens
+    blockB = w(*[f"b{i}" for i in range(4)])
+    blockC = w(*[f"c{i}" for i in range(4)])
+    docs = _docs(
+        spark,
+        [
+            (1, w(blockA, blockB)),        # chunks: A, B
+            (2, w(blockA, blockC)),        # chunk A shared with doc 1
+            (3, w(blockC, blockC)),        # within-doc repeat (C also in doc 2)
+            (4, "short text"),             # < k tokens: no chunks
+        ],
+    )
+    rows = dup_spans(docs, k=4, min_copies=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in rows}
+    # A occurs twice (docs 1, 2); B once (unflagged); C three times (2, 3, 3)
+    assert set(got) == {(1, 0), (2, 0), (2, 1), (3, 0), (3, 1)}
+    assert got[(1, 0)]["n_copies"] == 2 and got[(2, 0)]["n_copies"] == 2
+    assert got[(2, 1)]["n_copies"] == 3 and got[(3, 1)]["n_copies"] == 3
+    assert got[(3, 1)]["start_tok"] == 4
+
+
+def test_dup_spans_disjoint_chunking_ignores_unaligned(spark):
+    from uniparser_spark.textops.dedup import dup_spans
+
+    # same 4 tokens but offset by one in doc 2 -> different aligned chunks
+    docs = _docs(spark, [(1, "a b c d"), (2, "x a b c d x y z")])
+    assert dup_spans(docs, k=4, min_copies=2).count() == 0

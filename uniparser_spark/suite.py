@@ -1770,6 +1770,16 @@ def q_crawl_budget(spark, sf_dir):
     return allocate_budget(log, total_budget=10000, smooth=8)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Token-window duplicate-span detection (textops/dedup.py
+    dup_spans): disjoint 16-token chunks fingerprinted and flagged when
+    the exact chunk recurs anywhere in the corpus — the substring-level
+    dedup the doc-level and paragraph-level ops both miss."""
+    from .textops.dedup import dup_spans
+
+    return dup_spans(tp(spark, sf_dir, "documents"), k=16, min_copies=2)
+
+
 def q_page_directives(spark, sf_dir):
     """Page-level robots directives (frontier/robots.py
     page_directives): <meta name=robots> parsed with the engine's own
@@ -2024,6 +2034,7 @@ QUERIES = {
     "lm_scores": q_lm_scores,
     "crawl_budget": q_crawl_budget,
     "page_directives": q_page_directives,
+    "dup_spans": q_dup_spans,
 }
 
 
@@ -3637,6 +3648,25 @@ ORACLES.update(
                  AS avg_tok_prob
         FROM per, tot
     """,
+        "dup_spans": rf"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        c AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, len(tk) // 16),
+                        i -> array_to_string(tk[i*16+1:i*16+16], ' '))) AS chunk,
+                 unnest(range(0, len(tk) // 16)) AS chunk_idx
+          FROM d WHERE len(tk) >= 16
+        ),
+        f AS (
+          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 CAST(chunk_idx * 16 AS INT) AS start_tok,
+                 substr(md5(chunk), 1, 16) AS fp
+          FROM c
+        ),
+        n AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY 1)
+        SELECT doc_id, chunk_idx, start_tok, n_copies
+        FROM f JOIN n USING (fp) WHERE n_copies >= 2
+    """,
         "page_directives": r"""
         SELECT 'https://m.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
                CAST(CASE WHEN doc_id % 5 IN (1, 3, 4) THEN 1 ELSE 0 END AS INT)
@@ -3714,7 +3744,7 @@ _GATE_PRIORITY = [
     "corpus_stats", "minhash_lsh_pairs_xx", "dedup_verified_pairs_xx",
     # new this round (corpus assembly + budget feedback) — never certified
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
-    "crawl_budget", "page_directives",
+    "crawl_budget", "page_directives", "dup_spans",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)

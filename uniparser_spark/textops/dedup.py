@@ -531,3 +531,62 @@ def simhash_groups(
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
     )
+
+
+# ------------------------------------------------------ duplicate spans
+def dup_spans(
+    df: DataFrame,
+    k: int = 16,
+    min_copies: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window duplicate-span detection — the substring-level
+    member of the dedup family (exact doc dedup misses partial mirrors;
+    paragraph dedup misses duplication not aligned to paragraph
+    boundaries; this catches any repeated k-token run, the signal the
+    suffix-array substring-dedup literature trims on).
+
+    Documents are cut into DISJOINT k-token chunks (the stride-k
+    approximation of the suffix-array scan: any duplicated run of
+    >= 2k-1 tokens is guaranteed to contain a duplicated aligned chunk,
+    shorter repeats may be missed — that recall/cost trade is the
+    point; stride-1 shingling would multiply the explode by k).  A
+    chunk whose exact text occurs >= min_copies times anywhere in the
+    corpus (across or within docs) is flagged.  Output: one row per
+    flagged chunk — (id, chunk_idx, start_tok, n_copies) — ready to
+    merge into trim spans or aggregate into a per-doc duplication
+    fraction.
+
+    Scale: one corpus scan + explode to |tokens|/k rows; the chunk TEXT
+    is immediately reduced to a 16-byte fingerprint, so the groupBy and
+    the flag-back join both shuffle narrow uniform hashes (no skew, no
+    text).  Same plan family as para_dedup; at 100 TB the explode dies
+    in-stage and the two shuffles carry ~|corpus_tokens|/k fingerprint
+    rows."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.floor(F.size(toks) / k).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_chunks >= 1, chunk_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * k).cast("int").alias("start_tok"),
+        h16(F.col("chunk")).alias("fp"),
+    )
+    copies = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        chunks.join(
+            copies.filter(F.col("n_copies") >= min_copies), "fp", "inner"
+        )
+        .select(id_col, "chunk_idx", "start_tok", "n_copies")
+    )
