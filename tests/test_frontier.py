@@ -291,3 +291,44 @@ def test_priority_algebra_across_signal_sources(spark):
         "https://h.org/organic",
         "https://h.org/recrawl-hot",
     }
+
+
+# ------------------------------------------------------------- blocklist
+def test_blocklist_label_boundary_and_longest_match(spark):
+    from uniparser_spark.frontier.blocklist import apply_blocklist
+
+    urls = spark.createDataFrame(
+        [
+            ("u1", "ads.tracker.example"),
+            ("u2", "deep.sub.tracker.example"),
+            ("u3", "nottracker.example"),   # substring trap: NOT blocked
+            ("u4", "ok.example.org"),
+            ("u5", "tracker.example"),      # exact domain itself
+        ],
+        "url string, host string",
+    )
+    rules = spark.createDataFrame(
+        [("tracker.example",), ("sub.tracker.example",)], "domain string"
+    )
+    got = {
+        r["url"]: (r["blocked"], r["matched"])
+        for r in apply_blocklist(urls, rules).collect()
+    }
+    assert got["u1"] == (1, "tracker.example")
+    # longest (most specific) rule wins for audit
+    assert got["u2"] == (1, "sub.tracker.example")
+    assert got["u3"] == (0, None)
+    assert got["u4"] == (0, None)
+    assert got["u5"] == (1, "tracker.example")
+
+
+def test_host_suffixes_chain(spark):
+    from uniparser_spark.frontier.blocklist import host_suffixes
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a.b.c",)], "h string")
+    assert df.select(host_suffixes(F.col("h")).alias("s")).collect()[0]["s"] == [
+        "a.b.c",
+        "b.c",
+        "c",
+    ]

@@ -1770,6 +1770,34 @@ def q_crawl_budget(spark, sf_dir):
     return allocate_budget(log, total_budget=10000, smooth=8)
 
 
+def q_host_blocklist(spark, sf_dir):
+    """Domain-suffix blocklist filtering (frontier/blocklist.py
+    apply_blocklist): label-boundary suffix semantics — blocking
+    tracker.example blocks ads.tracker.example and
+    deep.sub.tracker.example but NOT nottracker.example (the substring
+    trap); longest match wins and is emitted for audit."""
+    from .frontier.blocklist import apply_blocklist
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 5 == 0, F.lit("ok.example.org"))
+        .when(d % 5 == 1, F.lit("ads.tracker.example"))
+        .when(d % 5 == 2, F.lit("deep.sub.tracker.example"))
+        .when(d % 5 == 3, F.lit("x.bad.org"))
+        .otherwise(F.lit("nottracker.example"))
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string")).alias("url"),
+        host.alias("host"),
+    )
+    rules = spark.createDataFrame(
+        [("tracker.example",), ("bad.org",), ("sub.tracker.example",)],
+        "domain string",
+    )
+    return apply_blocklist(urls, rules)
+
+
 def q_dup_spans(spark, sf_dir):
     """Token-window duplicate-span detection (textops/dedup.py
     dup_spans): disjoint 16-token chunks fingerprinted and flagged when
@@ -2035,6 +2063,7 @@ QUERIES = {
     "crawl_budget": q_crawl_budget,
     "page_directives": q_page_directives,
     "dup_spans": q_dup_spans,
+    "host_blocklist": q_host_blocklist,
 }
 
 
@@ -3648,6 +3677,37 @@ ORACLES.update(
                  AS avg_tok_prob
         FROM per, tot
     """,
+        "host_blocklist": r"""
+        WITH u AS (
+          SELECT 'https://' || h || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 h AS host
+          FROM (SELECT doc_id,
+                       CASE doc_id % 5 WHEN 0 THEN 'ok.example.org'
+                            WHEN 1 THEN 'ads.tracker.example'
+                            WHEN 2 THEN 'deep.sub.tracker.example'
+                            WHEN 3 THEN 'x.bad.org'
+                            ELSE 'nottracker.example' END AS h
+                FROM documents)
+        ),
+        r AS (SELECT * FROM (VALUES ('tracker.example'), ('bad.org'),
+                                    ('sub.tracker.example')) AS t(suf)),
+        s AS (
+          SELECT url, host,
+                 unnest(list_transform(range(0, len(p)),
+                        i -> array_to_string(p[i+1:len(p)], '.'))) AS suf
+          FROM (SELECT url, host, string_split(host, '.') AS p FROM u)
+        ),
+        m AS (
+          SELECT url,
+                 max(lpad(CAST(length(suf) AS VARCHAR), 3, '0') || ':' || suf)
+                   AS k
+          FROM s JOIN r USING (suf) GROUP BY 1
+        )
+        SELECT u.url, u.host,
+               CAST(m.k IS NOT NULL AS INT) AS blocked,
+               substr(m.k, 5) AS matched
+        FROM u LEFT JOIN m USING (url)
+    """,
         "dup_spans": rf"""
         WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         c AS (
@@ -3744,7 +3804,7 @@ _GATE_PRIORITY = [
     "corpus_stats", "minhash_lsh_pairs_xx", "dedup_verified_pairs_xx",
     # new this round (corpus assembly + budget feedback) — never certified
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
-    "crawl_budget", "page_directives", "dup_spans",
+    "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)
