@@ -206,3 +206,18 @@ def test_dup_spans_disjoint_chunking_ignores_unaligned(spark):
     # same 4 tokens but offset by one in doc 2 -> different aligned chunks
     docs = _docs(spark, [(1, "a b c d"), (2, "x a b c d x y z")])
     assert dup_spans(docs, k=4, min_copies=2).count() == 0
+
+
+def test_sample_gate_commutes_with_stratified_sample(spark):
+    from uniparser_spark.textops.mix import sample_gate
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 100, "de": 200}
+    via_op = {r["doc_id"] for r in stratified_sample(df, rates).collect()}
+    via_gate = {
+        r["doc_id"] for r in df.filter(sample_gate(rates)).collect()
+    }
+    assert via_op == via_gate

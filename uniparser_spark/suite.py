@@ -1842,6 +1842,65 @@ def q_page_directives(spark, sf_dir):
     return page_directives(pages, header_col="xrt")
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The corpus-build layers composed END-TO-END in one lazy plan:
+    domain blocklist (drop host h3) -> benchmark decontamination (drop
+    eval docs and 4-gram-contaminated docs) -> hash-gated stratified
+    sampling (per-lang rates) -> sequence packing of the survivors.
+    One Catalyst plan, no materialization between stages — the
+    integration evidence that the assembly operators compose.  The
+    oracle re-predicts every stage in one CTE chain.
+
+    Composition shape (the scale lesson this query exists to show):
+    every stage's VERDICT reduces to a small set — blocked urls,
+    contaminated ids — that anti-joins the stream as a broadcast, so
+    re-referencing a stage never duplicates a wide subtree; and the
+    sample gate is a pure per-row predicate that commutes with every
+    join, so it runs FIRST and prunes the expensive stages (a 100 TB
+    run does exactly this: cheap deterministic filters before
+    corpus-wide joins; in production the stage boundaries would also
+    be persisted Iceberg tables)."""
+    from .frontier.blocklist import apply_blocklist
+    from .textops.mix import (
+        decontaminate,
+        eval_ngrams,
+        pack_sequences,
+        sample_gate,
+    )
+
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"), d.cast("string"))
+    base = docs.select("doc_id", "text", "lang", host.alias("host"), url.alias("url"))
+
+    # stage 1: blocklist (label-suffix semantics; h3 is the listed
+    # host) — blocked urls are a small set: broadcast anti-join
+    rules = spark.createDataFrame([("h3.example.org",)], "domain string")
+    blocked = apply_blocklist(base, rules).filter(F.col("blocked") == 1).select("url")
+    surv1 = base.join(F.broadcast(blocked), "url", "left_anti")
+
+    # stage 3 FIRST (commutes — see docstring): eval exclusion and the
+    # per-lang sample gate are pure filters, pruning before the joins
+    gate = sample_gate(
+        rates={"en": 192, "de": 128, "fr": 128, "es": 64}, default_rate=96
+    )
+    train = surv1.filter((d % 17 != 0) & gate)
+
+    # stage 2: decontamination (eval grams from ALL blocklist-surviving
+    # eval docs; contaminated ids are a small set: broadcast anti-join)
+    ev = eval_ngrams(surv1.filter(d % 17 == 0), n=4)
+    hits = (
+        decontaminate(train, ev, n=4)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    surv2 = train.join(F.broadcast(hits), "doc_id", "left_anti")
+
+    # stage 4: pack the final corpus into training sequences
+    return pack_sequences(surv2, seq_len=128, n_buckets=4)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(tp(spark, sf_dir, "documents"))
 
@@ -2064,6 +2123,7 @@ QUERIES = {
     "page_directives": q_page_directives,
     "dup_spans": q_dup_spans,
     "host_blocklist": q_host_blocklist,
+    "corpus_pipeline": q_corpus_pipeline,
 }
 
 
@@ -3677,6 +3737,60 @@ ORACLES.update(
                  AS avg_tok_prob
         FROM per, tot
     """,
+        "corpus_pipeline": rf"""
+        WITH base AS (
+          SELECT doc_id, text, lang,
+                 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host
+          FROM documents
+        ),
+        surv1 AS (SELECT * FROM base WHERE host <> 'h3.example.org'),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 4
+                      THEN list_distinct(list_transform(range(0, len(tk) - 3),
+                           i -> array_to_string(tk[i+1:i+4], ' ')))
+                      ELSE CAST([] AS VARCHAR[]) END AS s
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM surv1)
+        ),
+        ev AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 17 = 0),
+        hits AS (
+          SELECT DISTINCT dg.doc_id
+          FROM (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 17 <> 0) dg
+          JOIN ev USING (gram)
+        ),
+        surv2 AS (
+          SELECT s.* FROM surv1 s LEFT JOIN hits h USING (doc_id)
+          WHERE s.doc_id % 17 <> 0 AND h.doc_id IS NULL
+        ),
+        surv3 AS (
+          SELECT * FROM (
+            SELECT doc_id, text,
+                   {_hexbyte("md5('sample:' || CAST(doc_id AS VARCHAR))", 0)}
+                     AS bucket256,
+                   CASE lang WHEN 'en' THEN 192 WHEN 'de' THEN 128
+                             WHEN 'fr' THEN 128 WHEN 'es' THEN 64
+                             ELSE 96 END AS rate
+            FROM surv2)
+          WHERE bucket256 < rate
+        ),
+        sized AS (
+          SELECT doc_id, CAST(doc_id % 4 AS INT) AS bucket,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM surv3
+        ),
+        placed AS (
+          SELECT doc_id, bucket, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_offset
+          FROM sized
+        )
+        SELECT doc_id, bucket, n_tokens, tok_offset,
+               tok_offset // 128 AS seq_first,
+               (tok_offset + n_tokens - 1) // 128 AS seq_last
+        FROM placed
+    """,
         "host_blocklist": r"""
         WITH u AS (
           SELECT 'https://' || h || '/p/' || CAST(doc_id AS VARCHAR) AS url,
@@ -3805,6 +3919,7 @@ _GATE_PRIORITY = [
     # new this round (corpus assembly + budget feedback) — never certified
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
+    "corpus_pipeline",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)

@@ -118,6 +118,25 @@ def decontaminate(
 
 
 # ---------------------------------------------------- reproducible sampling
+def sample_gate(
+    rates: Mapping[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: int = 0,
+) -> Column:
+    """The sampling predicate alone, as a reusable boolean Column —
+    bucket(id) < rate(stratum).  Because it depends only on the row
+    itself, it COMMUTES with every other filter/join in a pipeline:
+    apply it as early as the plan allows (it prunes before expensive
+    stages) without changing the final kept set."""
+    bucket = hex_bucket(F.col(id_col), salt)
+    rate: Column = F.lit(default_rate)
+    for k in sorted(rates, reverse=True):
+        rate = F.when(F.col(stratum_col) == k, F.lit(rates[k])).otherwise(rate)
+    return bucket < rate
+
+
 def stratified_sample(
     df: DataFrame,
     rates: Mapping[str, int],
