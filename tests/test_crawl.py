@@ -472,3 +472,64 @@ def test_crawl_dust_rules_collapse_aliases_prefetch(spark, tmp_path):
     seen = {r["url_canon"] for r in eng.seen().collect()}
     assert f"https://{host}/item-000000/" in seen
     assert not any("utm=" in u for u in seen)
+
+
+def test_crawl_honor_nofollow_drops_children(spark, corpus, tmp_path):
+    """REP HTML extension in the loop: children of a nofollow page are
+    never scheduled; everything else crawls identically."""
+    from pyspark.sql import functions as F
+
+    pages, storage_json, store = corpus
+    h0, h1 = testgen.host_name(0), testgen.host_name(1)
+    seeds = [testgen.list_url(h0), testgen.list_url(h1)]
+    tagged = pages.withColumn(
+        "text",
+        F.when(
+            F.col("url") == testgen.list_url(h1),
+            F.concat(F.lit('<meta name="robots" content="nofollow">'), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+    eng = CrawlEngine(
+        spark, tagged, storage_json, tmp_path / "state_nf",
+        state_partitions=4, honor_nofollow=True,
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=6)
+    crawled = {r["url"] for r in eng.records().collect()}
+    # h1's list page itself is crawled (and its records kept for audit)...
+    assert testgen.list_url(h1) in crawled
+    # ...but none of its detail children were scheduled
+    assert not any(u.startswith(f"https://{h1}/item-") for u in crawled)
+    # h0 crawls normally
+    assert any(u.startswith(f"https://{h0}/item-") for u in crawled)
+
+    # control: same corpus without the flag follows h1's links
+    eng2 = CrawlEngine(
+        spark, tagged, storage_json, tmp_path / "state_nf_off",
+        state_partitions=4,
+    )
+    eng2.seed(seeds)
+    eng2.run(max_rounds=6)
+    crawled2 = {r["url"] for r in eng2.records().collect()}
+    assert any(u.startswith(f"https://{h1}/item-") for u in crawled2)
+
+
+def test_crawl_blocklist_keeps_domain_out_of_frontier(spark, corpus, tmp_path):
+    """Discovered candidates on a blocklisted domain never enter the
+    frontier; seeds bypass the list (curated by contract)."""
+    pages, storage_json, store = corpus
+    h0, h1 = testgen.host_name(0), testgen.host_name(1)
+    seeds = [testgen.list_url(h0), testgen.list_url(h1)]
+    rules = spark.createDataFrame([(h1,)], "domain string")
+
+    eng = CrawlEngine(
+        spark, pages, storage_json, tmp_path / "state_bl",
+        state_partitions=4, blocklist=rules,
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=6)
+    crawled = {r["url"] for r in eng.records().collect()}
+    assert testgen.list_url(h1) in crawled  # seed bypass
+    assert not any(u.startswith(f"https://{h1}/item-") for u in crawled)
+    assert any(u.startswith(f"https://{h0}/item-") for u in crawled)

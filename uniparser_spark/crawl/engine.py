@@ -105,6 +105,8 @@ class CrawlEngine:
         adapter=None,
         seen_compact_every: int = 64,
         dust_rules: Optional[DataFrame] = None,
+        blocklist: Optional[DataFrame] = None,
+        honor_nofollow: bool = False,
     ):
         """``adapter``: an :class:`uniparser_spark.adapters.Adapter` to
         fetch page bodies with, replacing the pages-table join (the
@@ -132,6 +134,17 @@ class CrawlEngine:
         # to discovered child URLs before canonicalization, so known
         # aliases collapse onto their canonical and dedup pre-fetch
         self.dust_rules = dust_rules
+        # (domain) blocklist (frontier/blocklist.py label-suffix
+        # semantics): discovered candidates on a listed domain never
+        # enter the frontier.  Seeds are assumed curated and bypass it.
+        self.blocklist = blocklist
+        # honor per-page <meta name=robots>/nofollow (REP HTML
+        # extension, frontier/robots.page_directives): children of a
+        # nofollow page are dropped before frontier insertion.  Opt-in:
+        # costs one extra (url, body) pass over the round's fetched
+        # pages.  noindex is a corpus-admission concern — filter the
+        # records table downstream; the engine keeps records for audit.
+        self.honor_nofollow = honor_nofollow
         self.default_budget = default_budget
         self.salt_buckets = salt_buckets
         self.bloom = BloomSeenFilter(n_buckets=bloom_buckets) if use_bloom else None
@@ -497,6 +510,48 @@ class CrawlEngine:
         candidates = (
             candidates.withColumn("_rk", F.row_number().over(first_seen)).filter(F.col("_rk") == 1).drop("_rk")
         )
+        if self.honor_nofollow:
+            # REP HTML extension: children of a nofollow page never
+            # reach the frontier.  Re-derives (url, body) from the
+            # fetch join (broadcast-shaped, no extraction re-run) and
+            # anti-joins the small nofollow-parent set.
+            from ..frontier.robots import page_directives
+
+            body = self.html_col or self.text_col
+            nofollow_parents = (
+                page_directives(fetched.select("url", body), html_col=body)
+                .filter(F.col("nofollow") == 1)
+                .select(F.col("url").alias("parent_url"))
+            )
+            candidates = candidates.join(
+                F.broadcast(nofollow_parents), "parent_url", "left_anti"
+            ).select(*_META_COLS)
+        if self.blocklist is not None:
+            # domain blocklist (label-suffix semantics): resolve the
+            # round's DISTINCT hosts against the broadcast rules, then
+            # anti-join candidates on host — suffix explosion touches
+            # |hosts| rows, not |candidates|
+            from ..frontier.blocklist import host_suffixes
+
+            blocked_hosts = (
+                candidates.select("host")
+                .distinct()
+                .select(
+                    "host", F.explode(host_suffixes(F.col("host"))).alias("suf")
+                )
+                .join(
+                    F.broadcast(
+                        self.blocklist.select(F.col("domain").alias("suf"))
+                    ),
+                    "suf",
+                    "left_semi",
+                )
+                .select("host")
+                .distinct()
+            )
+            candidates = candidates.join(
+                F.broadcast(blocked_hosts), "host", "left_anti"
+            ).select(*_META_COLS)
         if self.robots is not None:
             # robots disallow filter (broadcast join + prefix match);
             # crawl-delay budgets flow in separately via `budgets`
