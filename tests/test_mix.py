@@ -221,3 +221,84 @@ def test_sample_gate_commutes_with_stratified_sample(spark):
         r["doc_id"] for r in df.filter(sample_gate(rates)).collect()
     }
     assert via_op == via_gate
+
+
+# ------------------------------------------------------------ property fuzz
+def test_fuzz_blocklist_matches_python_reference(spark):
+    """Random hosts × random rule sets vs a pure-Python label-suffix
+    reference: blocked flag and longest-match audit column agree."""
+    from hypothesis import given, settings, strategies as st
+
+    from uniparser_spark.frontier.blocklist import apply_blocklist
+
+    label = st.sampled_from(["a", "b", "ab", "tracker", "nottracker", "x1"])
+    host = st.lists(label, min_size=1, max_size=4).map(".".join)
+    cases = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(host)
+    def gen(h):
+        cases.append(h)
+
+    gen()
+    hosts = sorted(set(cases))
+    rules = ["tracker", "a.b", "b", "x1.tracker"]
+
+    def py_ref(h):
+        parts = h.split(".")
+        sufs = [".".join(parts[i:]) for i in range(len(parts))]
+        hits = [s for s in sufs if s in rules]
+        if not hits:
+            return (0, None)
+        return (1, max(hits, key=lambda s: (len(s), s)))
+
+    urls = spark.createDataFrame(
+        [(f"https://{h}/", h) for h in hosts], "url string, host string"
+    )
+    rdf = spark.createDataFrame([(r,) for r in rules], "domain string")
+    got = {
+        r["host"]: (r["blocked"], r["matched"])
+        for r in apply_blocklist(urls, rdf).collect()
+    }
+    for h in hosts:
+        assert got[h] == py_ref(h), h
+
+
+def test_fuzz_pack_sequences_matches_python_reference(spark):
+    """Random token counts: offsets are exact prefix sums in doc_id
+    order within each bucket, and seq spans follow from them."""
+    from hypothesis import given, settings, strategies as st
+
+    from uniparser_spark.textops.mix import pack_sequences
+
+    pairs = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(min_value=0, max_value=5000), st.integers(min_value=1, max_value=40))
+    def gen(doc_id, n_tok):
+        pairs.append((doc_id, n_tok))
+
+    gen()
+    seen = {}
+    for i, n in pairs:
+        seen.setdefault(i, n)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in seen.items()],
+        "doc_id long, text string",
+    )
+    seq_len, n_buckets = 32, 4
+    rows = pack_sequences(docs, seq_len=seq_len, n_buckets=n_buckets).collect()
+
+    # python reference
+    offsets = {}
+    for b in range(n_buckets):
+        acc = 0
+        for i in sorted(k for k in seen if k % n_buckets == b):
+            offsets[i] = acc
+            acc += seen[i]
+    for r in rows:
+        i = r["doc_id"]
+        assert r["tok_offset"] == offsets[i], i
+        assert r["seq_first"] == offsets[i] // seq_len
+        assert r["seq_last"] == (offsets[i] + seen[i] - 1) // seq_len
+    assert len(rows) == len(seen)
