@@ -165,11 +165,51 @@ def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus admission INSIDE a streaming query: per-page robots
+    directives (frontier/robots.page_directives — the same DOM walk the
+    batch op runs) composed with readStream, noindex pages filtered
+    before the sink.  The synthesis mirrors q_page_directives (five
+    meta/header regimes incl. a decoy description meta); the drained
+    sink holds exactly the admitted pages with their remaining flags."""
+    from .frontier.robots import page_directives
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://m.example.org/p/"), d.cast("string"))
+    meta = (
+        F.when(d % 5 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 5 == 2, F.lit('<meta content="NOFOLLOW , noarchive" name="ROBOTS">'))
+        .when(d % 5 == 3, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="description" content="nofollow">'),
+        meta,
+        F.lit("</head><body>p"),
+        d.cast("string"),
+        F.lit("</body></html>"),
+    )
+    header = F.when(d % 5 == 4, F.lit("noindex")).otherwise(
+        F.lit(None).cast("string")
+    )
+    pages = _docs_stream(spark, sf_dir).select(
+        url.alias("url"), html.alias("html"), header.alias("xrt")
+    )
+    admitted = page_directives(pages, header_col="xrt").filter(
+        F.col("noindex") == 0
+    )
+    base = tempfile.mkdtemp(prefix="us_stream_admission_")
+    out_dir, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    _await(run_to_parquet(admitted, out_dir, ck))
+    return spark.read.parquet(out_dir).select("url", "nofollow", "noarchive")
+
+
 STREAM_QUERIES = {
     "stream_host_rates": q_stream_host_rates,
     "stream_extract": q_stream_extract,
     "stream_dedup": q_stream_dedup,
     "stream_links": q_stream_links,
+    "stream_admission": q_stream_admission,
 }
 
 STREAM_ORACLES = {
@@ -192,5 +232,14 @@ STREAM_ORACLES = {
     "stream_dedup": """
         SELECT DISTINCT 'https://docs.example.org/d/' || doc_id AS url
         FROM documents
+    """,
+    "stream_admission": """
+        SELECT 'https://m.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(CASE WHEN doc_id % 5 IN (2, 3) THEN 1 ELSE 0 END AS INT)
+                 AS nofollow,
+               CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS INT)
+                 AS noarchive
+        FROM documents
+        WHERE doc_id % 5 NOT IN (1, 3, 4)
     """,
 }

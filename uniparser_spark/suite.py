@@ -3902,6 +3902,7 @@ ORACLES["stream_links"] = ORACLES["links_extract"]
 _GATE_PRIORITY = [
     # never driver-certified (streaming first)
     "stream_host_rates", "stream_extract", "stream_dedup", "stream_links",
+    "stream_admission",
     # cleaning family (textops/clean.py)
     "c4_line_filter", "repetition_stats", "pii_redact", "para_dedup",
     "top_tokens", "ngram_repetition", "doc_filter", "text_normalize",
