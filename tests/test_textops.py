@@ -483,3 +483,18 @@ def test_host_stats_approx_path(spark):
     assert abs(approx["dup_frac"] - exact["dup_frac"]) < 0.2
     plan = host_quality_stats(df, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert "approx_count_distinct" in plan or "HyperLogLog" in plan
+
+
+def test_centroid_assign_picks_nearest_with_ties(spark):
+    from uniparser_spark.textops.similarity import centroid_assign
+
+    rows = [
+        (0, [1.0, 0.0]),          # centroid 0
+        (1, [0.0, 1.0]),          # centroid 1
+        (2, [0.9, 0.1]),          # -> centroid 0
+        (3, [0.1, 0.9]),          # -> centroid 1
+        (4, [1.0, 1.0]),          # equidistant: tie -> lower centroid_id
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["centroid_id"] for r in centroid_assign(emb, k=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}

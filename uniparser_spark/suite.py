@@ -2010,6 +2010,16 @@ def q_embedding_verified_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------- multimodal
+def q_embedding_clusters(spark, sf_dir):
+    """Nearest-centroid assignment (textops/similarity.py
+    centroid_assign): spherical k-means E-step with a deterministic
+    id<k init — corpus diversity bucketing over the embeddings table;
+    centroids broadcast, no wide shuffle of vectors."""
+    from .textops.similarity import centroid_assign
+
+    return centroid_assign(tp(spark, sf_dir, "embeddings"), k=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     media = docs_as_media(tp(spark, sf_dir, "documents"))
     return decode_media(media, mode="fake")
@@ -2124,6 +2134,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "host_blocklist": q_host_blocklist,
     "corpus_pipeline": q_corpus_pipeline,
+    "embedding_clusters": q_embedding_clusters,
 }
 
 
@@ -3209,6 +3220,24 @@ ORACLES = {
         SELECT id1, id2, ROUND(inter / (la + lb - inter), 4) AS jaccard
         FROM p WHERE ROUND(inter / (la + lb - inter), 4) >= 0.2
     """,
+    "embedding_clusters": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        c AS (
+          SELECT vec_id, centroid_id,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> cv[i] * v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS sim
+          FROM e, cents
+        )
+        SELECT vec_id, centroid_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM c
+        ) WHERE rn = 1
+    """,
     "cosine_topk": """
         WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3920,7 +3949,7 @@ _GATE_PRIORITY = [
     # new this round (corpus assembly + budget feedback) — never certified
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
-    "corpus_pipeline",
+    "corpus_pipeline", "embedding_clusters",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)

@@ -434,3 +434,41 @@ def embedding_verified_pairs(
         .select("id1", "id2", F.round(F.col("sim_raw"), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment — the E-step of spherical k-means,
+    used standalone for corpus diversity bucketing (balance a training
+    mix across semantic clusters, or cap per-cluster contributions the
+    way stratified_sample caps per-language).
+
+    Centroids are the vectors with id < k: a deterministic k-means++-
+    free init, chosen so the assignment is exactly reproducible across
+    engines and retries (the property a sampled init lacks; production
+    iterates the M-step from here, each iteration another broadcast
+    pass).  Output: (id, centroid_id, sim 6-dp), ties broken by
+    centroid_id.
+
+    Scale: centroids broadcast (k rows); the corpus side is one
+    projected scan + in-stage cross product against k, a per-partition
+    window for the argmax — no wide shuffle of embeddings."""
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = base.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+    sims = base.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "centroid_id",
+        F.round(cosine(F.col("cv"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "sim")
+    )
