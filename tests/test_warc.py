@@ -121,3 +121,52 @@ def test_wet_conversion_records_roundtrip():
     assert pages[0]["warc_ts"] == ts
     assert pages[0]["html"] == b"extracted text one"  # raw payload bytes
     assert pages[0]["lang"] is None  # no HTTP envelope -> no header
+
+
+def test_write_warc_segments_and_roundtrip(spark, tmp_path):
+    """Distributed sink: one committed segment per non-empty partition,
+    manifest counts match, read_warc returns the original rows."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.sources.warc import read_warc, write_warc
+
+    rows = [
+        (f"https://s.org/{i}", datetime(2026, 1, 1, 0, 0, i, tzinfo=timezone.utc),
+         f"body {i}".encode(), ["en", "de"][i % 2])
+        for i in range(10)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, lang string"
+    ).repartition(3)
+    out = str(tmp_path / "warc_out")
+    manifest = write_warc(pages, out).collect()
+    assert sum(m["n_records"] for m in manifest) == 10
+    segs = [m["segment"] for m in manifest]
+    assert all(s.endswith(".warc.gz") for s in segs)
+    import os
+    assert sorted(os.listdir(out)) == sorted(segs)  # no .tmp leftovers
+
+    back = read_warc(spark, out)
+    got = {
+        r["url"]: (r["text"], r["lang"], r["warc_ts"].second)
+        for r in back.collect()
+    }
+    assert got == {u: (f"body {i}", ["en", "de"][i % 2], i)
+                   for i, (u, *_rest) in enumerate(rows)}
+
+
+def test_write_warc_string_body_and_null_lang(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from uniparser_spark.sources.warc import read_warc, write_warc
+
+    pages = spark.createDataFrame(
+        [("https://s.org/x", datetime(2026, 1, 1, tzinfo=timezone.utc), "txt")],
+        "url string, warc_ts timestamp, html string",
+    )
+    out = str(tmp_path / "warc_out2")
+    write_warc(pages, out, lang_col=None).count()
+    row = read_warc(spark, out).collect()[0]
+    assert (row["text"], row["lang"]) == ("txt", None)

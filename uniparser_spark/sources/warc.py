@@ -247,3 +247,99 @@ def build_wet(
         else:
             out.write(record)
     return out.getvalue()
+
+
+def write_warc(
+    pages,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+    lang_col: Optional[str] = "lang",
+):
+    """Distributed WARC SINK: pages DataFrame → one ``.warc.gz`` segment
+    per partition under ``out_dir``; returns the segment manifest as a
+    DataFrame ``(segment, n_records, n_bytes)`` (an action on it
+    performs the write — the same lazy-sink contract as
+    ``DataFrame.write``).
+
+    The partition is the segment (the inverse of :func:`read_warc`,
+    where the segment is the parallelism unit), so a 1000-executor job
+    streams 1000 segments concurrently with no shuffle and no driver
+    involvement.  Each task writes ``part-<pid>-<uuid>.warc.gz.tmp``
+    and renames it into place — rename-commit, the simple half of a
+    Hadoop committer; production would commit segments to an Iceberg
+    table (add_files) so a failed job leaves no visible partials.
+    Bytes are deterministic given partition contents (pinned gzip
+    mtime, fixed header layout): re-running a lost task rewrites an
+    identical segment.
+
+    Round-trip contract: ``read_warc(out_dir)`` returns the same
+    ``(url, warc_ts, html, text, lang)`` rows (oracle-gated by the
+    ``warc_roundtrip`` suite query).  ``lang_col`` rides in the HTTP
+    Content-Language header; None writes no header and reads back
+    NULL."""
+    import os
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(body_col).alias("body"),
+    ]
+    cols.append(
+        F.col(lang_col).alias("lang")
+        if lang_col
+        else F.lit(None).cast("string").alias("lang")
+    )
+    proj = pages.select(*cols)
+
+    def sink(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        by_lang: Dict[Optional[str], List[Tuple[str, datetime, bytes]]] = {}
+        order: List[Optional[str]] = []
+        for batch in batches:
+            for url, ts, body, lang in zip(
+                batch["url"], batch["ts"], batch["body"], batch["lang"]
+            ):
+                if isinstance(body, str):
+                    body = body.encode("utf-8")
+                elif isinstance(body, (bytearray, memoryview)):
+                    body = bytes(body)
+                lang = lang if isinstance(lang, str) else None
+                if lang not in by_lang:
+                    by_lang[lang] = []
+                    order.append(lang)
+                dt = ts.to_pydatetime()
+                if dt.tzinfo is None:  # Arrow hands back naive UTC
+                    dt = dt.replace(tzinfo=timezone.utc)
+                by_lang[lang].append((url, dt, body))
+        if not order:
+            yield pd.DataFrame(
+                {"segment": [], "n_records": [], "n_bytes": []}
+            ).astype({"segment": str, "n_records": "int64", "n_bytes": "int64"})
+            return
+        # one segment per partition: records grouped by language run
+        # (Content-Language is per-HTTP-response, passed per group)
+        blob = b"".join(
+            build_warc(by_lang[lang], content_language=lang) for lang in order
+        )
+        n = sum(len(v) for v in by_lang.values())
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz"
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.rename(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame(
+            {"segment": [name], "n_records": [n], "n_bytes": [len(blob)]}
+        )
+
+    return proj.mapInPandas(
+        sink, schema="segment string, n_records long, n_bytes long"
+    )

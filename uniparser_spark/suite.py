@@ -554,6 +554,37 @@ def q_rule_xpath(spark, sf_dir):
     )
 
 
+def q_warc_sink_roundtrip(spark, sf_dir):
+    """The distributed WARC SINK (sources/warc.py write_warc) driven
+    end-to-end: pages → one .warc.gz segment per partition
+    (rename-commit) → re-read through read_warc's binaryFile scan.
+    The oracle predicts the round-trip straight from documents, so a
+    header-layout, charset, Content-Language or timestamp bug in
+    EITHER direction breaks parity."""
+    import tempfile
+
+    from .sources.warc import read_warc, write_warc
+    from .testgen import BASE_EPOCH
+
+    d = F.col("doc_id")
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pages = docs.select(
+        F.concat(F.lit("https://sink.example.org/d/"), d.cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + d).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        "lang",
+    )
+    out_dir = tempfile.mkdtemp(prefix="us_warc_sink_")
+    write_warc(pages, out_dir).count()  # commit the segments
+    back = read_warc(spark, out_dir)
+    return back.select(
+        "url",
+        "text",
+        "lang",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_epoch"),
+    )
+
+
 def q_warc_scan(spark, sf_dir):
     """WARC source connector (sources/warc.py) round-trip: each
     partition of the documents table is encoded as a Common-Crawl-style
@@ -2135,6 +2166,7 @@ QUERIES = {
     "host_blocklist": q_host_blocklist,
     "corpus_pipeline": q_corpus_pipeline,
     "embedding_clusters": q_embedding_clusters,
+    "warc_sink_roundtrip": q_warc_sink_roundtrip,
 }
 
 
@@ -3820,6 +3852,14 @@ ORACLES.update(
                (tok_offset + n_tokens - 1) // 128 AS seq_last
         FROM placed
     """,
+        # BASE_EPOCH (testgen) = 1580732985; WARC-Date has second
+        # resolution, which the synthesis respects by construction
+        "warc_sink_roundtrip": r"""
+        SELECT 'https://sink.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+               text, lang,
+               1580732985 + doc_id AS warc_epoch
+        FROM documents
+    """,
         "host_blocklist": r"""
         WITH u AS (
           SELECT 'https://' || h || '/p/' || CAST(doc_id AS VARCHAR) AS url,
@@ -3949,7 +3989,7 @@ _GATE_PRIORITY = [
     # new this round (corpus assembly + budget feedback) — never certified
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
-    "corpus_pipeline", "embedding_clusters",
+    "corpus_pipeline", "embedding_clusters", "warc_sink_roundtrip",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)
