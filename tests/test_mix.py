@@ -302,3 +302,42 @@ def test_fuzz_pack_sequences_matches_python_reference(spark):
         assert r["seq_first"] == offsets[i] // seq_len
         assert r["seq_last"] == (offsets[i] + seen[i] - 1) // seq_len
     assert len(rows) == len(seen)
+
+
+def test_budget_feedback_closes_the_scheduler_loop(spark):
+    """allocate_budget output plugs straight into schedule_batch as the
+    per-host budgets table: a host with better fetch history gets more
+    of the next round scheduled, zero-reward hosts keep the exploration
+    floor — the explore/exploit loop closed end-to-end."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.politeness import schedule_batch
+
+    log = spark.createDataFrame(
+        [("good.org", 9)] * 20 + [("bad.org", 0)] * 20,
+        "host string, q int",
+    )
+    budgets = allocate_budget(log, total_budget=100, smooth=2).select(
+        "host", F.col("alloc").cast("int").alias("budget")
+    )
+    alloc = {r["host"]: r["budget"] for r in budgets.collect()}
+    # good: floor(100*182/188)=96; bad: floor(100*2/188)=1 (floor > 0)
+    assert alloc["good.org"] > alloc["bad.org"] >= 1
+
+    pending = spark.createDataFrame(
+        [
+            (f"https://{h}/p{i}", h, 0.0, 0, None, i, 0)
+            for h in ("good.org", "bad.org")
+            for i in range(200)
+        ],
+        "url_canon string, host string, priority double, depth int, "
+        "parent_url string, list_index int, discovered_round int",
+    )
+    decided = schedule_batch(pending, budgets=budgets, default_budget=50)
+    per_host = {
+        r["host"]: r["n"]
+        for r in decided.filter("scheduled").groupBy("host").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert per_host == {"good.org": alloc["good.org"], "bad.org": alloc["bad.org"]}
