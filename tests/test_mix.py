@@ -341,3 +341,50 @@ def test_budget_feedback_closes_the_scheduler_loop(spark):
         ).collect()
     }
     assert per_host == {"good.org": alloc["good.org"], "bad.org": alloc["bad.org"]}
+
+
+# ----------------------------------------------------------------- epoch_mix
+def test_epoch_mix_hits_target_within_sampling_error(spark):
+    from uniparser_spark.textops.mix import epoch_mix
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 300 else "code") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    # weights 1:3 over N=400 -> targets en 100, code 300
+    # f_en = 100/300 (Bernoulli per doc), f_code = 300/100 = 3.0 exactly
+    rows = epoch_mix(df, weights={"en": 1, "code": 3}).collect()
+    tot = {}
+    for r in rows:
+        tot[r["stratum"]] = tot.get(r["stratum"], 0) + r["n_copies"]
+    assert tot["code"] == 300  # exact integer factor: every doc 3 copies
+    # fractional factor is a per-doc hash-Bernoulli: within ~4 sigma
+    # (sigma = sqrt(300 * (85/256) * (171/256)) ~ 8.2) of the
+    # /256-quantized expectation 300*85/256 ~ 99.6
+    assert abs(tot["en"] - 100) <= 33
+    per_doc = {r["doc_id"]: r["n_copies"] for r in rows}
+    assert all(per_doc[i] == 3 for i in range(300, 400))
+    assert all(per_doc[i] in (0, 1) for i in range(300))
+
+
+def test_epoch_mix_zero_weight_stratum_gets_zero_copies(spark):
+    from uniparser_spark.textops.mix import epoch_mix
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "zh"), (3, "en"), (4, "en")], "doc_id long, lang string"
+    )
+    got = {r["doc_id"]: r["n_copies"] for r in epoch_mix(df, weights={"en": 1}).collect()}
+    assert got[2] == 0
+    # en: f = 4*1/(1*3) = 1.333 -> each doc 1 or 2 copies
+    assert all(got[i] in (1, 2) for i in (1, 3, 4))
+
+
+def test_epoch_mix_is_deterministic(spark):
+    from uniparser_spark.textops.mix import epoch_mix
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(100)], "doc_id long, lang string"
+    )
+    a = sorted((r["doc_id"], r["n_copies"]) for r in epoch_mix(df, weights={"en": 3}).collect())
+    b = sorted((r["doc_id"], r["n_copies"]) for r in epoch_mix(df, weights={"en": 3}).collect())
+    assert a == b

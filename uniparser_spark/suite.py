@@ -1772,6 +1772,20 @@ def q_seq_pack(spark, sf_dir):
     )
 
 
+def q_epoch_mix(spark, sf_dir):
+    """Training-mix upsampling (textops/mix.py epoch_mix): integer mix
+    weights per lang -> per-doc epoch counts hitting the target
+    proportions within one doc per stratum; all-integer arithmetic
+    (floor + hash-gated fractional epoch), zh excluded via zero
+    weight."""
+    from .textops.mix import epoch_mix
+
+    return epoch_mix(
+        tp(spark, sf_dir, "documents"),
+        weights={"en": 1, "de": 3, "fr": 2, "es": 2},
+    )
+
+
 def q_lm_scores(spark, sf_dir):
     """Corpus-unigram LM scoring (textops/mix.py unigram_scores):
     top-16 vocabulary over the corpus, per-doc OOV fraction and mean
@@ -2167,6 +2181,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "embedding_clusters": q_embedding_clusters,
     "warc_sink_roundtrip": q_warc_sink_roundtrip,
+    "epoch_mix": q_epoch_mix,
 }
 
 
@@ -3780,6 +3795,24 @@ ORACLES.update(
                (tok_offset + n_tokens - 1) // 128 AS seq_last
         FROM o
     """,
+        "epoch_mix": rf"""
+        WITH c AS (SELECT lang AS s, COUNT(*) AS ns FROM documents GROUP BY 1),
+        t AS (SELECT SUM(ns) AS n FROM c),
+        d AS (
+          SELECT doc_id, lang AS stratum,
+                 CAST(t.n * (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 3
+                                       WHEN 'fr' THEN 2 WHEN 'es' THEN 2
+                                       ELSE 0 END) AS BIGINT) AS num,
+                 CAST(8 * c.ns AS BIGINT) AS den
+          FROM documents JOIN c ON documents.lang = c.s, t
+        )
+        SELECT doc_id, stratum,
+               CAST(num // den
+                    + CASE WHEN {_hexbyte("md5('epoch:' || CAST(doc_id AS VARCHAR))", 0)}
+                                < (num * 256) // den - (num // den) * 256
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM d
+    """,
         "lm_scores": rf"""
         WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
         c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
@@ -3990,6 +4023,7 @@ _GATE_PRIORITY = [
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
     "corpus_pipeline", "embedding_clusters", "warc_sink_roundtrip",
+    "epoch_mix",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)

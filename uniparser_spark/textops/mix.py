@@ -286,3 +286,72 @@ def unigram_scores(
             10,
         ).alias("avg_tok_prob"),
     )
+
+
+# ------------------------------------------------------------- epoch mixing
+def epoch_mix(
+    df: DataFrame,
+    weights: Mapping[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+    denom: int = 256,
+) -> DataFrame:
+    """Training-mix UPSAMPLING — the counterpart of
+    :func:`stratified_sample`'s downsampling: given integer mix weights
+    per stratum (e.g. ``{"en": 2, "code": 5}``), emit how many epochs
+    of each document the training stream should contain so the corpus
+    lands on the target proportions at unchanged total size.
+
+    Per stratum s with n_s docs of N total and weight w_s of W total,
+    the target is N*w_s/W docs, i.e. a repetition factor f_s =
+    N*w_s/(W*n_s).  Each doc gets floor(f_s) copies plus one more with
+    probability frac(f_s), decided by the same md5 hash gate as
+    stratified_sample — a per-doc Bernoulli, so the realized stratum
+    total lands within O(sqrt(n_s)) of target (exact when f_s is an
+    integer; the /denom quantization of frac adds at most n_s/denom
+    bias), and the whole assignment is deterministic and reproducible
+    under retries.  The computation is integer arithmetic end-to-end
+    (the fractional part is compared in /denom units): no float ever
+    enters, so the DuckDB oracle reproduces every count exactly.
+
+    Output: (id, stratum, n_copies) with n_copies >= 0 (an unlisted or
+    zero-weight stratum gets n_copies = 0 — upsampling and exclusion in
+    one recipe; filter n_copies > 0 to materialize).  The trainer
+    materializes copies downstream (e.g. sequence-pack the id stream
+    with each id repeated n_copies times).
+
+    Scale: one map-side-combined groupBy(stratum) for the counts
+    (|strata| rows), broadcast back, then a pure per-row expression —
+    the corpus never shuffles."""
+    W = sum(weights.values())
+    counts = df.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_ns")
+    )
+    totals = counts.agg(F.sum("_ns").cast("long").alias("_n"))
+    out = (
+        df.select(F.col(id_col), F.col(stratum_col).alias("stratum"))
+        .join(F.broadcast(counts), F.col("stratum") == F.col("_s"))
+        .crossJoin(F.broadcast(totals))
+    )
+    wj: Column = F.lit(0).cast("long")
+    for k in sorted(weights, reverse=True):
+        wj = F.when(F.col("stratum") == k, F.lit(weights[k])).otherwise(wj)
+    # integer floor and fractional part in /denom units:
+    #   f_s = N*w_s/(W*n_s); base = floor(f_s);
+    #   frac_d = floor(f_s*denom) - base*denom
+    staged = out.select(
+        F.col(id_col),
+        "stratum",
+        (F.col("_n") * wj).cast("long").alias("_num"),
+        (F.lit(W) * F.col("_ns")).cast("long").alias("_den"),
+    )
+    base = F.expr("CAST(_num DIV _den AS BIGINT)")
+    fracd = F.expr(f"CAST((_num * {int(denom)}) DIV _den AS BIGINT)") - base * denom
+    bucket = hex_bucket(F.col(id_col), salt)
+    n_copies = (base + F.when(bucket < fracd, 1).otherwise(0)).cast("long")
+    return staged.select(
+        F.col(id_col),
+        "stratum",
+        n_copies.alias("n_copies"),
+    )
