@@ -4010,7 +4010,6 @@ _GATE_PRIORITY = [
     "top_tokens", "ngram_repetition", "doc_filter", "text_normalize",
     # graph / CC (star default is new in r4)
     "link_degrees", "pagerank3", "dedup_clusters", "canonical_docs",
-    "dedup_clusters_star", "dedup_clusters_hashmin",
     # DUST / traps / links / retry / freshness
     "url_aliases", "dust_rules", "host_traps", "url_templates",
     "links_extract", "anchor_index", "host_graph", "retry_schedule",
@@ -4024,6 +4023,11 @@ _GATE_PRIORITY = [
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
     "corpus_pipeline", "embedding_clusters", "warc_sink_roundtrip",
     "epoch_mix",
+    # the CC twins run the SAME oracle as dedup_clusters (one row
+    # certifies the closure; algorithm agreement is differential-tested
+    # in pytest) — placed after the distinct contracts so every UNIQUE
+    # contract fits the driver's 50-row window
+    "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)
