@@ -388,3 +388,43 @@ def test_epoch_mix_is_deterministic(spark):
     a = sorted((r["doc_id"], r["n_copies"]) for r in epoch_mix(df, weights={"en": 3}).collect())
     b = sorted((r["doc_id"], r["n_copies"]) for r in epoch_mix(df, weights={"en": 3}).collect())
     assert a == b
+
+
+def test_strip_dup_spans_keep_first_and_tail(spark):
+    from uniparser_spark.textops.dedup import strip_dup_spans
+
+    blockA = "a0 a1 a2 a3"
+    blockB = "b0 b1 b2 b3"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{blockA} {blockB} t1 t2"),   # chunks A,B + tail "t1 t2"
+            (2, f"{blockA} c0 c1 c2 c3"),      # A dup (2nd occurrence) + C
+            (3, "tiny tail"),                  # no chunks, tail only
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in strip_dup_spans(docs, k=4).collect()}
+    # doc 1 owns the first occurrence of A: nothing dropped
+    assert (got[1]["n_chunks"], got[1]["n_dropped"]) == (2, 0)
+    assert got[1]["clean_text"] == f"{blockA} {blockB} t1 t2"
+    # doc 2's copy of A is the duplicate: dropped, C + no tail kept
+    assert (got[2]["n_chunks"], got[2]["n_dropped"]) == (2, 1)
+    assert got[2]["clean_text"] == "c0 c1 c2 c3"
+    # chunkless doc passes through as its tail
+    assert (got[3]["n_chunks"], got[3]["n_dropped"], got[3]["clean_text"]) == (
+        0, 0, "tiny tail",
+    )
+
+
+def test_strip_dup_spans_remove_all_occurrences(spark):
+    from uniparser_spark.textops.dedup import strip_dup_spans
+
+    blockA = "a0 a1 a2 a3"
+    docs = _docs(spark, [(1, blockA), (2, f"{blockA} z")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in strip_dup_spans(docs, k=4, keep_first=False).collect()
+    }
+    assert got[1]["clean_text"] == ""
+    assert got[2]["clean_text"] == "z"
+    assert got[1]["n_dropped"] == 1 and got[2]["n_dropped"] == 1

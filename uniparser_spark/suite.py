@@ -1853,6 +1853,17 @@ def q_dup_spans(spark, sf_dir):
     return dup_spans(tp(spark, sf_dir, "documents"), k=16, min_copies=2)
 
 
+def q_strip_spans(spark, sf_dir):
+    """Substring-dedup ACTION (textops/dedup.py strip_dup_spans):
+    corpus-duplicated 16-token chunks removed keep-first (the first
+    (doc_id, chunk_idx) occurrence stays canonical), sub-chunk tails
+    always kept, text rebuilt.  The oracle re-derives chunking,
+    election and rebuild in SQL."""
+    from .textops.dedup import strip_dup_spans
+
+    return strip_dup_spans(tp(spark, sf_dir, "documents"), k=16, min_copies=2)
+
+
 def q_page_directives(spark, sf_dir):
     """Page-level robots directives (frontier/robots.py
     page_directives): <meta name=robots> parsed with the engine's own
@@ -2195,6 +2206,7 @@ QUERIES = {
     "crawl_budget": q_crawl_budget,
     "page_directives": q_page_directives,
     "dup_spans": q_dup_spans,
+    "strip_spans": q_strip_spans,
     "host_blocklist": q_host_blocklist,
     "corpus_pipeline": q_corpus_pipeline,
     "embedding_clusters": q_embedding_clusters,
@@ -3911,6 +3923,46 @@ ORACLES.update(
                1580732985 + doc_id AS warc_epoch
         FROM documents
     """,
+        "strip_spans": rf"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        c AS (
+          SELECT doc_id, len(tk) // 16 AS nc,
+                 array_to_string(tk[(len(tk) // 16) * 16 + 1 :], ' ') AS tail,
+                 tk
+          FROM d
+        ),
+        ch AS (
+          SELECT doc_id, unnest(range(0, nc)) AS idx,
+                 unnest(list_transform(range(0, nc),
+                        i -> array_to_string(tk[i*16+1:i*16+16], ' '))) AS chunk
+          FROM c
+        ),
+        f AS (SELECT doc_id, idx, chunk, substr(md5(chunk), 1, 16) AS fp FROM ch),
+        n AS (SELECT fp, COUNT(*) AS ncop FROM f GROUP BY 1 HAVING COUNT(*) >= 2),
+        r AS (
+          SELECT f.doc_id, f.idx, f.chunk, n.ncop,
+                 ROW_NUMBER() OVER (PARTITION BY f.fp ORDER BY f.doc_id, f.idx)
+                   AS rn
+          FROM f LEFT JOIN n USING (fp)
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN ncop IS NOT NULL AND rn > 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 COALESCE(string_agg(
+                     CASE WHEN ncop IS NULL OR rn = 1 THEN chunk END,
+                     ' ' ORDER BY idx), '') AS body
+          FROM r GROUP BY 1
+        )
+        SELECT c.doc_id,
+               CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+               COALESCE(array_to_string(
+                 list_filter([COALESCE(a.body, ''), COALESCE(c.tail, '')],
+                             x -> x <> ''), ' '), '')
+                 AS clean_text
+        FROM c LEFT JOIN agg a USING (doc_id)
+    """,
         "host_blocklist": r"""
         WITH u AS (
           SELECT 'https://' || h || '/p/' || CAST(doc_id AS VARCHAR) AS url,
@@ -4040,7 +4092,7 @@ _GATE_PRIORITY = [
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
     "corpus_pipeline", "embedding_clusters", "warc_sink_roundtrip",
-    "epoch_mix",
+    "epoch_mix", "strip_spans",
     # the CC twins run the SAME oracle as dedup_clusters (one row
     # certifies the closure; algorithm agreement is differential-tested
     # in pytest) — placed after the distinct contracts so every UNIQUE

@@ -30,7 +30,7 @@ Hashing has two implementations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .exprs import h16, md5_bit, seeded_h16, tokens, word_shingles
 
@@ -589,4 +589,95 @@ def dup_spans(
             copies.filter(F.col("n_copies") >= min_copies), "fp", "inner"
         )
         .select(id_col, "chunk_idx", "start_tok", "n_copies")
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    k: int = 16,
+    min_copies: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTION side of :func:`dup_spans`: rebuild each document with
+    its corpus-duplicated k-token chunks removed — the substring-level
+    analog of ``para_dedup``'s keep-first paragraph removal.
+
+    ``keep_first=True`` keeps one canonical copy of every duplicated
+    chunk (the corpus-wide first occurrence by (id, chunk_idx) — dedup
+    semantics); ``False`` removes every occurrence (boilerplate-kill
+    semantics).  The k-token TAIL of each doc (the remainder shorter
+    than k) is never corpus-deduped and is always kept.  Output:
+    (id, n_chunks, n_dropped, clean_text) where clean_text is the kept
+    chunks + tail re-joined with single spaces.
+
+    Scale: same fingerprint-only shuffles as dup_spans, plus one
+    (id, idx)-keyed window to elect first occurrences and a final join
+    of kept indices back to the chunk text — the chunk text for the
+    REBUILD crosses one shuffle keyed by id (unavoidable: the output IS
+    text), everything else stays 16-byte keys."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.floor(F.size(toks) / k).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+    tail = F.concat_ws(
+        " ", F.slice(toks, n_chunks * k + 1, F.size(toks) - n_chunks * k)
+    )
+    chunks = df.select(
+        F.col(id_col),
+        tail.alias("_tail"),
+        F.posexplode_outer(
+            F.when(n_chunks >= 1, chunk_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    fp = h16(F.col("chunk"))
+    marked = chunks.select(
+        F.col(id_col), "_tail", "chunk_idx", "chunk", fp.alias("fp")
+    )
+    counts = (
+        marked.filter(F.col("chunk").isNotNull())
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    w = Window.partitionBy("fp").orderBy(id_col, "chunk_idx")
+    flagged = marked.join(
+        counts.filter(F.col("n_copies") >= min_copies), "fp", "left"
+    )
+    if keep_first:
+        rank = F.when(
+            F.col("n_copies").isNotNull(), F.row_number().over(w)
+        ).otherwise(F.lit(1))
+        drop = F.col("n_copies").isNotNull() & (rank > 1)
+    else:
+        drop = F.col("n_copies").isNotNull()
+    kept = flagged.select(
+        F.col(id_col),
+        "_tail",
+        "chunk_idx",
+        "chunk",
+        drop.alias("_drop"),
+    )
+    kept_parts = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("_drop") & F.col("chunk").isNotNull(),
+                    F.struct(F.col("chunk_idx"), F.col("chunk")),
+                )
+            )
+        ),
+        lambda s: s["chunk"],
+    )
+    all_parts = F.concat(kept_parts, F.array(F.first("_tail")))
+    return kept.groupBy(id_col).agg(
+        F.count("chunk").alias("n_chunks"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            " ", F.filter(all_parts, lambda x: x.isNotNull() & (x != ""))
+        ).alias("clean_text"),
     )
