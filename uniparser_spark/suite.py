@@ -2106,7 +2106,14 @@ def q_media_dims(spark, sf_dir):
     codec-seam closure for formats the stdlib can carry."""
     from .textops.multimodal import synth_media
 
-    media = synth_media(tp(spark, sf_dir, "documents"))
+    # repartition BEFORE the expansion stage: the input here is one
+    # small parquet file (one partition), but synthesis blows each
+    # 8-byte id up into a ~10-200 KB container, so the narrow id
+    # projection is spread first (a ~40 KB shuffle) and the fat
+    # synth+decode Python stages run on every core.
+    n = spark.sparkContext.defaultParallelism
+    docs = tp(spark, sf_dir, "documents").select("doc_id").repartition(n)
+    media = synth_media(docs)
     return decode_media(media, mode="header").select(
         "media_id", "media_type", "fmt", "width", "height", "n_frames", "duration_ms"
     )
