@@ -332,3 +332,36 @@ def test_host_suffixes_chain(spark):
         "b.c",
         "c",
     ]
+
+
+def test_surt_key_parity_and_domain_contiguity(spark):
+    from uniparser_spark.frontier.seen import add_surt_keys
+
+    cases = [
+        ("https://www.a.example.org:443/p?q=1#f", "org,example,a)/p?q=1"),
+        ("HTTP://B.Example.COM:8080/x", "com,example,b:8080)/x"),
+        ("https://user:pw@d.example.org", "org,example,d)/"),
+        ("http://h.example.net:80/", "net,example,h)/"),
+        ("relative/x", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r["surt"] for r in add_surt_keys(df).collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+
+    # the layout property SURT buys: every subdomain of a registrable
+    # domain sorts contiguously, so repartitionByRange(surt) gives
+    # per-domain locality with no hash shuffle
+    urls = [
+        "https://a.example.org/1",
+        "https://other.net/x",
+        "https://deep.sub.example.org/2",
+        "https://www.example.org/3",
+        "https://zzz.example.com/y",
+    ]
+    df2 = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = sorted(
+        (r["surt"], r["url"]) for r in add_surt_keys(df2).collect()
+    )
+    org_idx = [i for i, (s, _) in enumerate(rows) if s.startswith("org,example")]
+    assert org_idx == list(range(org_idx[0], org_idx[0] + 3))

@@ -238,3 +238,41 @@ def test_reliable_checkpoint_path_resumes(spark, tmp_path):
     finally:
         # restore the shared session's default (no reliable dir)
         sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_trustrank_seed_mass_and_spam_isolation(spark):
+    from uniparser_spark.graph import trustrank
+
+    # 0 -> 1 -> 2 -> 0 cycle; 3 links INTO the cycle but nothing links
+    # to 3 (a spam node pointing at good pages)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["trust"] for r in trustrank(edges, nodes, seeds).collect()}
+
+    # hand-unrolled 3 iterations (beta = 0.85, d = [1,0,0,0])
+    beta, rb = 0.85, 1 - 0.85
+    t = [1.0, 0.0, 0.0, 0.0]
+    for _ in range(3):
+        c = [t[2] + t[3], t[0], t[1], 0.0]  # unit outdegs
+        t = [rb * (1.0 if v == 0 else 0.0) + beta * c[v] for v in range(4)]
+    for v in range(4):
+        assert abs(got[v] - t[v]) < 1e-8, (v, got[v], t[v])
+    # the seed-unreachable spam node holds exactly zero trust, despite
+    # its out-link — the demotion property PageRank lacks
+    assert got[3] == 0.0
+    assert got[0] > got[1] > got[2] > 0
+
+
+def test_trustrank_empty_seeds_raises(spark):
+    import pytest as _pt
+
+    from uniparser_spark.graph import trustrank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    empty = spark.createDataFrame([], "node long")
+    with _pt.raises(ValueError):
+        trustrank(edges, nodes, empty)

@@ -498,3 +498,63 @@ def test_centroid_assign_picks_nearest_with_ties(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r["vec_id"]: r["centroid_id"] for r in centroid_assign(emb, k=2).collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_incremental_dedup_verdicts_and_idempotence(spark):
+    import hashlib as _hl
+
+    from uniparser_spark.textops.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "a b"), (2, "A  b"), (3, "c"), (4, "d")],
+        "doc_id long, text string",
+    )
+    fp_c = _hl.md5(b"c").hexdigest()[:16]
+    ledger = spark.createDataFrame([(fp_c,)], "content_fp string")
+
+    out = {r["doc_id"]: r for r in incremental_dedup(batch, ledger).collect()}
+    assert out[1]["reason"] == "new" and out[1]["admitted"] == 1
+    # same normalized content as doc 1, larger id -> in-batch loser
+    assert out[2]["reason"] == "dup_batch" and out[2]["admitted"] == 0
+    assert out[3]["reason"] == "dup_corpus" and out[3]["admitted"] == 0
+    assert out[4]["reason"] == "new" and out[4]["admitted"] == 1
+
+    # ledger update = append admitted fps; replaying the batch against
+    # the updated ledger admits nothing (ingest is idempotent)
+    first = incremental_dedup(batch, ledger)
+    updated = ledger.union(
+        first.filter(F.col("admitted") == 1).select("content_fp")
+    )
+    replay = incremental_dedup(batch, updated).collect()
+    assert all(r["admitted"] == 0 for r in replay)
+    assert {r["reason"] for r in replay} <= {"dup_corpus", "dup_batch"}
+
+
+def test_hashed_linear_scores_exact_vs_python(spark):
+    import hashlib as _hl
+
+    from uniparser_spark.textops.quality import hashed_linear_scores
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in hashed_linear_scores(df).collect()}
+
+    # pure-python twin of the hash-derived weights
+    def w(feat: str) -> int:
+        b = int(_hl.md5(feat.encode()).hexdigest()[:8], 16) % 4096
+        return int(_hl.md5(f"w{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    toks = "the quick brown fox".split()
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    ws = sum(w(f) for f in feats)
+    assert got[1]["n_feats"] == 7  # 4 unigrams + 3 bigrams
+    assert got[1]["w_sum"] == ws
+    assert got[1]["admitted"] == (1 if ws > 0 else 0)
+    assert got[1]["mean_w"] == round(ws / (1000.0 * 7), 6)
+    # empty text: zero features, not-admitted, NULL mean
+    assert got[2]["n_feats"] == 0 and got[2]["admitted"] == 0
+    assert got[2]["mean_w"] is None
+    # deterministic: identical text scores identically
+    assert got[3]["w_sum"] == got[1]["w_sum"]

@@ -1,4 +1,4 @@
 from .politeness import schedule_batch
-from .seen import BloomSeenFilter, add_url_keys
+from .seen import BloomSeenFilter, add_surt_keys, add_url_keys
 
-__all__ = ["BloomSeenFilter", "add_url_keys", "schedule_batch"]
+__all__ = ["BloomSeenFilter", "add_surt_keys", "add_url_keys", "schedule_batch"]

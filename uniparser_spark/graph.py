@@ -106,6 +106,71 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def trustrank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB'04):
+    personalized PageRank whose teleport mass returns ONLY to a
+    curated trusted-seed set, so trust decays with link distance from
+    the seeds — the standard web-spam demotion signal a frontier ranks
+    against (spam farms that inflate raw PageRank receive almost no
+    seed-reachable mass).
+
+    Same per-iteration scale shape as :func:`pagerank` — join on src,
+    map-side-combined sum by dst, narrow (id, double) state — plus one
+    broadcast of the seed vector (curated seed lists are 10^2-10^5
+    rows; never a shuffle side).  Trust starts as the uniform seed
+    distribution d (1/|seeds| on seeds, 0 elsewhere) and iterates
+    t = (1-damping)*d + damping*M't.  Like :func:`pagerank`, dangling
+    mass is dropped, not redistributed (the synthesized suite graph
+    has no dangling nodes); a fixed ``iters`` keeps the whole thing
+    SQL-expressible for the oracle.
+
+    ``seeds`` is a one-column (node) DataFrame.  Returns (node, trust)
+    with trust rounded at emission only.
+    """
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank requires a non-empty seed set")
+    seed_mass = 1.0 / float(n_seeds)
+    d = F.broadcast(
+        seeds.select(F.col("node"), F.lit(seed_mass).alias("_d")).distinct()
+    )
+    base = nodes.alias("n").join(d, "node", "left").select(
+        F.col("node"), F.coalesce(F.col("_d"), F.lit(0.0)).alias("d")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "src")
+    trust = base.select("node", F.col("d").alias("trust"))
+    for _ in range(iters):
+        contribs = (
+            edges_deg.alias("e")
+            .join(trust.alias("t"), F.col("e.src") == F.col("t.node"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                (F.col("t.trust") / F.col("e.outdeg")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        trust = (
+            base.alias("b")
+            .join(contribs.alias("c"), F.col("b.node") == F.col("c.dst"), "left")
+            .select(
+                F.col("b.node").alias("node"),
+                (
+                    F.lit(1.0 - damping) * F.col("b.d")
+                    + F.lit(damping) * F.coalesce(F.col("c.c"), F.lit(0.0))
+                ).alias("trust"),
+            )
+        )
+    return trust.select("node", F.round("trust", 8).alias("trust"))
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -2106,17 +2106,80 @@ def q_media_dims(spark, sf_dir):
     codec-seam closure for formats the stdlib can carry."""
     from .textops.multimodal import synth_media
 
-    # repartition BEFORE the expansion stage: the input here is one
-    # small parquet file (one partition), but synthesis blows each
-    # 8-byte id up into a ~10-200 KB container, so the narrow id
-    # projection is spread first (a ~40 KB shuffle) and the fat
-    # synth+decode Python stages run on every core.
+    # project to the 8-byte id BEFORE tp's parallelism repartition:
+    # synthesis only reads the id, so the spread shuffle carries ~40 KB
+    # instead of the full text column, and the fat synth+decode Python
+    # stages still run on every core.
     n = spark.sparkContext.defaultParallelism
-    docs = tp(spark, sf_dir, "documents").select("doc_id").repartition(n)
+    docs = t(spark, sf_dir, "documents").select("doc_id").repartition(n)
     media = synth_media(docs)
     return decode_media(media, mode="header").select(
         "media_id", "media_type", "fmt", "width", "height", "n_frames", "duration_ms"
     )
+
+
+def q_trustrank(spark, sf_dir):
+    """TrustRank (graph.py trustrank): personalized PageRank whose
+    teleport mass returns only to a trusted seed set (docs with
+    id % 97 == 0) — the web-spam demotion signal; 3 unrolled
+    iterations so the DuckDB twin computes the identical closed
+    form."""
+    from .graph import trustrank
+
+    edges, nodes, _n = _graph_inputs(spark, sf_dir)
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    return trustrank(edges, nodes, seeds, iters=3)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Delta-ingest dedup (textops/dedup.py incremental_dedup): the
+    whole documents table arrives as a new batch against a simulated
+    prior-corpus ledger (fingerprints of docs with id % 3 == 0);
+    every row is kept with an admitted verdict + reason
+    (new / dup_corpus / dup_batch)."""
+    from .textops.dedup import incremental_dedup
+
+    docs = tp(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    prior = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.substring(F.md5(norm.cast("string")), 1, 16).alias("content_fp")
+    )
+    return incremental_dedup(docs, prior, broadcast_ledger=True)
+
+
+def q_surt_keys(spark, sf_dir):
+    """SURT canonical ordering (frontier/seen.py add_surt_keys): the
+    CDX-index sort key that makes a domain's URLs lexicographically
+    contiguous (range-partition locality without a hash shuffle).
+    URL synthesis covers scheme case, www, userinfo, default and
+    explicit ports, query strings, fragments, and a scheme-less row
+    (NULL surt — error-as-data)."""
+    from .frontier.seen import add_surt_keys
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 6 == 0, F.concat(F.lit("https://www.a"), (d % 40).cast("string"), F.lit(".example.org/p/"), d.cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("HTTP://B"), (d % 40).cast("string"), F.lit(".Example.COM:80/x?q="), d.cast("string"), F.lit("#frag")))
+        .when(d % 6 == 2, F.concat(F.lit("https://c"), (d % 40).cast("string"), F.lit(".example.net:8443/"), d.cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("https://user:pw@d"), (d % 40).cast("string"), F.lit(".example.org")))
+        .when(d % 6 == 4, F.concat(F.lit("http://deep.sub.e"), (d % 40).cast("string"), F.lit(".example.org/a/b?x=1&y="), d.cast("string")))
+        .otherwise(F.concat(F.lit("relative/path/"), d.cast("string")))
+    )
+    return add_surt_keys(docs.select(url.alias("url"))).select(
+        "url", "surt", "surt_host"
+    )
+
+
+def q_linear_scores(spark, sf_dir):
+    """fastText-style hashed linear admission scoring (textops/
+    quality.py hashed_linear_scores): unigram+bigram features hashed
+    into 4096 buckets with inline hash-derived weights — all codegen,
+    exact-integer score until one final division so the SQL twin is
+    bit-identical."""
+    from .textops.quality import hashed_linear_scores
+
+    return hashed_linear_scores(tp(spark, sf_dir, "documents"))
 
 
 QUERIES = {
@@ -2219,6 +2282,10 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "warc_sink_roundtrip": q_warc_sink_roundtrip,
     "epoch_mix": q_epoch_mix,
+    "trustrank": q_trustrank,
+    "dedup_incremental": q_dedup_incremental,
+    "surt_keys": q_surt_keys,
+    "linear_scores": q_linear_scores,
 }
 
 
@@ -4051,6 +4118,134 @@ ORACLES.update(
 )
 
 
+ORACLES.update(
+    {
+        "trustrank": _GRAPH_SQL
+        + r"""
+        , sd AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0)
+        , ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sd)
+        , base AS (SELECT d.doc_id AS node,
+                     CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.k END AS d
+                   FROM documents d LEFT JOIN sd s ON d.doc_id = s.node, ns)
+        , deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+        , c1 AS (SELECT e.dst AS node, sum(t.d / g.outdeg) AS c
+                 FROM edges e JOIN base t ON e.src = t.node
+                              JOIN deg g ON e.src = g.src
+                 GROUP BY e.dst)
+        , t1 AS (SELECT b.node,
+                   (1 - CAST(0.85 AS DOUBLE)) * b.d
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS trust
+                 FROM base b LEFT JOIN c1 c ON b.node = c.node)
+        , c2 AS (SELECT e.dst AS node, sum(t.trust / g.outdeg) AS c
+                 FROM edges e JOIN t1 t ON e.src = t.node
+                              JOIN deg g ON e.src = g.src
+                 GROUP BY e.dst)
+        , t2 AS (SELECT b.node,
+                   (1 - CAST(0.85 AS DOUBLE)) * b.d
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS trust
+                 FROM base b LEFT JOIN c2 c ON b.node = c.node)
+        , c3 AS (SELECT e.dst AS node, sum(t.trust / g.outdeg) AS c
+                 FROM edges e JOIN t2 t ON e.src = t.node
+                              JOIN deg g ON e.src = g.src
+                 GROUP BY e.dst)
+        , t3 AS (SELECT b.node,
+                   (1 - CAST(0.85 AS DOUBLE)) * b.d
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS trust
+                 FROM base b LEFT JOIN c3 c ON b.node = c.node)
+        SELECT node, ROUND(trust, 8) AS trust FROM t3
+    """,
+        "dedup_incremental": rf"""
+        WITH fp AS (
+          SELECT doc_id, substr(md5({_NORM}), 1, 16) AS content_fp
+          FROM documents),
+        prior AS (
+          SELECT DISTINCT content_fp FROM fp WHERE doc_id % 3 = 0),
+        keep AS (
+          SELECT content_fp, min(doc_id) AS k FROM fp GROUP BY content_fp)
+        SELECT f.doc_id, f.content_fp,
+          CASE WHEN p.content_fp IS NULL AND f.doc_id = k.k
+               THEN 1 ELSE 0 END AS admitted,
+          CASE WHEN p.content_fp IS NOT NULL THEN 'dup_corpus'
+               WHEN f.doc_id <> k.k THEN 'dup_batch'
+               ELSE 'new' END AS reason
+        FROM fp f
+        JOIN keep k USING (content_fp)
+        LEFT JOIN prior p USING (content_fp)
+    """,
+        "surt_keys": r"""
+        WITH urls AS (
+          SELECT CASE doc_id % 6
+            WHEN 0 THEN 'https://www.a' || (doc_id % 40) || '.example.org/p/' || doc_id
+            WHEN 1 THEN 'HTTP://B' || (doc_id % 40) || '.Example.COM:80/x?q=' || doc_id || '#frag'
+            WHEN 2 THEN 'https://c' || (doc_id % 40) || '.example.net:8443/' || doc_id
+            WHEN 3 THEN 'https://user:pw@d' || (doc_id % 40) || '.example.org'
+            WHEN 4 THEN 'http://deep.sub.e' || (doc_id % 40) || '.example.org/a/b?x=1&y=' || doc_id
+            ELSE 'relative/path/' || doc_id END AS url
+          FROM documents),
+        parts AS (
+          SELECT url,
+            lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+            lower(regexp_extract(url,
+              '^[^:/?#]+://(?:[^/?#@]*@)?([^/?#]*)', 1)) AS hostport,
+            regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS tail0
+          FROM urls),
+        p2 AS (
+          SELECT url, scheme,
+            regexp_extract(hostport, '^([^:]*)', 1) AS host0,
+            regexp_extract(hostport, ':(\d+)$', 1) AS port0,
+            CASE WHEN tail0 = '' THEN '/' ELSE tail0 END AS tail
+          FROM parts),
+        p3 AS (
+          SELECT url, tail,
+            regexp_replace(host0, '^www\.', '') AS host,
+            CASE WHEN scheme = 'http' AND port0 = '80' THEN ''
+                 WHEN scheme = 'https' AND port0 = '443' THEN ''
+                 ELSE port0 END AS port
+          FROM p2),
+        surts AS (
+          SELECT url,
+            CASE WHEN contains(url, '://') THEN
+              array_to_string(list_reverse(string_split(host, '.')), ',')
+              || CASE WHEN port = '' THEN '' ELSE ':' || port END
+              || ')' || tail
+            ELSE NULL END AS surt
+          FROM p3)
+        SELECT url, surt,
+          regexp_extract(surt, '^([^)]*)\)', 1) AS surt_host
+        FROM surts
+    """,
+        "linear_scores": rf"""
+        WITH toks AS (
+          SELECT doc_id,
+            CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split({_NORM}, ' ') END AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+            list_concat(t, list_transform(
+              range(greatest(len(t) - 1, 0)),
+              i -> t[i + 1] || ' ' || t[i + 2])) AS fs
+          FROM toks),
+        flat AS (SELECT doc_id, unnest(fs) AS f FROM feats),
+        ws AS (
+          SELECT doc_id,
+            ((('0x' || substr(md5('w' ||
+                (('0x' || substr(md5(f), 1, 8))::BIGINT % 4096)
+              ), 1, 8))::BIGINT % 2001) - 1000) AS w
+          FROM flat),
+        scored AS (
+          SELECT doc_id, count(*) AS n, sum(w) AS ws FROM ws GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(s.n, 0) AS n_feats,
+          coalesce(s.ws, 0) AS w_sum,
+          ROUND(s.ws / (1000.0 * s.n), 6) AS mean_w,
+          coalesce(CAST(s.ws > 0 AS INT), 0) AS admitted
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    }
+)
+
+
 # ------------------------------------------------------- streaming surface
 # Oracle-gated Structured Streaming queries (real readStream -> sink ->
 # drained-result pipelines); see streaming_suite.py for semantics.
@@ -4100,11 +4295,18 @@ _GATE_PRIORITY = [
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
     "corpus_pipeline", "embedding_clusters", "warc_sink_roundtrip",
     "epoch_mix", "strip_spans",
+    # new this session — distinct contracts, take the window's last
+    # two seats
+    "trustrank", "dedup_incremental",
     # the CC twins run the SAME oracle as dedup_clusters (one row
     # certifies the closure; algorithm agreement is differential-tested
     # in pytest) — placed after the distinct contracts so every UNIQUE
-    # contract fits the driver's 50-row window
+    # contract fits the driver's 50-row window; surt_keys and
+    # linear_scores queue behind them for the round-5 rotation (rows
+    # certified in a prior round rotate out, uncertified rows rotate
+    # in)
     "dedup_clusters_star", "dedup_clusters_hashmin",
+    "surt_keys", "linear_scores",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)

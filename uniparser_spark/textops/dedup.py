@@ -54,6 +54,67 @@ def exact_dup_groups(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "content_fp",
+    broadcast_ledger: bool = False,
+) -> DataFrame:
+    """Admit a NEW batch of documents against an existing corpus
+    fingerprint ledger — the daily-delta operation a 100 TB corpus
+    actually runs (re-shuffling the full corpus per ingest is the
+    anti-pattern; the ledger is append-only fingerprints, exactly like
+    the frontier's URL-seen set).
+
+    A document is ``admitted`` iff its normalized-content fingerprint
+    is absent from the ledger AND it is the keep-first (min id) holder
+    of that fingerprint within the batch.  Every row is kept with a
+    verdict — error/duplicate-as-data, same contract as the cleaning
+    family:
+
+    - ``reason = 'new'``        admitted;
+    - ``reason = 'dup_corpus'`` fingerprint already in the ledger;
+    - ``reason = 'dup_batch'``  another batch doc (smaller id) owns it.
+
+    The ledger update is ``admitted`` rows' fingerprints appended —
+    no rewrite of prior state.
+
+    Scale shape: the batch shuffles only (id, 16-byte fp) rows for the
+    in-batch election, then probes the ledger fp-on-fp.  At 10^10
+    ledger rows, store the ledger bucketed by ``content_fp`` and write
+    batch fps through the same bucketing — the probe join then runs
+    with ZERO Exchange on the ledger side (the bucketed-join demo in
+    tools/bucketed_join_demo.py shows the deployment); for 10^5-10^7
+    row ledgers pass ``broadcast_ledger=True`` instead.  Document text
+    never shuffles either way.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    batch = new_docs.select(F.col(id_col), h16(norm).alias(fp_col))
+    keep = batch.groupBy(fp_col).agg(F.min(id_col).alias("_keep"))
+    ledger = seen_fps.select(F.col(fp_col)).distinct().withColumn(
+        "_seen", F.lit(1)
+    )
+    if broadcast_ledger:
+        ledger = F.broadcast(ledger)
+    return (
+        batch.join(keep, fp_col)
+        .join(ledger, fp_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(fp_col),
+            (
+                F.col("_seen").isNull() & (F.col(id_col) == F.col("_keep"))
+            ).cast("int").alias("admitted"),
+            F.when(F.col("_seen").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col(id_col) != F.col("_keep"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("reason"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

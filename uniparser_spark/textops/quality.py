@@ -164,6 +164,76 @@ def corpus_filter(
     )
 
 
+def hashed_linear_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    weight_seed: str = "w",
+) -> DataFrame:
+    """fastText-style hashed linear classifier scoring — the admission
+    filter real webtext pipelines run (CCNet/RefinedWeb gate documents
+    on a linear model over hashed token/bigram features).
+
+    Computation shape (the part that matters at 100 TB): unigram +
+    bigram features hash into ``dim`` buckets, each bucket's weight is
+    DERIVED IN-LINE from a hash of the bucket index — so scoring is
+    explode → map-side-combined groupBy(id), all whole-stage codegen:
+    no Python worker, no weight-table join, no shuffle wider than
+    (id, int).  Swapping the derived weights for trained ones is a
+    broadcast join against a ``dim``-row table — the plan otherwise
+    unchanged.
+
+    Weights here are hash-derived integers in [-1000, 1000] (a frozen
+    stand-in for trained parameters, deterministic for the oracle);
+    the per-doc score keeps EXACT integer arithmetic until one final
+    division, so Spark and DuckDB produce bit-identical doubles: no
+    float-sum ordering hazard.  The logistic readout is monotone in
+    the linear score, so thresholding ``mean_w > 0`` is thresholding
+    the probability at 0.5 without computing exp() (whose last-ulp
+    behavior differs across engines).
+
+    Returns (id, n_feats, w_sum, mean_w, admitted).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = tokens(norm)
+    feats = F.concat(toks, word_shingles(toks, 2))
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.when(norm == "", F.array().cast("array<string>")).otherwise(feats)).alias("_f"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(weight_seed), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    scored = base.select(F.col(id_col), w.alias("_w")).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("_w").alias("w_sum"),
+    )
+    out = df.select(id_col).join(scored, id_col, "left")
+    mean_w = F.round(
+        F.col("w_sum") / (1000.0 * F.col("n_feats")), 6
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+        F.coalesce(F.col("w_sum"), F.lit(0)).alias("w_sum"),
+        mean_w.alias("mean_w"),
+        F.coalesce((F.col("w_sum") > 0).cast("int"), F.lit(0)).alias("admitted"),
+    )
+
+
 def host_quality_stats(
     df: DataFrame,
     host_col: str = "host",
