@@ -168,19 +168,20 @@ def test_multimodal_decode_stub(spark):
 
 def test_multimodal_header_decode(spark):
     """REAL stdlib container decode: synthesized valid
-    PNG/GIF/JPEG/WAV/BMP/TIFF/MP3 round-trip their id-derived dims
-    through the struct/zlib/wave parsers, and non-container payloads
-    yield NULL dims (errors as data)."""
+    PNG/GIF/JPEG/WAV/BMP/TIFF/MP3/FLAC/ICO round-trip their id-derived
+    dims through the struct/zlib/wave parsers, and non-container
+    payloads yield NULL dims (errors as data)."""
     from uniparser_spark.textops.multimodal import synth_media
 
-    docs = docs_df(spark, [(i, f"doc {i}") for i in range(21)])
+    docs = docs_df(spark, [(i, f"doc {i}") for i in range(27)])
     media = synth_media(docs)
     feats = {r["media_id"]: r for r in decode_media(media, mode="header").collect()}
-    assert set(feats) == set(range(21))
+    assert set(feats) == set(range(27))
     for mid, r in feats.items():
-        fmt = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3")[mid % 7]
+        fmt = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3", "flac",
+               "ico")[mid % 9]
         assert r["fmt"] == fmt
-        if fmt == "wav":
+        if fmt in ("wav", "flac"):
             assert r["width"] is None and r["duration_ms"] == 1000 + mid % 1000
         elif fmt == "mp3":
             frames = 10 + mid % 20
@@ -558,3 +559,26 @@ def test_hashed_linear_scores_exact_vs_python(spark):
     assert got[2]["mean_w"] is None
     # deterministic: identical text scores identically
     assert got[3]["w_sum"] == got[1]["w_sum"]
+
+
+def test_flac_and_ico_header_parsers_direct():
+    from uniparser_spark.textops.multimodal import (
+        make_flac,
+        make_ico,
+        parse_media_header,
+    )
+
+    got = parse_media_header(make_flac(44100 * 3, rate=44100))
+    assert got == {"fmt": "flac", "duration_ms": 3000}
+    # 20-bit rate / 36-bit total-samples boundary values survive packing
+    big = parse_media_header(make_flac((1 << 36) - 1, rate=(1 << 20) - 1))
+    assert big["fmt"] == "flac" and big["duration_ms"] > 0
+    ico = parse_media_header(make_ico(48, 48))
+    assert ico == {"fmt": "ico", "width": 48, "height": 48, "n_frames": 1}
+    # width byte 0 encodes 256 per the ICONDIR spec
+    raw = bytearray(make_ico(48, 48))
+    raw[6] = 0
+    assert parse_media_header(bytes(raw))["width"] == 256
+    # truncated containers parse to {}
+    assert parse_media_header(b"fLaC\x80\x00\x00") == {}
+    assert parse_media_header(b"\x00\x00\x01\x00\x01\x00") == {}

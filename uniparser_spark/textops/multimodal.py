@@ -262,6 +262,41 @@ def _parse_mp3(b: bytes) -> Optional[dict]:
     }
 
 
+def _parse_flac(b: bytes) -> Optional[dict]:
+    """FLAC STREAMINFO (the mandatory first metadata block): sample
+    rate is a 20-bit field and total samples a 36-bit field packed in
+    the block's last 8 bytes — duration without touching a frame."""
+    if b[:4] != b"fLaC" or len(b) < 8 + 34:
+        return None
+    block_type = b[4] & 0x7F
+    block_len = int.from_bytes(b[5:8], "big")
+    if block_type != 0 or block_len < 34:
+        return None
+    packed = int.from_bytes(b[18:26], "big")
+    rate = packed >> 44
+    total = packed & ((1 << 36) - 1)
+    if not rate:
+        return None
+    return {"fmt": "flac", "duration_ms": int(total * 1000 // rate)}
+
+
+def _parse_ico(b: bytes) -> Optional[dict]:
+    """ICO directory: first entry's 1-byte width/height (0 encodes
+    256); n_frames = image count (multi-size icons)."""
+    if len(b) < 6 + 16 or b[:4] != b"\x00\x00\x01\x00":
+        return None
+    count = struct.unpack("<H", b[4:6])[0]
+    if not count:
+        return None
+    w, h = b[6], b[7]
+    return {
+        "fmt": "ico",
+        "width": w or 256,
+        "height": h or 256,
+        "n_frames": count,
+    }
+
+
 def parse_media_header(blob: bytes) -> dict:
     """Sniff + parse a media container header; {} when unrecognized."""
     for parser in (
@@ -272,6 +307,8 @@ def parse_media_header(blob: bytes) -> dict:
         _parse_bmp,
         _parse_tiff,
         _parse_mp3,
+        _parse_flac,
+        _parse_ico,
     ):
         meta = parser(blob)
         if meta is not None:
@@ -365,23 +402,48 @@ def make_mp3(n_frames: int) -> bytes:
     return frame * n_frames
 
 
+def make_flac(n_samples: int, rate: int = 8000) -> bytes:
+    """FLAC signature + a valid STREAMINFO block (no audio frames —
+    enough for any duration sniffer)."""
+    packed = (rate << 44) | (0 << 41) | (15 << 36) | n_samples
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)  # min/max block size
+        + b"\x00" * 6  # min/max frame size unknown
+        + struct.pack(">Q", packed)
+        + b"\x00" * 16  # unset MD5 of the (absent) audio stream
+    )
+    return b"fLaC" + b"\x80" + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def make_ico(w: int, h: int) -> bytes:
+    """Single-entry ICO whose payload is a real PNG (PNG-in-ICO is
+    valid since Vista); dims <= 256 per the 1-byte directory fields."""
+    png = make_png(w, h)
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(png), 6 + 16
+    )
+    return b"\x00\x00\x01\x00" + struct.pack("<H", 1) + entry + png
+
+
 def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """documents → media table of VALID container binaries whose dims
-    derive from the id (``id%7`` picks png/gif/jpeg/wav/bmp/tiff/mp3;
-    width ``16+id%240``, height ``16+(7*id)%240``, gif frames
-    ``1+(id//4)%4``, wav samples ``8*(1000+id%1000)`` @8kHz →
-    ``1000+id%1000`` ms, mp3 frames ``10+id%20`` @1152 samples/44.1 kHz)
-    — the SQL oracle predicts exactly what the header parser must
-    recover."""
-    fmts = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3")
+    derive from the id (``id%9`` picks
+    png/gif/jpeg/wav/bmp/tiff/mp3/flac/ico; width ``16+id%240``,
+    height ``16+(7*id)%240``, gif frames ``1+(id//4)%4``, wav and flac
+    samples ``8*(1000+id%1000)`` @8kHz → ``1000+id%1000`` ms, mp3
+    frames ``10+id%20`` @1152 samples/44.1 kHz) — the SQL oracle
+    predicts exactly what the header parser must recover."""
+    fmts = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3", "flac", "ico")
     types = {
         "png": "image", "gif": "video", "jpeg": "image", "wav": "audio",
-        "bmp": "image", "tiff": "image", "mp3": "audio",
+        "bmp": "image", "tiff": "image", "mp3": "audio", "flac": "audio",
+        "ico": "image",
     }
     mimes = {
         "png": "image/png", "gif": "video/gif", "jpeg": "image/jpeg",
         "wav": "audio/wav", "bmp": "image/bmp", "tiff": "image/tiff",
-        "mp3": "audio/mpeg",
+        "mp3": "audio/mpeg", "flac": "audio/flac",
+        "ico": "image/vnd.microsoft.icon",
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,7 +451,7 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for mid in batch["media_id"]:
                 mid = int(mid)
-                fmt = fmts[mid % 7]
+                fmt = fmts[mid % 9]
                 w, h = 16 + mid % 240, 16 + (7 * mid) % 240
                 if fmt == "png":
                     blob = make_png(w, h)
@@ -403,6 +465,10 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     blob = make_bmp(w, h)
                 elif fmt == "tiff":
                     blob = make_tiff(w, h)
+                elif fmt == "flac":
+                    blob = make_flac(8 * (1000 + mid % 1000))
+                elif fmt == "ico":
+                    blob = make_ico(w, h)
                 else:
                     blob = make_mp3(10 + mid % 20)
                 rows["media_id"].append(mid)
