@@ -365,3 +365,61 @@ def test_surt_key_parity_and_domain_contiguity(spark):
     )
     org_idx = [i for i, (s, _) in enumerate(rows) if s.startswith("org,example")]
     assert org_idx == list(range(org_idx[0], org_idx[0] + 3))
+
+
+def test_trustrank_feeds_priority_bands(spark):
+    """Composition: host-graph trust (graph.trustrank) joins onto the
+    frontier as a within-band multiplier, so a spam host's advertised
+    sitemap priorities stop outranking a trusted host's — the band
+    ALGEBRA (sitemap > organic > recrawl > retry) is untouched, only
+    ordering inside the sitemap band changes."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.politeness import schedule_batch
+    from uniparser_spark.graph import trustrank
+
+    # host graph: 0 (seed) <-> 1; 2 is a spam host linking in only
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    trust = trustrank(edges, nodes, seeds).select(
+        F.concat(F.lit("h"), F.col("node").cast("string"), F.lit(".org")).alias("host"),
+        "trust",
+    )
+
+    rows = [
+        ("https://h2.org/spam-a", "h2.org", 1.0),   # spam advertises max
+        ("https://h2.org/spam-b", "h2.org", 0.9),
+        ("https://h1.org/good", "h1.org", 0.5),
+        ("https://h1.org/organic", "h1.org", 0.0),  # organic band
+    ]
+    pending = spark.createDataFrame(
+        rows, "url_canon string, host string, priority double"
+    ).select(
+        "url_canon", "host", "priority",
+        F.lit(0).alias("depth"), F.lit(0).alias("discovered_round"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("list_index"),
+    )
+    # within-band modulation: sitemap priorities scale by host trust
+    # (broadcast join - trust vectors are O(hosts), narrow)
+    adjusted = pending.join(F.broadcast(trust), "host", "left").select(
+        "url_canon", "host",
+        F.when(
+            F.col("priority") > 0,
+            F.col("priority") * F.coalesce(F.col("trust") * 10, F.lit(0.0)),
+        ).otherwise(F.col("priority")).alias("priority"),
+        "depth", "discovered_round", "parent_url", "list_index",
+    )
+    budgets = spark.createDataFrame(
+        [("h1.org", 2), ("h2.org", 2)], "host string, budget int"
+    )
+    out = schedule_batch(adjusted, budgets=budgets)
+    got = {r["url_canon"]: r["priority"] for r in out.collect() if r["scheduled"]}
+    # the spam host's trust is ~0: its sitemap band collapses to ~0
+    # priority, below the trusted host's scaled sitemap entry
+    assert got["https://h1.org/good"] > got["https://h2.org/spam-a"]
+    # organic band (0.0) is untouched by the multiplier
+    assert got["https://h1.org/organic"] == 0.0
