@@ -428,3 +428,65 @@ def test_strip_dup_spans_remove_all_occurrences(spark):
     assert got[1]["clean_text"] == ""
     assert got[2]["clean_text"] == "z"
     assert got[1]["n_dropped"] == 1 and got[2]["n_dropped"] == 1
+
+
+def test_chunk_text_window_layout(spark):
+    from uniparser_spark.textops.mix import chunk_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b"),                             # shorter than a window
+            (3, "   "),                             # blank: zero rows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_text(docs, max_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # stride 3: windows [0..3], [3..6], [6..9] — the tail reaches t9
+    assert {k for k in rows} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[(1, 2)]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(rows[(1, i)]["n_tokens"] == 4 for i in range(3))
+    # consecutive windows share exactly `overlap` tokens
+    assert rows[(1, 0)]["chunk_text"].split()[-1:] == rows[(1, 1)]["chunk_text"].split()[:1]
+    assert rows[(2, 0)]["chunk_text"] == "a b" and rows[(2, 0)]["n_tokens"] == 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_text(docs, max_tokens=4, overlap=4)
+
+
+def test_host_quota_sample_two_phase_exactness(spark):
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.textops.mix import host_quota_sample
+
+    # one host, 10 docs, quality = id; cap 2 with 2 salt buckets so the
+    # pre-trim genuinely drops rows (each salt group keeps its top 2)
+    docs = spark.createDataFrame(
+        [(i, "h.org", i) for i in range(10)],
+        "doc_id long, host string, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in host_quota_sample(docs, cap=2, salt_buckets=2).collect()}
+    assert len(out) == 10  # every row comes back with a verdict
+    # survivors of the pre-trim: {8,6} from even salt, {9,7} from odd;
+    # exact ranks 9->1, 8->2, 7->3, 6->4; quota keeps the true top 2
+    assert {d for d, r in out.items() if r["kept"] == 1} == {9, 8}
+    assert out[9]["rk"] == 1 and out[8]["rk"] == 2
+    assert out[7]["rk"] == 3 and out[6]["rk"] == 4
+    # pre-trim victims: verdict rows with NULL rank
+    for d in range(6):
+        assert out[d]["kept"] == 0 and out[d]["rk"] is None
+
+    # invariance: the kept SET equals the unsalted ground truth for a
+    # spread of salt bucket counts
+    truth = {9, 8}
+    for sb in (1, 3, 16):
+        got = {
+            r["doc_id"]
+            for r in host_quota_sample(docs, cap=2, salt_buckets=sb).collect()
+            if r["kept"] == 1
+        }
+        assert got == truth, sb

@@ -2172,6 +2172,33 @@ def q_surt_keys(spark, sf_dir):
     )
 
 
+def q_chunk_text(spark, sf_dir):
+    """Sliding-window chunking (textops/mix.py chunk_text): 32-token
+    windows with 8-token overlap; the final window reaches the last
+    token and short docs yield exactly one window.  Zero-shuffle plan
+    (one codegen projection + explode)."""
+    from .textops.mix import chunk_text
+
+    return chunk_text(tp(spark, sf_dir, "documents"), max_tokens=32, overlap=8)
+
+
+def q_host_quota(spark, sf_dir):
+    """Per-host quota sampling (textops/mix.py host_quota_sample):
+    synthesized host = id%7, quality = token count, cap 40 — no host
+    contributes more than 40 docs, best-first; salted two-phase rank
+    (pre-trim victims come back kept=0, rk NULL)."""
+    from .textops.mix import host_quota_sample
+
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    staged = docs.select(
+        d,
+        F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example.org")).alias("host"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return host_quota_sample(staged, cap=40)
+
+
 def q_linear_scores(spark, sf_dir):
     """fastText-style hashed linear admission scoring (textops/
     quality.py hashed_linear_scores): unigram+bigram features hashed
@@ -2287,6 +2314,8 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "surt_keys": q_surt_keys,
     "linear_scores": q_linear_scores,
+    "chunk_text": q_chunk_text,
+    "host_quota": q_host_quota,
 }
 
 
@@ -4216,6 +4245,41 @@ ORACLES.update(
           regexp_extract(surt, '^([^)]*)\)', 1) AS surt_host
         FROM surts
     """,
+        "chunk_text": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE trim(text) <> ''),
+        st AS (
+          SELECT doc_id, t, len(t) AS n,
+            range(0, greatest(len(t) - 8 - 1, 0) + 1, 24) AS starts
+          FROM toks),
+        flat AS (SELECT doc_id, t, n, unnest(starts) AS s FROM st)
+        SELECT doc_id,
+          CAST(s // 24 AS INTEGER) AS chunk_idx,
+          CAST(least(32, n - s) AS INTEGER) AS n_tokens,
+          array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text
+        FROM flat
+    """,
+        "host_quota": r"""
+        WITH staged AS (
+          SELECT doc_id,
+            'h' || (doc_id % 7) || '.example.org' AS host,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens
+          FROM documents),
+        pre AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY host, doc_id % 16
+              ORDER BY n_tokens DESC, doc_id) AS prer
+          FROM staged),
+        surv AS (
+          SELECT doc_id, host, n_tokens, row_number() OVER (
+              PARTITION BY host ORDER BY n_tokens DESC, doc_id) AS rk
+          FROM pre WHERE prer <= 40)
+        SELECT s.doc_id, s.host, s.n_tokens,
+          CAST(v.rk AS INTEGER) AS rk,
+          coalesce(CAST(v.rk <= 40 AS INTEGER), 0) AS kept
+        FROM staged s LEFT JOIN surv v USING (doc_id)
+    """,
         "linear_scores": rf"""
         WITH toks AS (
           SELECT doc_id,
@@ -4308,7 +4372,7 @@ _GATE_PRIORITY = [
     # certified in a prior round rotate out, uncertified rows rotate
     # in)
     "dedup_clusters_star", "dedup_clusters_hashmin",
-    "surt_keys", "linear_scores",
+    "surt_keys", "linear_scores", "chunk_text", "host_quota",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)

@@ -229,6 +229,114 @@ def pack_sequences(
     )
 
 
+def chunk_text(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking — the long-document layout for context-
+    bounded consumers (RAG indexing, embedding models, fixed-window
+    pretraining): each document is cut into windows of ``max_tokens``
+    whitespace tokens with ``overlap`` tokens carried between
+    neighbors (stride = max_tokens - overlap), so no sentence straddles
+    a hard cut unseen.  Emits (id, chunk_idx, n_tokens, chunk_text);
+    chunk_text is rebuilt space-joined from the token array.
+
+    Window starts are ``0, stride, 2·stride, …`` while more than
+    ``overlap`` tokens remain — the final window always reaches the
+    last token, never degenerates to pure overlap, and a short doc
+    yields exactly one window.  Blank documents yield zero rows.
+
+    Everything is one codegen projection + posexplode: tokenization,
+    the start sequence, and the per-window slice happen per-row with
+    NO shuffle at all — the operator is embarrassingly parallel, and
+    at 100 TB its cost is the scan plus the (bounded, overlap/stride)
+    output inflation.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("_t"), n.alias("_n"), starts.alias("_s")
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode("_s").alias("_start"),
+        F.col("_t"),
+        F.col("_n"),
+    ).select(
+        F.col(id_col),
+        (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(max_tokens), F.col("_n") - F.col("_start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_t"), F.col("_start") + 1, max_tokens)
+        ).alias("chunk_text"),
+    )
+
+
+def host_quota_sample(
+    docs: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    quality_col: str = "n_tokens",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-host document quota — corpus diversity control: no host
+    contributes more than ``cap`` documents, best-first (``quality_col``
+    desc, id asc as the deterministic tiebreak).  Every row is kept
+    with a verdict: (id, host, quality, rk, kept).
+
+    Skew is the scale hazard (a Zipf-head host holds millions of docs,
+    and a plain per-host window sorts them in ONE partition), so the
+    ranking is two-phase, same trick as the politeness scheduler
+    (frontier/politeness.py): a salted pre-trim keeps ``cap`` rows per
+    (host, id%salt_buckets) group, then the exact per-host rank runs
+    over at most salt_buckets × cap survivors per host.  Correctness
+    is unchanged — a pre-trim victim ranks below ``cap`` rows of its
+    own salt group, hence below ≥cap rows of its host; it could never
+    be kept.  Rows dropped by the pre-trim are re-attached with
+    kept = 0 (rk is NULL for them: their exact rank was never
+    computed, and the verdict does not need it).
+    """
+    q = F.col(quality_col)
+    order = [q.desc(), F.col(id_col).asc()]
+    pre = Window.partitionBy(
+        host_col, (F.col(id_col) % salt_buckets).cast("int")
+    ).orderBy(*order)
+    exact = Window.partitionBy(host_col).orderBy(*order)
+    survivors = (
+        docs.select(id_col, host_col, quality_col)
+        .withColumn("_pre", F.row_number().over(pre))
+        .filter(F.col("_pre") <= cap)
+        .drop("_pre")
+        .withColumn("rk", F.row_number().over(exact))
+    )
+    ranked = survivors.select(
+        id_col, host_col, quality_col, "rk",
+        (F.col("rk") <= cap).cast("int").alias("kept"),
+    )
+    trimmed = (
+        docs.select(id_col, host_col, quality_col)
+        .join(survivors.select(id_col), id_col, "left_anti")
+        .select(
+            id_col, host_col, quality_col,
+            F.lit(None).cast("int").alias("rk"),
+            F.lit(0).alias("kept"),
+        )
+    )
+    return ranked.unionByName(trimmed)
+
+
 # ------------------------------------------------------- unigram LM scores
 def unigram_scores(
     docs: DataFrame,
