@@ -4349,30 +4349,36 @@ _GATE_PRIORITY = [
     # graph / CC (star default is new in r4)
     "link_degrees", "pagerank3", "dedup_clusters", "canonical_docs",
     # DUST / traps / links / retry / freshness
-    "url_aliases", "dust_rules", "host_traps", "url_templates",
-    "links_extract", "anchor_index", "host_graph", "retry_schedule",
+    "url_aliases", "dust_rules", "host_traps",
+    "links_extract", "anchor_index", "retry_schedule",
     "fetch_history", "recrawl_priority", "host_stats",
     # remaining never-certified
     "media_dims", "readability", "doc_keywords", "content_extract",
     # fixed this round (red / no_oracle in r3)
-    "corpus_stats", "minhash_lsh_pairs_xx", "dedup_verified_pairs_xx",
+    "corpus_stats", "minhash_lsh_pairs_xx",
     # new this round (corpus assembly + budget feedback) — never certified
     "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
     "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
     "corpus_pipeline", "embedding_clusters", "warc_sink_roundtrip",
-    "epoch_mix", "strip_spans",
-    # new this session — distinct contracts, take the window's last
-    # two seats
+    "epoch_mix",
+    # session-3/4 distinct contracts — fill the window's last seats
     "trustrank", "dedup_incremental",
-    # the CC twins run the SAME oracle as dedup_clusters (one row
-    # certifies the closure; algorithm agreement is differential-tested
-    # in pytest) — placed after the distinct contracts so every UNIQUE
-    # contract fits the driver's 50-row window; surt_keys and
-    # linear_scores queue behind them for the round-5 rotation (rows
-    # certified in a prior round rotate out, uncertified rows rotate
-    # in)
-    "dedup_clusters_star", "dedup_clusters_hashmin",
     "surt_keys", "linear_scores", "chunk_text", "host_quota",
+    # ---- window boundary (50 rows above) ----
+    # Rows below share most of their contract with an in-window sibling
+    # and queue for the round-5 rotation (certified rows rotate out,
+    # uncertified in):
+    #  - url_templates / host_graph: rollup variants of the in-window
+    #    DUST/link contracts
+    #  - strip_spans: the action twin of dup_spans (same fingerprint
+    #    machinery; rebuild logic is pytest-pinned)
+    #  - dedup_verified_pairs_xx: the xxhash64 path is certified by
+    #    minhash_lsh_pairs_xx; the md5 verified twin was driver-green r3
+    #  - the CC twins run the SAME oracle as dedup_clusters (one row
+    #    certifies the closure; algorithm agreement is differential-
+    #    tested in pytest)
+    "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
+    "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
     set(_GATE_PRIORITY) - set(QUERIES)
