@@ -283,6 +283,31 @@ def test_rhp_multiprobe_recall_beats_single_table(spark):
     assert r3 >= 0.5
 
 
+def test_ivf_topk_recall_and_full_probe_exactness(spark):
+    from uniparser_spark.textops.similarity import ivf_topk
+
+    rows = [(i, [float((i * 13 + d * 5) % 17 - 8) for d in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk(emb, n_queries=4, k=3).collect()
+    }
+    # probing EVERY cell degenerates to brute force: must equal the baseline
+    full = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, n_cells=4, nprobe=4, n_queries=4, k=3).collect()
+    }
+    assert full == exact
+    # partial probe keeps useful recall and each query still returns k rows
+    part = ivf_topk(emb, n_cells=8, nprobe=3, n_queries=4, k=3).collect()
+    got = {(r["qid"], r["vec_id"]) for r in part}
+    assert len(got & exact) / len(exact) >= 0.5
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    assert all(len(v) == 3 for v in by_q.values())
+
+
 def test_embedding_verified_pairs_finds_planted_dup(spark):
     from uniparser_spark.textops import embedding_verified_pairs
 

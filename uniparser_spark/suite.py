@@ -2073,6 +2073,20 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (textops/similarity.py ivf_topk): corpus vectors
+    inverted-file-indexed by nearest deterministic centroid; each query
+    probes its 4 nearest of 16 cells and exact-reranks only there.  At
+    scale the cell index is a materialized table PARTITIONED BY cell —
+    probing = partition pruning; embeddings never shuffle."""
+    from .textops.similarity import ivf_topk
+
+    return ivf_topk(
+        tp(spark, sf_dir, "embeddings"),
+        n_cells=16, nprobe=4, n_queries=8, k=5,
+    )
+
+
 def q_embedding_verified_pairs(spark, sf_dir):
     """RHP-LSH candidates → exact cosine verification — the embedding
     mirror of dedup_verified_pairs (quadratic work LSH-bounded, vectors
@@ -2266,6 +2280,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_verified_pairs": q_embedding_verified_pairs,
     "multimodal_features": q_multimodal_features,
     "media_dims": q_media_dims,
@@ -3418,6 +3433,52 @@ ORACLES = {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
           FROM c
         ) WHERE rn = 1
+    """,
+    "ivf_topk": """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+        sim_ac AS (
+          SELECT e.vec_id, e.v, cents.cell,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> cv[i] * v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS csim
+          FROM e, cents
+        ),
+        asn AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+            FROM sim_ac
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        sim_qc AS (
+          SELECT qid, qv, cell,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))), 6) AS psim
+          FROM q, cents
+        ),
+        probes AS (
+          SELECT qid, qv, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, cell) AS rn
+            FROM sim_qc
+          ) WHERE rn <= 4
+        ),
+        c AS (
+          SELECT p.qid, a.vec_id,
+                 ROUND(list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.v[i]))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> p.qv[i] * p.qv[i])))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))), 6) AS sim
+          FROM asn a JOIN probes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.qid
+        )
+        SELECT qid, vec_id, sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+          FROM c
+        ) WHERE rn <= 5
     """,
     "cosine_topk": """
         WITH e AS (

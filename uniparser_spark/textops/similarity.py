@@ -436,6 +436,88 @@ def embedding_verified_pairs(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate nearest neighbor: the inverted-file scale
+    path next to the RHP-LSH family (``rhp_lsh_topk``).
+
+    Index build (offline at scale, inline here): every corpus vector is
+    assigned to its nearest of ``n_cells`` centroids — the IVF cell.
+    Centroids are the vectors with id < n_cells (the same deterministic
+    init as ``centroid_assign``, so the cell structure is exactly
+    reproducible across engines/retries).  Query: each query vector
+    (id < n_queries) probes its ``nprobe`` nearest cells and runs exact
+    cosine ONLY against vectors in those cells; top-k per query, ties
+    broken by id, sims rounded to 6 dp pre-ranking.
+
+    Scale shape: centroids broadcast (n_cells rows, one pass over the
+    corpus to build the cell index — materialized once in production,
+    PARTITIONED BY cell so a probe is partition pruning, not a
+    shuffle); the query→cell probe list is n_queries × nprobe rows and
+    broadcast, so the candidate restriction is a broadcast semi-join on
+    the cell id — corpus embeddings never shuffle, and the exact-rerank
+    work is |probed cells| / n_cells of brute force.  Recall/cost vs
+    the exact baseline is pinned in tests/test_textops.py."""
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = base.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    )
+    # cell index: one broadcast pass, argmax over n_cells sims
+    aw = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cell"))
+    cells = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "v",
+            "cell",
+            F.round(cosine(F.col("cv"), F.col("v")), 6).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "cell")
+    )
+    # probe list: per query the nprobe nearest cells (tiny, broadcast)
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv")
+    )
+    pw = Window.partitionBy("qid").orderBy(F.desc("psim"), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "qv",
+            "cell",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("psim"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "cell")
+    )
+    # exact rerank restricted to probed cells
+    sims = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "sim")
+    )
+
+
 def centroid_assign(
     emb: DataFrame,
     k: int = 8,
