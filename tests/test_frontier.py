@@ -423,3 +423,38 @@ def test_trustrank_feeds_priority_bands(spark):
     assert got["https://h1.org/good"] > got["https://h2.org/spam-a"]
     # organic band (0.0) is untouched by the multiplier
     assert got["https://h1.org/organic"] == 0.0
+
+
+def test_snapshot_asof_timestamps_and_drop_semantics(spark):
+    from datetime import datetime
+
+    from uniparser_spark.frontier.freshness import snapshot_asof
+
+    t = lambda s: datetime.fromisoformat(s)
+    snaps = spark.createDataFrame(
+        [
+            ("u1", t("2026-01-01T00:00:00"), "v0"),
+            ("u1", t("2026-01-02T00:00:00"), "v1"),
+            ("u1", t("2026-01-05T00:00:00"), "v2"),
+            ("u2", t("2026-03-01T00:00:00"), "w0"),
+        ],
+        "url string, warc_ts timestamp, body string",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("u1", t("2026-01-02T00:00:00")),  # equality -> v1
+            ("u1", t("2026-01-04T12:00:00")),  # between  -> v1
+            ("u1", t("2027-01-01T00:00:00")),  # after    -> v2
+            ("u2", t("2026-02-01T00:00:00")),  # predates -> drops
+        ],
+        "url string, as_of_ts timestamp",
+    )
+    out = snapshot_asof(snaps, probes).collect()
+    got = {(r["url"], r["as_of_ts"].isoformat()): r["body"] for r in out}
+    assert got == {
+        ("u1", "2026-01-02T00:00:00"): "v1",
+        ("u1", "2026-01-04T12:00:00"): "v1",
+        ("u1", "2027-01-01T00:00:00"): "v2",
+    }
+    # payload column survives; probe predating the first capture dropped
+    assert len(out) == 3

@@ -140,3 +140,48 @@ def update_fetch_history(
             F.coalesce(F.col("_new_fp"), F.col("_fp")).alias("content_fp"),
         )
     )
+
+
+def snapshot_asof(
+    snaps: DataFrame,
+    probes: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    probe_ts: str = "as_of_ts",
+) -> DataFrame:
+    """As-of join over a versioned page-snapshot table: for each probe
+    (key, probe_ts) return the snapshot row with the LARGEST ts <=
+    probe_ts — "the page as it stood at time T".  Inner semantics:
+    probes older than the key's first snapshot drop (DuckDB's ASOF JOIN
+    default, which the oracle uses verbatim).
+
+    The reference engine re-fetches live pages, so "as of" never
+    arises; against an archive-backed pages table (CDX/WARC captures,
+    the north-rule input shape with its warc_ts column) this is how a
+    crawl round reads a time-consistent corpus slice.
+
+    Scale shape: Spark has no native as-of join, and the naive form
+    (range join then per-probe window over the FULL payload) shuffles
+    page bodies.  Instead: (1) the inequality join + max aggregation
+    runs on a (key, ts)-only projection — map-side combinable, narrow
+    rows; (2) one equi-join on (key, ts) fetches the winning payload —
+    co-partitioned with the snapshot table's natural (key-bucketed)
+    layout, so html/text cross the wire once, for winners only.
+    Identical probe rows collapse (groupBy) — as-of is idempotent.
+
+    ``ts``/``probe_ts`` may be any orderable type (timestamp, epoch
+    long); names must differ so the intermediate join is unambiguous.
+    """
+    if ts == probe_ts:
+        raise ValueError("ts and probe_ts must have distinct column names")
+    narrow = snaps.select(key, ts)
+    best = (
+        probes.select(key, probe_ts)
+        .join(narrow, key)
+        .where(F.col(ts) <= F.col(probe_ts))
+        .groupBy(key, probe_ts)
+        .agg(F.max(ts).alias(ts))
+    )
+    return best.join(snaps, [key, ts]).select(
+        key, probe_ts, ts, *[c for c in snaps.columns if c not in (key, ts)]
+    )

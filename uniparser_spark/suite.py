@@ -1655,6 +1655,50 @@ def q_fetch_history(spark, sf_dir):
     return update_fetch_history(history, fetched, now_round=17)
 
 
+def q_snapshot_asof(spark, sf_dir):
+    """As-of join (frontier/freshness.py snapshot_asof): each probe
+    (url, as_of) returns the latest capture with snap_epoch <= as_of —
+    the time-consistent read of an archive-backed pages table.  The
+    DuckDB oracle is a LITERAL ``ASOF JOIN``, so two entirely different
+    algorithms (narrow max-agg + payload fetch vs DuckDB's native
+    operator) are pinned to the same semantics.  Synthesis: 1-3
+    captures per doc at +17s spacing; probe offsets (d%5)*10 land on,
+    between, and after captures; d%7==0 probes predate the first
+    capture and must drop (inner as-of)."""
+    from .frontier.freshness import snapshot_asof
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.org/d/"), d.cast("string"),
+    )
+    vers = docs.select(
+        url.alias("url"),
+        d.alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), (d % 3).cast("int"))).alias("v"),
+    )
+    snaps = vers.select(
+        "url",
+        (F.lit(1700000000) + F.col("doc_id") * 100 + F.col("v") * 17)
+        .cast("long").alias("snap_epoch"),
+        F.concat(
+            F.lit("fp-"), F.col("doc_id").cast("string"),
+            F.lit("-"), F.col("v").cast("string"),
+        ).alias("content_fp"),
+    )
+    probes = docs.select(
+        url.alias("url"),
+        (
+            F.lit(1700000000) + d * 100 + (d % 5) * 10
+            + F.when(d % 7 == 0, F.lit(-200)).otherwise(F.lit(0))
+        ).cast("long").alias("as_of_epoch"),
+    )
+    return snapshot_asof(
+        snaps, probes, key="url", ts="snap_epoch", probe_ts="as_of_epoch"
+    )
+
+
 def q_retry_schedule(spark, sf_dir):
     """Transient-failure retry pipeline (frontier/retry.py): fold one
     round's errors/successes into the retry state, then emit the URLs
@@ -2306,6 +2350,7 @@ QUERIES = {
     "host_traps": q_host_traps,
     "links_extract": q_links_extract,
     "fetch_history": q_fetch_history,
+    "snapshot_asof": q_snapshot_asof,
     "retry_schedule": q_retry_schedule,
     "anchor_index": q_anchor_index,
     "host_graph": q_host_graph,
@@ -2904,6 +2949,29 @@ ORACLES = {
                    + 0.25 * (avg_path_depth / (4.0 + avg_path_depth))
                    + 0.15 * query_frac, 4) AS trap_score
         FROM a
+    """,
+    "snapshot_asof": """
+        WITH vers AS (
+          SELECT 'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS url,
+                 doc_id,
+                 unnest(range(0, doc_id % 3 + 1)) AS v
+          FROM documents
+        ),
+        s AS (
+          SELECT url,
+                 CAST(1700000000 + doc_id * 100 + v * 17 AS BIGINT) AS snap_epoch,
+                 'fp-' || doc_id || '-' || v AS content_fp
+          FROM vers
+        ),
+        p AS (
+          SELECT 'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS url,
+                 CAST(1700000000 + doc_id * 100 + (doc_id % 5) * 10
+                      + CASE WHEN doc_id % 7 = 0 THEN -200 ELSE 0 END AS BIGINT) AS as_of_epoch
+          FROM documents
+        )
+        SELECT p.url, p.as_of_epoch, s.snap_epoch, s.content_fp
+        FROM p ASOF JOIN s
+          ON p.url = s.url AND s.snap_epoch <= p.as_of_epoch
     """,
     "fetch_history": """
         WITH u AS (
