@@ -458,3 +458,34 @@ def test_snapshot_asof_timestamps_and_drop_semantics(spark):
     }
     # payload column survives; probe predating the first capture dropped
     assert len(out) == 3
+
+
+def test_adaptive_delays_clamp_and_scheduler_feed(spark):
+    """Latency medians drive per-host budgets: a slow host gets fewer
+    slots per round than a fast one, straight through schedule_batch's
+    budgets seam."""
+    from uniparser_spark.frontier.politeness import adaptive_delays, schedule_batch
+
+    log = spark.createDataFrame(
+        [("fast", 40), ("fast", 60), ("fast", 80),       # p50 60 -> clamp to 200ms floor
+         ("slow", 3000), ("slow", 5000), ("slow", 9000), # p50 5000 -> 10s ceiling
+         ("mid", 400), ("mid", 500), ("mid", 600)],      # p50 500 -> 1000ms
+        "host string, latency_ms long",
+    )
+    d = {r["host"]: r for r in adaptive_delays(log, round_seconds=60).collect()}
+    assert d["fast"]["delay_ms"] == 200.0 and d["fast"]["budget"] == 300
+    assert d["slow"]["delay_ms"] == 10000.0 and d["slow"]["budget"] == 6
+    assert d["mid"]["delay_ms"] == 1000.0 and d["mid"]["budget"] == 60
+
+    pending = spark.createDataFrame(
+        [(f"http://{h}/{i}", h, 0.0, 0, 0, None, i)
+         for h in ("fast", "slow") for i in range(8)],
+        "url_canon string, host string, priority double, depth int, "
+        "discovered_round int, parent_url string, list_index int",
+    )
+    budgets = adaptive_delays(log, round_seconds=1, multiplier=2).select(
+        "host", "budget"
+    )  # 1s round: fast -> 5 slots, slow -> 0... floor(1000/10000)=0
+    out = schedule_batch(pending, budgets=budgets).collect()
+    sched = {h: sum(1 for r in out if r["host"] == h and r["scheduled"]) for h in ("fast", "slow")}
+    assert sched["fast"] == 5 and sched["slow"] == 0

@@ -80,3 +80,63 @@ def schedule_batch(
 
     clean = [c for c in pending.columns if not c.startswith("_")]
     return decided.select(*clean, "scheduled").unionByName(trimmed.select(*clean, "scheduled"))
+
+
+def adaptive_delays(
+    fetch_log: DataFrame,
+    round_seconds: int = 60,
+    multiplier: int = 2,
+    min_delay_ms: int = 200,
+    max_delay_ms: int = 10_000,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+) -> DataFrame:
+    """Latency-adaptive politeness: derive each host's crawl delay from
+    its OBSERVED response times instead of a fixed default — the
+    standard courtesy heuristic (delay proportional to server response
+    time, e.g. Nutch's adaptive fetch delay): a server answering in
+    40 ms can absorb a faster poll than one taking 4 s, and a host that
+    slows down under load automatically sheds crawl pressure next
+    round.
+
+    delay_ms  = clamp(multiplier × p50(latency), min, max)
+    budget    = round_seconds·1000 DIV delay_ms   (token-bucket refill
+                per scheduling round — feeds ``schedule_batch`` as its
+                budgets side, the same seam robots crawl-delay uses)
+
+    Exact median (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    linear interpolation; 4-dp round before the clamp so both engines
+    agree bit-for-bit), explicit FLOOR for the budget (Spark's
+    double→long cast truncates, DuckDB's rounds — floor is the one
+    spelling both engines share) so allocations are retry-reproducible.
+    Scale shape: one map-side-combinable groupBy over the narrow
+    (host, latency) log — output is O(hosts) rows, broadcastable into
+    the frontier join."""
+    p50 = F.round(F.percentile(F.col(latency_col), F.lit(0.5)), 4)
+    return (
+        fetch_log.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            p50.alias("p50_ms"),
+        )
+        .select(
+            host_col,
+            "n_obs",
+            "p50_ms",
+            F.least(
+                F.greatest(
+                    F.round(F.col("p50_ms") * multiplier, 4),
+                    F.lit(float(min_delay_ms)),
+                ),
+                F.lit(float(max_delay_ms)),
+            ).alias("delay_ms"),
+        )
+        .select(
+            host_col,
+            "n_obs",
+            "p50_ms",
+            "delay_ms",
+            F.floor(F.lit(round_seconds * 1000) / F.col("delay_ms"))
+            .cast("long").alias("budget"),
+        )
+    )

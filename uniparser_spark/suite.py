@@ -1655,6 +1655,24 @@ def q_fetch_history(spark, sf_dir):
     return update_fetch_history(history, fetched, now_round=17)
 
 
+def q_adaptive_delays(spark, sf_dir):
+    """Latency-adaptive politeness (frontier/politeness.py
+    adaptive_delays): per-host crawl delay from the observed fetch-
+    latency median, clamped, with the per-round token budget it implies
+    — the budgets side of schedule_batch.  Latencies synthesized with a
+    long tail (d%17 squared) so the clamp hits both rails."""
+    from .frontier.politeness import adaptive_delays
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    log = docs.select(
+        F.concat(F.lit("h"), (d % 13).cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        ((d % 17) * (d % 17) * 40 + d % 7 + 25).cast("long").alias("latency_ms"),
+    )
+    return adaptive_delays(log, round_seconds=60, multiplier=2)
+
+
 def q_snapshot_asof(spark, sf_dir):
     """As-of join (frontier/freshness.py snapshot_asof): each probe
     (url, as_of) returns the latest capture with snap_epoch <= as_of —
@@ -2351,6 +2369,7 @@ QUERIES = {
     "links_extract": q_links_extract,
     "fetch_history": q_fetch_history,
     "snapshot_asof": q_snapshot_asof,
+    "adaptive_delays": q_adaptive_delays,
     "retry_schedule": q_retry_schedule,
     "anchor_index": q_anchor_index,
     "host_graph": q_host_graph,
@@ -2949,6 +2968,27 @@ ORACLES = {
                    + 0.25 * (avg_path_depth / (4.0 + avg_path_depth))
                    + 0.15 * query_frac, 4) AS trap_score
         FROM a
+    """,
+    "adaptive_delays": """
+        WITH log AS (
+          SELECT 'h' || (doc_id % 13) || '.example.org' AS host,
+                 CAST((doc_id % 17) * (doc_id % 17) * 40 + doc_id % 7 + 25 AS BIGINT) AS latency_ms
+          FROM documents
+        ),
+        agg AS (
+          SELECT host,
+                 COUNT(*) AS n_obs,
+                 ROUND(quantile_cont(latency_ms, 0.5), 4) AS p50_ms
+          FROM log GROUP BY host
+        ),
+        d AS (
+          SELECT host, n_obs, p50_ms,
+                 LEAST(GREATEST(ROUND(p50_ms * 2, 4), 200.0), 10000.0) AS delay_ms
+          FROM agg
+        )
+        SELECT host, n_obs, p50_ms, delay_ms,
+               CAST(FLOOR(60000 / delay_ms) AS BIGINT) AS budget
+        FROM d
     """,
     "snapshot_asof": """
         WITH vers AS (
