@@ -607,3 +607,38 @@ def test_flac_and_ico_header_parsers_direct():
     # truncated containers parse to {}
     assert parse_media_header(b"fLaC\x80\x00\x00") == {}
     assert parse_media_header(b"\x00\x00\x01\x00\x01\x00") == {}
+
+
+def test_cdc_chunks_survive_insertion_where_fixed_stride_fails(spark):
+    from uniparser_spark.textops.dedup import cdc_chunks, dup_spans
+
+    body = " ".join(f"tok{i % 97}x{(i * 7) % 13}" for i in range(400))
+    shifted = "zzz " + body  # one-token head insertion
+    df = docs_df(spark, [(0, body), (1, shifted)])
+
+    cdc = cdc_chunks(df, min_copies=2).collect()
+    # CDC re-synchronizes: most of doc 0's chunks still match doc 1's
+    per_doc = {d: sum(1 for r in cdc if r["doc_id"] == d) for d in (0, 1)}
+    n_chunks0 = per_doc[0]
+    assert n_chunks0 >= 5  # enough boundaries fired to be meaningful
+    # fixed-stride chunking finds NO cross-doc duplicates after the shift
+    fixed = dup_spans(df, k=16, min_copies=2).collect()
+    assert not fixed
+    # ...but CDC flags (almost) the entire shared body in both docs
+    assert per_doc[1] >= n_chunks0 - 1
+
+
+def test_cdc_chunks_offsets_reconstruct_chunks(spark):
+    from uniparser_spark.textops.dedup import cdc_chunks
+
+    text = "a b c " * 30
+    df = docs_df(spark, [(0, text), (1, text)])
+    rows = [r for r in cdc_chunks(df, min_copies=2).collect() if r["doc_id"] == 0]
+    toks = text.split()
+    # start_tok is 1-based; spans tile the document with no gaps/overlap
+    rows.sort(key=lambda r: r["chunk_idx"])
+    pos = 1
+    for r in rows:
+        assert r["start_tok"] == pos
+        pos += r["n_tok"]
+    assert pos == len(toks) + 1

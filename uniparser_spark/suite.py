@@ -1905,6 +1905,17 @@ def q_host_blocklist(spark, sf_dir):
     return apply_blocklist(urls, rules)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (textops/dedup.py cdc_chunks):
+    chunk boundaries are md5-gated TOKENS (p=1/16), so the chunking
+    re-synchronizes after local edits and shifted copies still match —
+    the insertion-robust twin of dup_spans.  Pure array expressions;
+    both shuffles carry 16-byte fingerprints."""
+    from .textops.dedup import cdc_chunks
+
+    return cdc_chunks(tp(spark, sf_dir, "documents"), min_copies=2)
+
+
 def q_dup_spans(spark, sf_dir):
     """Token-window duplicate-span detection (textops/dedup.py
     dup_spans): disjoint 16-token chunks fingerprinted and flagged when
@@ -2383,6 +2394,7 @@ QUERIES = {
     "crawl_budget": q_crawl_budget,
     "page_directives": q_page_directives,
     "dup_spans": q_dup_spans,
+    "cdc_chunks": q_cdc_chunks,
     "strip_spans": q_strip_spans,
     "host_blocklist": q_host_blocklist,
     "corpus_pipeline": q_corpus_pipeline,
@@ -4267,6 +4279,43 @@ ORACLES.update(
                CAST(m.k IS NOT NULL AS INT) AS blocked,
                substr(m.k, 5) AS matched
         FROM u LEFT JOIN m USING (url)
+    """,
+        "cdc_chunks": rf"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        b AS (
+          SELECT doc_id, tk, len(tk) AS n,
+                 list_filter(range(1, len(tk) + 1),
+                             i -> substr(md5(tk[i]), 1, 1) = '0') AS bpos
+          FROM d WHERE len(tk) >= 1
+        ),
+        sp AS (
+          SELECT doc_id, tk,
+                 list_filter(
+                   list_transform(
+                     range(0, len(bpos) + 1),
+                     j -> {{'s': CASE WHEN j = 0 THEN 1 ELSE bpos[j] + 1 END,
+                           'e': CASE WHEN j = len(bpos) THEN n ELSE bpos[j + 1] END}}),
+                   p -> p.s <= p.e) AS kept
+          FROM b
+        ),
+        ch AS (
+          SELECT doc_id,
+                 unnest(range(0, len(kept))) AS chunk_idx,
+                 unnest(list_transform(range(0, len(kept)), j -> kept[j + 1].s)) AS s,
+                 unnest(list_transform(range(0, len(kept)), j -> kept[j + 1].e)) AS e,
+                 tk
+          FROM sp
+        ),
+        f AS (
+          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                 CAST(s AS INT) AS start_tok,
+                 CAST(e - s + 1 AS INT) AS n_tok,
+                 substr(md5(array_to_string(tk[s:e], ' ')), 1, 16) AS fp
+          FROM ch
+        ),
+        n AS (SELECT fp, COUNT(*) AS n_copies FROM f GROUP BY 1)
+        SELECT doc_id, chunk_idx, start_tok, n_tok, n_copies
+        FROM f JOIN n USING (fp) WHERE n_copies >= 2
     """,
         "dup_spans": rf"""
         WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

@@ -742,3 +742,74 @@ def strip_dup_spans(
             " ", F.filter(all_parts, lambda x: x.isNotNull() & (x != ""))
         ).alias("clean_text"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    min_copies: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking dedup — the shift-robust member of the
+    substring-dedup family.  ``dup_spans`` cuts at FIXED stride-k
+    offsets, so inserting one token near a document's head shifts every
+    later chunk boundary and the copies stop matching.  Here the
+    boundary is a property of the CONTENT: a token whose md5 starts
+    with the nibble '0' (p = 1/16 → mean chunk ≈ 16 tokens) CLOSES a
+    chunk, so after any local edit the chunking re-synchronizes at the
+    next boundary token and the rest of the document fingerprints
+    identically — the token-level analogue of gear/Rabin CDC from the
+    backup-dedup literature.
+
+    Output: one row per corpus-duplicated chunk occurrence —
+    (id, chunk_idx, start_tok, n_tok, n_copies), same contract as
+    ``dup_spans``.
+
+    Scale: chunking is PURE array expressions (filter/slice over the
+    token array — no |tokens| explode, no per-doc window shuffle); the
+    chunk text reduces to a 16-byte fingerprint before both shuffles,
+    which carry ~|corpus_tokens|/16 uniform fp rows — the dup_spans
+    plan family with the explode replaced by an in-stage transform."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # 1-based positions of boundary tokens (md5 nibble gate)
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substring(F.md5(F.element_at(toks, i)), 1, 1) == "0",
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(n))
+    spans = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda p: p["s"] <= p["e"],
+    )
+    chunk_arr = F.transform(
+        spans,
+        lambda p: F.struct(
+            p["s"].alias("s"),
+            (p["e"] - p["s"] + 1).alias("n_tok"),
+            F.concat_ws(
+                " ", F.slice(toks, p["s"], p["e"] - p["s"] + 1)
+            ).alias("chunk"),
+        ),
+    )
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n >= 1, chunk_arr).otherwise(
+                F.array().cast(
+                    "array<struct<s:int,n_tok:int,chunk:string>>"
+                )
+            )
+        ).alias("chunk_idx", "c"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.s").cast("int").alias("start_tok"),
+        F.col("c.n_tok").cast("int").alias("n_tok"),
+        h16(F.col("c.chunk")).alias("fp"),
+    )
+    copies = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return chunks.join(
+        copies.filter(F.col("n_copies") >= min_copies), "fp", "inner"
+    ).select(id_col, "chunk_idx", "start_tok", "n_tok", "n_copies")
