@@ -489,3 +489,21 @@ def test_adaptive_delays_clamp_and_scheduler_feed(spark):
     out = schedule_batch(pending, budgets=budgets).collect()
     sched = {h: sum(1 for r in out if r["host"] == h and r["scheduled"]) for h in ("fast", "slow")}
     assert sched["fast"] == 5 and sched["slow"] == 0
+
+
+def test_crawl_diff_four_verdicts(spark):
+    from uniparser_spark.frontier.freshness import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u_same", "a"), ("u_chg", "a"), ("u_gone", "a")],
+        "url string, content_fp string",
+    )
+    new = spark.createDataFrame(
+        [("u_same", "a"), ("u_chg", "b"), ("u_new", "c")],
+        "url string, content_fp string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u_same": "unchanged", "u_chg": "changed",
+        "u_gone": "removed", "u_new": "added",
+    }

@@ -185,3 +185,34 @@ def snapshot_asof(
     return best.join(snaps, [key, ts]).select(
         key, probe_ts, ts, *[c for c in snaps.columns if c not in (key, ts)]
     )
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    fp: str = "content_fp",
+) -> DataFrame:
+    """Crawl-to-crawl change detection: full-outer join of two snapshot
+    fingerprint tables → one verdict row per URL ever seen —
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    fingerprints differ), ``unchanged``.  The verdict stream is what
+    feeds freshness models (update_fetch_history counts `changed`),
+    re-extraction queues (changed + added), and deletion propagation
+    (removed → tombstones).
+
+    Scale shape: both sides are NARROW (key, fp) projections — page
+    bodies never join; one co-partitioned shuffle on the key, which the
+    snapshot tables' url-bucketed layout already provides at rest."""
+    o = old.select(F.col(key), F.col(fp).alias("old_fp"))
+    n = new.select(F.col(key), F.col(fp).alias("new_fp"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        "old_fp",
+        "new_fp",
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

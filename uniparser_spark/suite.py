@@ -1673,6 +1673,33 @@ def q_adaptive_delays(spark, sf_dir):
     return adaptive_delays(log, round_seconds=60, multiplier=2)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Snapshot change detection (frontier/freshness.py crawl_diff):
+    full-outer fingerprint join classifying every URL as added/removed/
+    changed/unchanged — the verdict stream freshness models and
+    re-extraction queues consume.  Synthesis: d%7==3 absent from the
+    old crawl (added), d%11==5 absent from the new (removed), d%3==0
+    fingerprints rotate (changed)."""
+    from .frontier.freshness import crawl_diff
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                   F.lit(".example.org/d/"), d.cast("string"))
+    old = docs.filter(d % 7 != 3).select(
+        url.alias("url"),
+        F.concat(F.lit("fp"), (d % 4).cast("string")).alias("content_fp"),
+    )
+    new = docs.filter(d % 11 != 5).select(
+        url.alias("url"),
+        F.concat(
+            F.lit("fp"),
+            F.when(d % 3 == 0, (d % 4 + 1)).otherwise(d % 4).cast("string"),
+        ).alias("content_fp"),
+    )
+    return crawl_diff(old, new)
+
+
 def q_snapshot_asof(spark, sf_dir):
     """As-of join (frontier/freshness.py snapshot_asof): each probe
     (url, as_of) returns the latest capture with snap_epoch <= as_of —
@@ -2380,6 +2407,7 @@ QUERIES = {
     "links_extract": q_links_extract,
     "fetch_history": q_fetch_history,
     "snapshot_asof": q_snapshot_asof,
+    "crawl_diff": q_crawl_diff,
     "adaptive_delays": q_adaptive_delays,
     "retry_schedule": q_retry_schedule,
     "anchor_index": q_anchor_index,
@@ -3001,6 +3029,25 @@ ORACLES = {
         SELECT host, n_obs, p50_ms, delay_ms,
                CAST(FLOOR(60000 / delay_ms) AS BIGINT) AS budget
         FROM d
+    """,
+    "crawl_diff": """
+        WITH o AS (
+          SELECT 'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS url,
+                 'fp' || (doc_id % 4) AS old_fp
+          FROM documents WHERE doc_id % 7 <> 3
+        ),
+        n AS (
+          SELECT 'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS url,
+                 'fp' || (CASE WHEN doc_id % 3 = 0 THEN doc_id % 4 + 1
+                               ELSE doc_id % 4 END) AS new_fp
+          FROM documents WHERE doc_id % 11 <> 5
+        )
+        SELECT COALESCE(o.url, n.url) AS url, o.old_fp, n.new_fp,
+               CASE WHEN o.old_fp IS NULL THEN 'added'
+                    WHEN n.new_fp IS NULL THEN 'removed'
+                    WHEN o.old_fp <> n.new_fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.url = n.url
     """,
     "snapshot_asof": """
         WITH vers AS (
