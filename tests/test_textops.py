@@ -642,3 +642,26 @@ def test_cdc_chunks_offsets_reconstruct_chunks(spark):
         assert r["start_tok"] == pos
         pos += r["n_tok"]
     assert pos == len(toks) + 1
+
+
+def test_script_profile_counts_and_election(spark):
+    from uniparser_spark.textops.quality import script_profile
+
+    df = docs_df(spark, [
+        (0, "hello world"),              # pure latin
+        (1, "ко ok"),                    # cyrillic 2 vs latin 2 -> tie -> latin
+        (2, "猫猫猫 ok"),                 # han 3 > latin 2
+        (3, "مرحبا"),                    # pure arabic
+        (4, "123 !!!"),                  # no script chars at all
+    ])
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert got[0]["main_script"] == "latin" and got[0]["latin"] == 10
+    assert got[1]["latin"] == 2 and got[1]["cyrillic"] == 2
+    assert got[1]["main_script"] == "latin"  # fixed tie-break order
+    assert got[2]["main_script"] == "han" and got[2]["han"] == 3
+    assert got[3]["main_script"] == "arabic" and got[3]["arabic"] == 5
+    assert got[4]["main_script"] == "other" and got[4]["other"] == 7
+    assert all(
+        r["latin"] + r["cyrillic"] + r["han"] + r["arabic"] + r["other"]
+        == r["n_chars"] for r in got.values()
+    )

@@ -1932,6 +1932,27 @@ def q_host_blocklist(spark, sf_dir):
     return apply_blocklist(urls, rules)
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script character profile (textops/quality.py
+    script_profile): per-doc Latin/Cyrillic/Han/Arabic/other counts and
+    the dominant script — the pre-langid routing signal for a
+    multilingual crawl.  Synthesis appends deterministic non-Latin
+    suffixes (Cyrillic/Han/Arabic by d%4) so every script class and the
+    tie-break order are exercised."""
+    from .textops.quality import script_profile
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 4 == 1, F.lit(" \u043a\u043e\u0442 \u0441\u0438\u0441\u0442\u0435\u043c\u0430 \u043c\u0438\u0440 \u0434\u043e\u043c \u0441\u043b\u043e\u0432\u043e"))
+        .when(d % 4 == 2, F.lit(" \u732b\u72d7\u9e1f\u9c7c\u866b\u6728\u706b\u6c34\u571f\u91d1"))
+        .when(d % 4 == 3, F.lit(" \u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 \u0643\u0644\u0645\u0629"))
+        .otherwise(F.lit(""))
+    )
+    mixed = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return script_profile(mixed)
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking dedup (textops/dedup.py cdc_chunks):
     chunk boundaries are md5-gated TOKENS (p=1/16), so the chunking
@@ -2423,6 +2444,7 @@ QUERIES = {
     "page_directives": q_page_directives,
     "dup_spans": q_dup_spans,
     "cdc_chunks": q_cdc_chunks,
+    "script_profile": q_script_profile,
     "strip_spans": q_strip_spans,
     "host_blocklist": q_host_blocklist,
     "corpus_pipeline": q_corpus_pipeline,
@@ -3029,6 +3051,38 @@ ORACLES = {
         SELECT host, n_obs, p50_ms, delay_ms,
                CAST(FLOOR(60000 / delay_ms) AS BIGINT) AS budget
         FROM d
+    """,
+    "script_profile": """
+        WITH m AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 4
+                           WHEN 1 THEN ' кот система мир дом слово'
+                           WHEN 2 THEN ' 猫狗鸟鱼虫木火水土金'
+                           WHEN 3 THEN ' مرحبا بالعالم كلمة'
+                           ELSE '' END AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, length(t) AS n,
+                 length(t) - length(regexp_replace(t, '[\p{Latin}]', '', 'g')) AS latin,
+                 length(t) - length(regexp_replace(t, '[\p{Cyrillic}]', '', 'g')) AS cyrillic,
+                 length(t) - length(regexp_replace(t, '[\p{Han}]', '', 'g')) AS han,
+                 length(t) - length(regexp_replace(t, '[\p{Arabic}]', '', 'g')) AS arabic
+          FROM m
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_chars,
+               CAST(latin AS BIGINT) AS latin,
+               CAST(cyrillic AS BIGINT) AS cyrillic,
+               CAST(han AS BIGINT) AS han,
+               CAST(arabic AS BIGINT) AS arabic,
+               CAST(n - latin - cyrillic - han - arabic AS BIGINT) AS other,
+               CASE WHEN latin >= cyrillic AND latin >= han AND latin >= arabic AND latin > 0 THEN 'latin'
+                    WHEN cyrillic >= han AND cyrillic >= arabic AND cyrillic > 0 THEN 'cyrillic'
+                    WHEN han >= arabic AND han > 0 THEN 'han'
+                    WHEN arabic > 0 THEN 'arabic'
+                    ELSE 'other' END AS main_script
+        FROM c
     """,
     "crawl_diff": """
         WITH o AS (

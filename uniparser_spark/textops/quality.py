@@ -467,3 +467,56 @@ def readability_scores(
         .otherwise(F.lit("hard"))
         .alias("band"),
     )
+
+
+_SCRIPTS = [
+    # (output name, Java regex script class, RE2 class used by the oracle)
+    ("latin", "IsLatin"),
+    ("cyrillic", "IsCyrillic"),
+    ("han", "IsHan"),
+    ("arabic", "IsArabic"),
+]
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script character profile — the writing-system signal the
+    n-gram ``langid`` can't give (langid's stopword vote only separates
+    languages that SHARE a script; routing a multilingual crawl first
+    needs to know the script at all).  Counts characters in the four
+    highest-volume web scripts (Latin, Cyrillic, Han, Arabic) plus the
+    remainder, and elects ``main_script`` by count with a fixed
+    tie-break order — deterministic across engines.
+
+    All counting is length(text) − length(regexp_replace(text,
+    '[\\p{Script}]', '')) in whole-stage codegen: Java's ``IsLatin``
+    and RE2/DuckDB's ``Latin`` classes resolve to the same Unicode
+    script property, verified value-identical on mixed-script fixtures.
+    One projected scan, no shuffle."""
+    text = F.col(text_col)
+    n = F.length(text)
+    counts = {
+        name: (
+            n - F.length(F.regexp_replace(text, "[\\p{" + cls + "}]", ""))
+        ).cast("long")
+        for name, cls in _SCRIPTS
+    }
+    lat, cyr, han, ar = (counts[k] for k, _ in _SCRIPTS)
+    main = (
+        F.when((lat >= cyr) & (lat >= han) & (lat >= ar) & (lat > 0), "latin")
+        .when((cyr >= han) & (cyr >= ar) & (cyr > 0), "cyrillic")
+        .when((han >= ar) & (han > 0), "han")
+        .when(ar > 0, "arabic")
+        .otherwise("other")
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        counts["latin"].alias("latin"),
+        counts["cyrillic"].alias("cyrillic"),
+        counts["han"].alias("han"),
+        counts["arabic"].alias("arabic"),
+        (n - lat - cyr - han - ar).cast("long").alias("other"),
+        main.alias("main_script"),
+    )
