@@ -367,3 +367,36 @@ def test_paths_unions_and_recursive_wildcard():
     everything = jsonpath_values(data, "$..*")
     assert data["a"] in everything and "lee" in everything
     assert objectpath_execute(data, "$.names['first','last']") == ["ann", "lee"]
+
+
+def test_paths_filter_arithmetic():
+    """Session-4 grammar step: +/-/*//*%* arithmetic in filter operands
+    (jsonpath-rw-ext script-expression shape), with errors-as-data."""
+    from uniparser_spark.paths import jsonpath_values
+
+    books = {
+        "book": [
+            {"id": 1, "price": 5, "qty": 4, "cap": 10, "tag": "a"},
+            {"id": 2, "price": 15, "qty": 2, "cap": 10},
+            {"id": 3, "price": 25, "qty": 0, "cap": 30},
+        ]
+    }
+
+    def ids(path):
+        return [b["id"] for b in jsonpath_values(books, path)]
+
+    assert ids("$.book[?(@.price + 10 > 20)]") == [2, 3]
+    assert ids("$.book[?(@.price - 10 > 0)]") == [2, 3]
+    assert ids("$.book[?(@.price -10 > 0)]") == [2, 3]   # sign-bound spelling
+    assert ids("$.book[?(@.price * @.qty >= 20)]") == [1, 2]
+    assert ids("$.book[?(@.id % 2 == 1)]") == [1, 3]
+    assert ids("$.book[?(@.price / 5 == 3)]") == [2]
+    # precedence: * binds tighter than +
+    assert ids("$.book[?(@.price + @.qty * 0 == 5)]") == [1]
+    # field-to-field with arithmetic on both sides
+    assert ids("$.book[?(@.price * 2 > @.cap + 5)]") == [2, 3]
+    # errors-as-data: string+int and div-by-zero compare False, not raise
+    assert ids("$.book[?(@.tag + 1 > 0)]") == []
+    assert ids("$.book[?(@.price / @.qty > 1)]") == [1, 2]
+    # missing field poisons the whole arithmetic term
+    assert ids("$.book[?(@.nope + 1 > 0)]") == []

@@ -144,6 +144,7 @@ _FTOK = re.compile(
       | (?P<at>@(?:\.[\w-]+)*)
       | (?P<word>and|or|not\s+in|not|in|is\s+not|is|true|false|null)\b
       | (?P<op>==|!=|<>|>=|<=|=~|=|>|<|&&|\|\||&|\||!)
+      | (?P<arith>[-+*/%])
       | (?P<punc>[()\[\],])
     )""",
     re.VERBOSE,
@@ -196,9 +197,20 @@ def _tokenize_filter(expr: str) -> List[_Tok]:
                 toks.append(_Tok("not", o))
             else:
                 toks.append(_Tok("cmp", o))
+        elif m.group("arith") is not None:
+            toks.append(_Tok("arith", m.group("arith")))
         else:
             toks.append(_Tok(m.group("punc"), m.group("punc")))
     return toks
+
+
+_ARITH = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+}
 
 
 class _FilterParser:
@@ -209,8 +221,18 @@ class _FilterParser:
         and    := not ( AND not )*
         not    := NOT not | atom
         atom   := '(' expr ')' | operand ( CMP rhs )?
-        operand:= @path | literal
+        operand:= term ( ('+'|'-') term )*      -- arithmetic (jsonpath-rw-ext)
+        term   := factor ( ('*'|'/'|'%') factor )*
+        factor := @path | literal
         rhs    := operand | '[' literal, ... ']' | '(' literal, ... ')'
+
+    A negative NUMBER literal directly after an operand is absorbed as
+    subtraction (``@.a -1`` ≡ ``@.a - 1`` — the tokenizer binds the
+    sign to the digit).  Arithmetic errors on an item (type mismatch,
+    division by zero) resolve to MISSING, so the enclosing comparison
+    is False for that item — errors-as-data, same policy as unresolved
+    @-paths.  Parenthesized arithmetic is not supported (parens group
+    booleans); spell ``(@.a + 1) * 2`` as ``@.a * 2 + 2``.
     """
 
     def __init__(self, expr: str):
@@ -298,6 +320,47 @@ class _FilterParser:
         return lambda item, l=left: l(item) is not _MISSING and bool(l(item))
 
     def _operand(self):
+        left = self._term()
+        while True:
+            t = self._peek()
+            if t is not None and t.kind == "arith" and t.val in ("+", "-"):
+                self._next()
+                left = self._arith_bin(left, t.val, self._term())
+            elif (
+                t is not None
+                and t.kind == "lit"
+                and isinstance(t.val, (int, float))
+                and not isinstance(t.val, bool)
+                and t.val < 0
+            ):
+                # '@.a -1': the tokenizer bound the sign to the digit
+                self._next()
+                right = t.val
+                left = self._arith_bin(left, "+", lambda item, v=right: v)
+            else:
+                return left
+
+    def _term(self):
+        left = self._factor()
+        while (t := self._peek()) and t.kind == "arith" and t.val in ("*", "/", "%"):
+            self._next()
+            left = self._arith_bin(left, t.val, self._factor())
+        return left
+
+    @staticmethod
+    def _arith_bin(lf, op: str, rf):
+        fn = _ARITH[op]
+        def run(item, lf=lf, rf=rf, fn=fn):
+            a, b = lf(item), rf(item)
+            if a is _MISSING or b is _MISSING:
+                return _MISSING
+            try:
+                return fn(a, b)
+            except (TypeError, ZeroDivisionError):
+                return _MISSING
+        return run
+
+    def _factor(self):
         t = self._next()
         if t.kind == "at":
             return lambda item, ks=t.val: _at_resolve(item, ks)

@@ -1043,6 +1043,11 @@ def q_rule_paths(spark, sf_dir):
                 "chain_rules": [["loader", "json", ""], ["jsonpath", '$.items[?(@.tag =~ "^row-")].p', ""], ["python", "getitem", "[1]"]],
                 "child_rules": [],
             },
+            {
+                "name": "fm",  # arithmetic operands -> id*2-1==3 -> id 2
+                "chain_rules": [["loader", "json", ""], ["jsonpath", "$.items[?(@.id * 2 - 1 == 3)].p", ""], ["python", "getitem", "[0]"]],
+                "child_rules": [],
+            },
         ],
     )
     res = extract_pages(pages, storage)
@@ -1057,6 +1062,7 @@ def q_rule_paths(spark, sf_dir):
         F.get_json_object("result", "$.p.fi").cast("long").alias("k_filter_in"),
         F.get_json_object("result", "$.p.fo").cast("long").alias("k_filter_or"),
         F.get_json_object("result", "$.p.fr").cast("long").alias("k_filter_re"),
+        F.get_json_object("result", "$.p.fm").cast("long").alias("k_filter_math"),
     )
 
 
@@ -2726,7 +2732,8 @@ ORACLES = {
                CAST(json_extract_string(props, '$.k') AS BIGINT) + 10 AS k_filter_and,
                CAST(json_extract_string(props, '$.k') AS BIGINT) + 20 AS k_filter_in,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_filter_or,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) + 20 AS k_filter_re
+               CAST(json_extract_string(props, '$.k') AS BIGINT) + 20 AS k_filter_re,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) + 10 AS k_filter_math
         FROM events
     """,
     "rule_native": """
