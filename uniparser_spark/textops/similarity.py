@@ -469,8 +469,13 @@ def ivf_topk(
     cents = base.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), F.col("v").alias("cv")
     )
-    # cell index: one broadcast pass, argmax over n_cells sims
-    aw = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cell"))
+    # cell index: one broadcast pass, argmax over n_cells sims.  The
+    # argmax is a max_by-style struct aggregation, NOT a window: all
+    # n_cells rows of a group are co-located (broadcast cross join), so
+    # the partial aggregate combines them map-side and the Exchange
+    # carries ONE narrow row per corpus vector — a window here would
+    # shuffle N×n_cells rows each dragging the full embedding along.
+    # Tie-break mirrors (desc csim, asc cell) via (csim, -cell) max.
     cells = (
         base.crossJoin(F.broadcast(cents))
         .select(
@@ -479,9 +484,18 @@ def ivf_topk(
             "cell",
             F.round(cosine(F.col("cv"), F.col("v")), 6).alias("csim"),
         )
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "v", "cell")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell")).alias("neg_cell"),
+                    F.col("cell"),
+                )
+            ).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select(id_col, "v", F.col("m.cell").alias("cell"))
     )
     # probe list: per query the nprobe nearest cells (tiny, broadcast)
     q = base.filter(F.col(id_col) < n_queries).select(
@@ -537,8 +551,11 @@ def centroid_assign(
     centroid_id.
 
     Scale: centroids broadcast (k rows); the corpus side is one
-    projected scan + in-stage cross product against k, a per-partition
-    window for the argmax — no wide shuffle of embeddings."""
+    projected scan + in-stage cross product against k, then a max_by
+    struct aggregation for the argmax — the k sims of a group are
+    co-located so the partial aggregate combines map-side and the
+    Exchange carries one narrow (id, centroid, sim) row per vector; no
+    wide shuffle of embeddings, no window sort."""
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     cents = base.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
@@ -548,9 +565,17 @@ def centroid_assign(
         "centroid_id",
         F.round(cosine(F.col("cv"), F.col("v")), 6).alias("sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
+    # tie-break (desc sim, asc centroid_id) == max of (sim, -centroid_id)
     return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id", "sim")
+        sims.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col("centroid_id"),
+                )
+            ).alias("m")
+        )
+        .select(id_col, F.col("m.centroid_id").alias("centroid_id"), F.col("m.sim").alias("sim"))
     )
