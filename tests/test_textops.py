@@ -665,3 +665,53 @@ def test_script_profile_counts_and_election(spark):
         r["latin"] + r["cyrillic"] + r["han"] + r["arabic"] + r["other"]
         == r["n_chars"] for r in got.values()
     )
+
+
+# ------------------------------------------------------------ bm25 index
+def test_bm25_index_hand_computed(spark):
+    """BM25 postings vs a plain-Python computation of the same rational
+    formula (k1=1.2, b=0.75, idf=(N-df+.5)/(df+.5))."""
+    from uniparser_spark.textops.index import bm25_index
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "banana banana banana cherry"),
+        (4, "date"),
+    ]
+    out = {
+        r["term"]: r
+        for r in bm25_index(docs_df(spark, rows), topk=2, min_df=2)
+        .collect()
+    }
+    # corpus: N=4, dl = [3,2,4,1], avgdl = 10/4
+    # term df>=2: apple(df=2), banana(df=2), cherry(df=2)
+    def score(tf, dl, df, n=4, avgdl=2.5, k1=1.2, b=0.75):
+        idf = (n - df + 0.5) / (df + 0.5)
+        tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(idf * tfn, 4)
+
+    assert set(out) == {"apple", "banana", "cherry"}
+    a = out["apple"]
+    assert a["df"] == 2 and a["top_doc"] == 1
+    assert a["top_score"] == pytest.approx(score(2, 3, 2))
+    assert a["postings"] == "01:1|02:2"
+    bna = out["banana"]
+    assert bna["top_doc"] == 3
+    assert bna["top_score"] == pytest.approx(score(3, 4, 2))
+    # cherry: tf=1 in both docs; shorter doc (2) outranks doc 3
+    c = out["cherry"]
+    assert c["top_doc"] == 2 and c["postings"] == "01:2|02:3"
+
+
+def test_bm25_index_min_df_and_topk(spark):
+    from uniparser_spark.textops.index import bm25_index
+
+    rows = [(i, "common unique%d" % i) for i in range(6)]
+    out = bm25_index(docs_df(spark, rows), topk=3, min_df=2).collect()
+    # only 'common' survives min_df=2; postings truncated to 3 of 6
+    assert len(out) == 1
+    r = out[0]
+    assert r["term"] == "common" and r["df"] == 6
+    # identical tf/dl everywhere -> tie broken by ascending doc_id
+    assert r["postings"] == "01:0|02:1|03:2"

@@ -4638,6 +4638,71 @@ ORACLES.update(
 )
 
 
+# -------------------------------------------------- session-5: retrieval
+def q_bm25_index(spark, sf_dir):
+    """BM25 postings index (textops/index.py bm25_index): one explode,
+    two map-side counts with dl carried through the aggregate (no
+    per-doc join), broadcast corpus stats, rank≤k window truncation —
+    the retrieval-side twin of doc_keywords, rational-idf bit-stable."""
+    from .textops.index import bm25_index
+
+    return bm25_index(tp(spark, sf_dir, "documents"), topk=5, min_df=2)
+
+
+QUERIES.update(
+    {
+        "bm25_index": q_bm25_index,
+    }
+)
+
+ORACLES.update(
+    {
+        "bm25_index": rf"""
+        WITH lens AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+        terms AS (
+          SELECT doc_id, len({_TOKS}) AS dl, UNNEST({_TOKS}) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+          FROM terms GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term, dfq.df,
+                 ROUND(
+                   ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+                   * ((CAST(tf AS DOUBLE) * 2.2)
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25
+                                  + 0.75 * (CAST(dl AS DOUBLE)
+                                            / (CAST(sum_dl AS DOUBLE)
+                                               / CAST(n_docs AS DOUBLE)))))),
+                   4) AS score
+          FROM tf JOIN dfq USING (term), stats
+          WHERE df >= 2
+        ),
+        ranked AS (
+          SELECT doc_id, term, df, score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY term ORDER BY score DESC, doc_id ASC
+                 ) AS rk
+          FROM scored
+        )
+        SELECT term, MAX(df) AS df,
+               MAX(CASE WHEN rk = 1 THEN doc_id END) AS top_doc,
+               MAX(CASE WHEN rk = 1 THEN score END) AS top_score,
+               string_agg(lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || doc_id,
+                          '|' ORDER BY lpad(CAST(rk AS VARCHAR), 2, '0')
+                                       || ':' || doc_id) AS postings
+        FROM ranked WHERE rk <= 5 GROUP BY term
+    """,
+    }
+)
+
+
 # ------------------------------------------------------- streaming surface
 # Oracle-gated Structured Streaming queries (real readStream -> sink ->
 # drained-result pipelines); see streaming_suite.py for semantics.

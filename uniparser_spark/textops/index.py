@@ -1,0 +1,109 @@
+"""Inverted-index / retrieval primitives over the documents table.
+
+The corpus ops in :mod:`quality` score documents; this module builds the
+*term-side* structures a retrieval or data-curation pipeline needs: a
+BM25-scored postings index (top documents per term) that downstream
+dedup-by-query, contamination probes, and keyword routing can join
+against.
+
+Reference parity note: the reference engine (ClericPy/uniparser) has no
+retrieval layer — this is part of the beyond-reference LLM-data-pipeline
+surface (SURVEY.md §2 extension), built to the same bit-stability
+contract as ``quality.doc_keywords``.
+
+Scale shape: tokenize → one explode → two map-side-combined counts
+(term frequency per doc with the doc length carried through the
+aggregate — no per-doc join — and document frequency per term) → a
+broadcast single-row corpus-stats join → per-term top-k via the
+rank≤k window (WindowGroupLimit pushes the truncation map-side, so the
+full postings list for a stop-word-ish term never assembles on one
+node).  The only shuffles carry ``(doc_id, term, tf, dl)`` — never text.
+
+Bit-stability: BM25's idf uses the RATIONAL form
+``(N - df + 0.5) / (df + 0.5)`` (no logarithm), and the length
+normalization is pure IEEE +,×,÷ with literal constants
+(``k1+1`` and ``1-b`` folded at authoring time), so the DuckDB oracle
+computes the identical double before the shared ROUND(·, 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .exprs import tokens
+
+
+def bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """BM25 postings index: for every term with document frequency
+    ``>= min_df``, the ``topk`` best documents by BM25 score.
+
+    Output: ``(term, df, top_doc, top_score, postings)`` where
+    ``postings`` is a '|'-joined ``rank:doc_id`` list (rank
+    zero-padded to 2 so lexicographic order == rank order) and
+    ``top_score`` is the rank-1 BM25 score rounded to 4 dp.  Ties
+    break on ascending doc_id so output is engine-independent.
+    """
+    toks = tokens(F.col(text_col))
+    lens = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    terms = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfn = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            "df",
+            F.round(idf * tfn, 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= topk
+    )
+    return ranked.groupBy("term").agg(
+        F.max("df").alias("df"),
+        F.max(F.when(F.col("_rk") == 1, F.col(id_col))).alias("top_doc"),
+        F.max(F.when(F.col("_rk") == 1, F.col("score"))).alias("top_score"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat(
+                        F.lpad(F.col("_rk").cast("string"), 2, "0"),
+                        F.lit(":"),
+                        F.col(id_col),
+                    )
+                )
+            ),
+            "|",
+        ).alias("postings"),
+    )
