@@ -533,3 +533,41 @@ def test_crawl_blocklist_keeps_domain_out_of_frontier(spark, corpus, tmp_path):
     assert testgen.list_url(h1) in crawled  # seed bypass
     assert not any(u.startswith(f"https://{h1}/item-") for u in crawled)
     assert any(u.startswith(f"https://{h0}/item-") for u in crawled)
+
+
+# ------------------------------------------------------- sessionization
+def test_sessionize_gaps_and_ties(spark):
+    """Gap sessionization: 30-min cut, tie-broken ordering, 1-based ids."""
+    import datetime as dt
+
+    from uniparser_spark.crawl.sessions import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # host 1: two sessions — 3 events, then a 1h gap, then 1 event
+        (1, s(0), 10),
+        (1, s(60), 11),
+        (1, s(1800), 12),      # exactly gap_sec since prev -> SAME session
+        (1, s(1800 + 3601), 13),
+        # host 2: simultaneous events tie-break on id; then new session
+        (2, s(0), 20),
+        (2, s(0), 21),
+        (2, s(2000), 22),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, e) for (u, ts, e) in rows], "user_id long, ts timestamp, event_id long"
+    )
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in sessionize(df, gap_sec=1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    a = out[(1, 1)]
+    assert a["n_events"] == 3 and a["first_event"] == 10
+    assert a["duration_sec"] == 1800
+    b = out[(1, 2)]
+    assert b["n_events"] == 1 and b["first_event"] == 13 and b["duration_sec"] == 0
+    c = out[(2, 1)]
+    assert c["n_events"] == 2 and c["first_event"] == 20
+    assert out[(2, 2)]["first_event"] == 22

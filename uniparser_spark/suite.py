@@ -4649,9 +4649,20 @@ def q_bm25_index(spark, sf_dir):
     return bm25_index(tp(spark, sf_dir, "documents"), topk=5, min_df=2)
 
 
+def q_fetch_sessions(spark, sf_dir):
+    """Gap-based fetch-log sessionization (crawl/sessions.py
+    sessionize): one Exchange+Sort serves both the gap lag and the
+    running session number; 30-min gap over the events table as the
+    fetch-log stand-in.  Integer-microsecond arithmetic end-to-end."""
+    from .crawl.sessions import sessionize
+
+    return sessionize(t(spark, sf_dir, "events"), gap_sec=1800)
+
+
 QUERIES.update(
     {
         "bm25_index": q_bm25_index,
+        "fetch_sessions": q_fetch_sessions,
     }
 )
 
@@ -4698,6 +4709,34 @@ ORACLES.update(
                           '|' ORDER BY lpad(CAST(rk AS VARCHAR), 2, '0')
                                        || ':' || doc_id) AS postings
         FROM ranked WHERE rk <= 5 GROUP BY term
+    """,
+        "fetch_sessions": r"""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ),
+        lagd AS (
+          SELECT user_id, event_id, us,
+                 LAG(us) OVER (
+                   PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                 ) AS prev
+          FROM e
+        ),
+        numbered AS (
+          SELECT user_id, event_id, us,
+                 CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                               THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS session_id
+          FROM lagd
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               MIN(event_id) AS first_event,
+               MIN(us) AS start_us,
+               MAX(us) AS end_us,
+               (MAX(us) - MIN(us)) // 1000000 AS duration_sec
+        FROM numbered GROUP BY user_id, session_id
     """,
     }
 )
