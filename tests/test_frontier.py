@@ -507,3 +507,27 @@ def test_crawl_diff_four_verdicts(spark):
         "u_same": "unchanged", "u_chg": "changed",
         "u_gone": "removed", "u_new": "added",
     }
+
+
+# -------------------------------------------------- registrable domains
+def test_registrable_domain_psl_cases(spark):
+    """PSL longest-match: ICANN 2-level, private registry, host==suffix,
+    3-label suffix, default rule, IP, single label."""
+    from uniparser_spark.frontier.domains import with_registrable_domain
+
+    hosts = [
+        ("www.example.com", "com", "example.com"),
+        ("news.bbc.co.uk", "co.uk", "bbc.co.uk"),
+        ("alice.github.io", "github.io", "alice.github.io"),
+        ("github.io", "github.io", None),          # the suffix itself
+        ("data.bucket.s3.amazonaws.com", "s3.amazonaws.com",
+         "bucket.s3.amazonaws.com"),
+        ("deep.sub.example.xyz", "xyz", "example.xyz"),  # default rule
+        ("10.1.2.3", None, "10.1.2.3"),            # IPv4 literal
+        ("localhost", None, None),                 # single label
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in hosts], "host string")
+    out = {r["host"]: r for r in with_registrable_domain(df).collect()}
+    for host, suffix, domain in hosts:
+        assert out[host]["public_suffix"] == suffix, host
+        assert out[host]["registrable_domain"] == domain, host

@@ -4659,10 +4659,36 @@ def q_fetch_sessions(spark, sf_dir):
     return sessionize(t(spark, sf_dir, "events"), gap_sec=1800)
 
 
+def q_registrable_domains(spark, sf_dir):
+    """PSL longest-match eTLD+1 (frontier/domains.py
+    with_registrable_domain): embedded Mozilla-PSL subset, suffix-chain
+    filter in pure codegen; hosts synthesized to hit every rule class —
+    ICANN 2-level, private registry (incl. the host==suffix NULL case
+    and a 3-label suffix), default-rule TLD, IPv4, single-label."""
+    from .frontier.domains import with_registrable_domain
+
+    d = F.col("doc_id")
+    m = d % 9
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.site"), (d % 50).cast("string"), F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("news.site"), (d % 50).cast("string"), F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("user"), (d % 50).cast("string"), F.lit(".github.io")))
+        .when(m == 3, F.lit("github.io"))
+        .when(m == 4, F.concat(F.lit("10."), (d % 256).cast("string"), F.lit(".0.1")))
+        .when(m == 5, F.lit("localhost"))
+        .when(m == 6, F.concat(F.lit("a.b.cdn"), (d % 50).cast("string"), F.lit(".xyz")))
+        .when(m == 7, F.concat(F.lit("bucket"), (d % 50).cast("string"), F.lit(".s3.amazonaws.com")))
+        .otherwise(F.concat(F.lit("site"), (d % 50).cast("string"), F.lit(".org")))
+    )
+    docs = tp(spark, sf_dir, "documents").select(d.alias("doc_id"), host.alias("host"))
+    return with_registrable_domain(docs)
+
+
 QUERIES.update(
     {
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
+        "registrable_domains": q_registrable_domains,
     }
 )
 
@@ -4738,6 +4764,53 @@ ORACLES.update(
                (MAX(us) - MIN(us)) // 1000000 AS duration_sec
         FROM numbered GROUP BY user_id, session_id
     """,
+    }
+)
+
+from .frontier.domains import registrable_domain_sql_literal  # noqa: E402
+
+ORACLES.update(
+    {
+        "registrable_domains": r"""
+        WITH h AS (
+          SELECT doc_id,
+            CASE doc_id % 9
+              WHEN 0 THEN 'www.site' || (doc_id % 50) || '.com'
+              WHEN 1 THEN 'news.site' || (doc_id % 50) || '.co.uk'
+              WHEN 2 THEN 'user' || (doc_id % 50) || '.github.io'
+              WHEN 3 THEN 'github.io'
+              WHEN 4 THEN '10.' || (doc_id % 256) || '.0.1'
+              WHEN 5 THEN 'localhost'
+              WHEN 6 THEN 'a.b.cdn' || (doc_id % 50) || '.xyz'
+              WHEN 7 THEN 'bucket' || (doc_id % 50) || '.s3.amazonaws.com'
+              ELSE 'site' || (doc_id % 50) || '.org'
+            END AS host
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, host,
+            list_transform(range(1, len(string_split(host, '.')) + 1),
+                           i -> array_to_string(string_split(host, '.')[i:],
+                                                '.')) AS sufs,
+            regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$') AS is_ip
+          FROM h
+        ),
+        m AS (
+          SELECT doc_id, host, sufs, is_ip, len(sufs) AS n,
+            list_filter(sufs, x -> list_contains(__PSL__, x))[1] AS matched
+          FROM s
+        )
+        SELECT doc_id, host,
+          CASE WHEN is_ip OR n < 2 THEN NULL
+               ELSE coalesce(matched, sufs[n]) END AS public_suffix,
+          CASE WHEN is_ip THEN host
+               WHEN n < 2 THEN NULL
+               WHEN matched IS NOT NULL THEN
+                 (CASE WHEN list_position(sufs, matched) > 1
+                       THEN sufs[list_position(sufs, matched) - 1] END)
+               ELSE sufs[n - 1] END AS registrable_domain
+        FROM m
+    """.replace("__PSL__", registrable_domain_sql_literal()),
     }
 )
 
