@@ -715,3 +715,44 @@ def test_bm25_index_min_df_and_topk(spark):
     assert r["term"] == "common" and r["df"] == 6
     # identical tf/dl everywhere -> tie broken by ascending doc_id
     assert r["postings"] == "01:0|02:1|03:2"
+
+
+# --------------------------------------------------------- charset sniff
+def test_charset_sniff_and_decode_roundtrip(spark):
+    """All 7 synthesized encoding variants sniff correctly and decode
+    back to the original markup (BOM stripped, UTF-16 handled)."""
+    from uniparser_spark.textops.charset import (
+        decode_html,
+        sniff_charset,
+        synth_html_bytes,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    raw = synth_html_bytes(ids)
+    sniffed = {r["doc_id"]: r for r in sniff_charset(raw).collect()}
+    expect = {
+        0: ("utf-8", "bom"), 1: ("utf-8", "meta"),
+        2: ("iso-8859-1", "meta"), 3: ("utf-16le", "bom"),
+        4: ("utf-16be", "bom"), 5: ("windows-1252", "default"),
+        6: ("shift_jis", "meta"),
+    }
+    for i in range(14):
+        assert (sniffed[i]["charset"], sniffed[i]["source"]) == expect[i % 7], i
+    decoded = {r["doc_id"]: r["text"] for r in decode_html(raw).collect()}
+    for i in range(14):
+        t = decoded[i]
+        assert t.startswith("<html><head>"), i
+        assert "<title>doc %d</title>" % i in t, i
+        assert "�" not in t, i
+
+
+def test_charset_decode_malformed_bytes_degrade(spark):
+    """Invalid UTF-8 under a utf-8 meta label becomes U+FFFD, not an
+    aborted scan (error-as-data)."""
+    from uniparser_spark.textops.charset import decode_html
+
+    bad = b'<html><head><meta charset="utf-8"><body>\xff\xfe\xc0</body>'
+    df = spark.createDataFrame([(1, bad)], "doc_id long, html binary")
+    row = decode_html(df).collect()[0]
+    assert row["charset"] == "utf-8" and row["source"] == "meta"
+    assert "�" in row["text"] and "<body>" in row["text"]

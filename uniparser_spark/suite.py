@@ -4684,11 +4684,25 @@ def q_registrable_domains(spark, sf_dir):
     return with_registrable_domain(docs)
 
 
+def q_charset_sniff(spark, sf_dir):
+    """WHATWG-order charset sniff over REAL binary HTML
+    (textops/charset.py): synthesize 7 encoding variants with native
+    encode/to_binary (genuine UTF-8/16 bytes + BOMs), sniff BOM →
+    meta-prescan → default entirely in codegen.  Oracle predicts the
+    verdicts analytically from the synthesis key (media_dims
+    pattern)."""
+    from .textops.charset import sniff_charset, synth_html_bytes
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    return sniff_charset(synth_html_bytes(docs))
+
+
 QUERIES.update(
     {
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
+        "charset_sniff": q_charset_sniff,
     }
 )
 
@@ -4811,6 +4825,22 @@ ORACLES.update(
                ELSE sufs[n - 1] END AS registrable_domain
         FROM m
     """.replace("__PSL__", registrable_domain_sql_literal()),
+        "charset_sniff": """
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'utf-8'
+                 WHEN 1 THEN 'utf-8'
+                 WHEN 2 THEN 'iso-8859-1'
+                 WHEN 3 THEN 'utf-16le'
+                 WHEN 4 THEN 'utf-16be'
+                 WHEN 5 THEN 'windows-1252'
+                 ELSE 'shift_jis'
+               END AS charset,
+               CASE WHEN doc_id % 7 IN (0, 3, 4) THEN 'bom'
+                    WHEN doc_id % 7 IN (1, 2, 6) THEN 'meta'
+                    ELSE 'default' END AS source
+        FROM documents
+    """,
     }
 )
 
