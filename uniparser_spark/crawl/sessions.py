@@ -9,12 +9,13 @@ threshold.  The reference engine has no log analytics at all (its
 crawler is a single asyncio loop — ``crawler.py:191-224`` keeps no
 fetch history); this is part of the beyond-reference ops surface.
 
-Scale shape: one Exchange on the session key + one Sort serves BOTH
-window computations (the ``lag`` that measures the gap and the running
-``sum`` that numbers sessions share partitioning and ordering, so
-Catalyst fuses them into a single Window node over one sort).  The
-closing per-session aggregate shuffles again, but by then each row is
-just ``(key, session_id, ts, id)`` — the payload never moves.  Keys
+Scale shape: ONE Exchange total (measured plan, PLANS.md).  The
+``lag`` that measures the gap and the running ``sum`` that numbers
+sessions share partitioning and ordering, so both windows run over the
+single sort; and the closing groupBy(key, session_id) adds NO second
+Exchange — its grouping keys are a superset of the window's hash
+partitioning key, so Spark's ClusteredDistribution is already
+satisfied and the aggregate runs in place.  Keys
 are hosts/users (bounded per-key row counts); a pathological hot key
 degrades the sort, not the cluster — same skew posture as the
 politeness scheduler, and the same salting applies if needed.
