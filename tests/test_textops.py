@@ -756,3 +756,26 @@ def test_charset_decode_malformed_bytes_degrade(spark):
     row = decode_html(df).collect()[0]
     assert row["charset"] == "utf-8" and row["source"] == "meta"
     assert "�" in row["text"] and "<body>" in row["text"]
+
+
+def test_encoding_health_detects_real_misdecode(spark):
+    """A genuine utf-8→cp1252 mis-decode (not a synthetic marker) is
+    flagged; clean unicode text is not."""
+    from uniparser_spark.textops.charset import encoding_health
+
+    damaged = "café — “quote”…".encode("utf-8").decode(
+        "cp1252", errors="replace"
+    )
+    rows = [(1, damaged), (2, "clean text, even with accents: café née")]
+    out = {
+        r["doc_id"]: r
+        for r in encoding_health(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    d = out[1]
+    assert d["verdict"] == "damaged"
+    assert d["n_moji"] >= 3  # Ã©, â€”/â€œ family
+    assert d["n_repl"] >= 1  # cp1252-undefined byte -> U+FFFD
+    c = out[2]
+    assert c["verdict"] == "clean" and c["n_moji"] == 0 and c["n_repl"] == 0

@@ -4697,12 +4697,32 @@ def q_charset_sniff(spark, sf_dir):
     return sniff_charset(synth_html_bytes(docs))
 
 
+def q_encoding_health(spark, sf_dir):
+    """Mojibake / replacement-char detection (textops/charset.py
+    encoding_health): cp1252-mis-decode artifact counts at scan speed.
+    Docs id%11∈{0,1} get real artifact strings appended (the damage a
+    genuine utf-8→cp1252 mis-decode produces — pytest pins that round
+    trip); the oracle runs the identical regexps in DuckDB."""
+    from .textops.charset import encoding_health
+
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 11
+    text = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" cafÃ© â€” testÃ¼")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" bad � byte")))
+        .otherwise(F.col("text"))
+    )
+    return encoding_health(docs.select(d, text.alias("text")))
+
+
 QUERIES.update(
     {
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
         "charset_sniff": q_charset_sniff,
+        "encoding_health": q_encoding_health,
     }
 )
 
@@ -4840,6 +4860,32 @@ ORACLES.update(
                     WHEN doc_id % 7 IN (1, 2, 6) THEN 'meta'
                     ELSE 'default' END AS source
         FROM documents
+    """,
+        "encoding_health": """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                        THEN text || ' cafÃ© â€” testÃ¼'
+                      WHEN doc_id % 11 = 1
+                        THEN text || ' bad � byte'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+                   AS n_repl,
+                 CAST(len(regexp_extract_all(text, '(Ã.)|(â€.)')) AS BIGINT)
+                   AS n_moji,
+                 CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS n_chars
+          FROM t
+        )
+        SELECT doc_id, n_repl, n_moji,
+               ROUND(CAST(n_repl + n_moji AS DOUBLE) * 1000.0 / n_chars, 4)
+                 AS damage_per_kchar,
+               CASE WHEN n_repl + n_moji > 0 THEN 'damaged'
+                    ELSE 'clean' END AS verdict
+        FROM c
     """,
     }
 )

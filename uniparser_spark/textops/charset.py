@@ -182,3 +182,46 @@ def synth_html_bytes(
         .otherwise(F.encode(meta_sj, "UTF-8"))
     )
     return df.select(d, html.alias("html"))
+
+
+# --------------------------------------------------------- encoding health
+# UTF-8 text that was mis-decoded through cp1252/latin-1 at some point
+# leaves unmistakable artifacts: 'Ã'+trailing char (a two-byte Latin
+# sequence read as two chars) and the 'â€¦'-family (three-byte
+# punctuation).  U+FFFD marks bytes a decoder already gave up on.
+# Counting these is the corpus-hygiene signal that catches
+# double-encoding damage AFTER the bytes are gone — scan-speed regexp
+# counts, no Python.  The continuation-byte images under cp1252 are NOT
+# a contiguous codepoint range, so the pattern accepts any trailing
+# char; a legitimate bare 'Ã' (upper-case "SÃO"-style words) is the
+# documented false-positive channel — treat damage_per_kchar as a
+# score, not a proof.
+_MOJI_RE = "(Ã.)|(â€.)"
+
+
+def encoding_health(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc encoding-damage profile: replacement-char count,
+    mojibake-pair count, damage per kchar (4 dp), and a verdict
+    (``clean`` / ``damaged`` at >0 artifacts)."""
+    t = F.col(text_col)
+    n_repl = F.size(
+        F.regexp_extract_all(t, F.lit("�"), F.lit(0))
+    ).cast("long")
+    n_moji = F.size(
+        F.regexp_extract_all(t, F.lit(_MOJI_RE), F.lit(0))
+    ).cast("long")
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+    per_kchar = F.round(
+        (n_repl + n_moji).cast("double") * F.lit(1000.0) / n_chars, 4
+    )
+    return df.select(
+        F.col(id_col),
+        n_repl.alias("n_repl"),
+        n_moji.alias("n_moji"),
+        per_kchar.alias("damage_per_kchar"),
+        F.when((n_repl + n_moji) > 0, F.lit("damaged"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )
