@@ -779,3 +779,24 @@ def test_encoding_health_detects_real_misdecode(spark):
     assert d["n_repl"] >= 1  # cp1252-undefined byte -> U+FFFD
     c = out[2]
     assert c["verdict"] == "clean" and c["n_moji"] == 0 and c["n_repl"] == 0
+
+
+def test_length_distribution_exact_and_approx(spark):
+    """Exact deciles vs hand computation; approx path returns the same
+    schema and plausible values."""
+    from uniparser_spark.textops.quality import length_distribution
+
+    # 5 docs of 1..5 tokens in one stratum
+    rows = [(i, " ".join(["w"] * i), "en", "web") for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    r = length_distribution(df).collect()[0]
+    assert r["n_docs"] == 5 and r["total_tokens"] == 15
+    # type-7 interpolation over [1,2,3,4,5]: p10=1.4, p50=3, p90=4.6
+    assert r["p10_tokens"] == pytest.approx(1.4)
+    assert r["p50_tokens"] == pytest.approx(3.0)
+    assert r["p90_tokens"] == pytest.approx(4.6)
+    assert r["mean_tokens"] == pytest.approx(3.0)
+    ra = length_distribution(df, approx=True).collect()[0]
+    assert ra["n_docs"] == 5 and 1 <= ra["p10_tokens"] <= ra["p90_tokens"] <= 5

@@ -4697,6 +4697,16 @@ def q_charset_sniff(spark, sf_dir):
     return sniff_charset(synth_html_bytes(docs))
 
 
+def q_length_distribution(spark, sf_dir):
+    """Per-(lang, source) sequence-length distribution (textops/
+    quality.py length_distribution): exact token deciles
+    (percentile == quantile_cont), exact-integer mean, one narrow
+    shuffle; approx=True is the documented t-digest scale path."""
+    from .textops.quality import length_distribution
+
+    return length_distribution(tp(spark, sf_dir, "documents"))
+
+
 def q_encoding_health(spark, sf_dir):
     """Mojibake / replacement-char detection (textops/charset.py
     encoding_health): cp1252-mis-decode artifact counts at scan speed.
@@ -4723,6 +4733,7 @@ QUERIES.update(
         "registrable_domains": q_registrable_domains,
         "charset_sniff": q_charset_sniff,
         "encoding_health": q_encoding_health,
+        "length_distribution": q_length_distribution,
     }
 )
 
@@ -4886,6 +4897,21 @@ ORACLES.update(
                CASE WHEN n_repl + n_moji > 0 THEN 'damaged'
                     ELSE 'clean' END AS verdict
         FROM c
+    """,
+        "length_distribution": rf"""
+        WITH t AS (
+          SELECT lang, source, CAST(len({_TOKS}) AS BIGINT) AS n
+          FROM documents
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               ROUND(quantile_cont(n, 0.1), 4) AS p10_tokens,
+               ROUND(quantile_cont(n, 0.5), 4) AS p50_tokens,
+               ROUND(quantile_cont(n, 0.9), 4) AS p90_tokens,
+               ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+                 AS mean_tokens
+        FROM t GROUP BY lang, source
     """,
     }
 )

@@ -520,3 +520,61 @@ def script_profile(
         (n - lat - cyr - han - ar).cast("long").alias("other"),
         main.alias("main_script"),
     )
+
+
+def length_distribution(
+    df: DataFrame,
+    by=("lang", "source"),
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """Sequence-length distribution per corpus stratum — the sizing
+    report every training-data mix decision starts from (context-window
+    fit, packing efficiency, per-source token budgets).
+
+    Per (lang, source): doc count, exact token-count deciles
+    p10/p50/p90 (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    type-7 linear interpolation — the same engine-equality the
+    adaptive-delay p50 pinned), mean tokens (exact integer sum, one
+    division), and the stratum's total token count.
+
+    Exact percentiles hold all group values — fine for the bounded
+    stratum count here, but at 100 TB pass ``approx=True`` to switch to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side, default
+    accuracy 1/10000) — the same explicit exact/approx seam as the HLL
+    token counters; the oracle pins the exact path.
+
+    One scan: token counts are codegen; the groupBy shuffles one
+    ``(lang, source, n)`` row per doc.
+    """
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        *[F.col(c) for c in by], F.size(toks).cast("long").alias("n")
+    )
+    if approx:
+        pct = F.approx_percentile(
+            F.col("n"), F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+        )
+    else:
+        pct = F.percentile(
+            F.col("n"), F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+        )
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        pct.alias("_p"),
+    )
+    p = lambda i: F.col("_p").getItem(i).cast("double")
+    return agg.select(
+        *by,
+        "n_docs",
+        "total_tokens",
+        F.round(p(0), 4).alias("p10_tokens"),
+        F.round(p(1), 4).alias("p50_tokens"),
+        F.round(p(2), 4).alias("p90_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("mean_tokens"),
+    )
