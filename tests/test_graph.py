@@ -276,3 +276,25 @@ def test_trustrank_empty_seeds_raises(spark):
     empty = spark.createDataFrame([], "node long")
     with _pt.raises(ValueError):
         trustrank(edges, nodes, empty)
+
+
+# ----------------------------------------------------------------- HITS
+def test_hits_hand_computed(spark):
+    """2-iteration integer HITS on a tiny hub/authority graph."""
+    from uniparser_spark.graph import hits
+
+    # 1 and 2 are hubs pointing at authorities 3,4; 3 also points at 4
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node long")
+    out = {r["node"]: r for r in hits(edges, nodes, iters=2).collect()}
+    # iter1: a1 = indeg: a(3)=2, a(4)=3; h1: h(1)=5, h(2)=5, h(3)=3
+    # iter2: a2(3)=h1(1)+h1(2)=10, a2(4)=5+5+3=13
+    #        h2(1)=a2(3)+a2(4)=23, h2(2)=23, h2(3)=13
+    assert out[1]["hub_score"] == 23 and out[2]["hub_score"] == 23
+    assert out[3]["hub_score"] == 13 and out[4]["hub_score"] == 0
+    assert out[3]["auth_score"] == 10 and out[4]["auth_score"] == 13
+    assert out[1]["auth_score"] == 0
+    assert out[4]["auth_norm"] == 1.0 and out[1]["hub_norm"] == 1.0
+    assert out[3]["auth_norm"] == round(10 / 13, 6)

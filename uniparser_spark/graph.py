@@ -446,3 +446,70 @@ def connected_components_star(
             F.coalesce(comp["comp"], nodes["node"]).alias("comp"),
         )
     )
+
+
+def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS (Kleinberg, JACM'99) hub/authority scores — the
+    link-analysis complement to PageRank/TrustRank: authorities are
+    pages good hubs point to, hubs are pages that point to good
+    authorities.  Frontier use: hub scores rank link-discovery
+    fetches (index/category pages), authority scores rank content
+    fetches — two different crawl intents from one computation.
+
+    Scale shape per half-iteration: join edges against the narrow
+    (node, score) state + map-side-combined sum — identical to
+    :func:`pagerank`'s update, state never wider than 16 bytes/node.
+
+    Bit-stability: the textbook algorithm L2-normalizes each step,
+    which would put order-sensitive float sums in the loop.  With a
+    fixed iteration count the normalization is only a display scale,
+    so the recurrence runs in EXACT INTEGER arithmetic (h0 = 1;
+    a = Σ_in h; h = Σ_out a — sums of longs, associative, engine-
+    independent) and a single max-scaled double is emitted at the end
+    (one division + ROUND, both correctly rounded).  Score growth is
+    ~(avg degree)^(2·iters) per step — bounded for the small fixed
+    ``iters`` a scheduler actually uses; overflow would need
+    degree^(2·iters) ≈ 2^63.
+
+    Returns (node, hub_score, auth_score, hub_norm, auth_norm);
+    nodes with no out-links (in-links) score 0 as hubs (authorities).
+    """
+    h = nodes.select("node", F.lit(1).cast("long").alias("s"))
+    a = None
+    for _ in range(iters):
+        a = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+        h = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy(edges["src"].alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+    hub = h.select(F.col("node"), F.col("s").alias("hub_score"))
+    auth = a.select(F.col("node"), F.col("s").alias("auth_score"))
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_score", F.lit(0)).alias("hub_score"),
+            F.coalesce("auth_score", F.lit(0)).alias("auth_score"),
+        )
+    )
+    mx = out.agg(
+        F.max("hub_score").cast("double").alias("_mh"),
+        F.max("auth_score").cast("double").alias("_ma"),
+    )
+    return out.crossJoin(F.broadcast(mx)).select(
+        "node",
+        "hub_score",
+        "auth_score",
+        F.round(F.col("hub_score").cast("double") / F.col("_mh"), 6).alias(
+            "hub_norm"
+        ),
+        F.round(F.col("auth_score").cast("double") / F.col("_ma"), 6).alias(
+            "auth_norm"
+        ),
+    )

@@ -4697,6 +4697,16 @@ def q_charset_sniff(spark, sf_dir):
     return sniff_charset(synth_html_bytes(docs))
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities (graph.py hits), 2 iterations in EXACT
+    integer arithmetic (normalization deferred to one emitted division)
+    — pagerank's update shape, none of its float-sum order risk."""
+    from .graph import hits
+
+    edges, nodes, _n = _graph_inputs(spark, sf_dir)
+    return hits(edges, nodes, iters=2)
+
+
 def q_length_distribution(spark, sf_dir):
     """Per-(lang, source) sequence-length distribution (textops/
     quality.py length_distribution): exact token deciles
@@ -4734,6 +4744,7 @@ QUERIES.update(
         "charset_sniff": q_charset_sniff,
         "encoding_health": q_encoding_health,
         "length_distribution": q_length_distribution,
+        "hits_scores": q_hits_scores,
     }
 )
 
@@ -4912,6 +4923,38 @@ ORACLES.update(
                ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
                  AS mean_tokens
         FROM t GROUP BY lang, source
+    """,
+    }
+)
+
+ORACLES.update(
+    {
+        "hits_scores": _GRAPH_SQL
+        + r"""
+        , h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS s
+                 FROM documents)
+        , a1 AS (SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS s
+                 FROM edges e JOIN h0 h ON e.src = h.node GROUP BY e.dst)
+        , h1 AS (SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+                 FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY e.src)
+        , a2 AS (SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS s
+                 FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst)
+        , h2 AS (SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+                 FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY e.src)
+        , base AS (
+          SELECT d.doc_id AS node,
+                 coalesce(h2.s, 0) AS hub_score,
+                 coalesce(a2.s, 0) AS auth_score
+          FROM documents d
+          LEFT JOIN h2 ON d.doc_id = h2.node
+          LEFT JOIN a2 ON d.doc_id = a2.node
+        )
+        , mx AS (SELECT CAST(MAX(hub_score) AS DOUBLE) AS mh,
+                        CAST(MAX(auth_score) AS DOUBLE) AS ma FROM base)
+        SELECT node, hub_score, auth_score,
+               ROUND(CAST(hub_score AS DOUBLE) / mh, 6) AS hub_norm,
+               ROUND(CAST(auth_score AS DOUBLE) / ma, 6) AS auth_norm
+        FROM base, mx
     """,
     }
 )
