@@ -4697,6 +4697,21 @@ def q_charset_sniff(spark, sf_dir):
     return sniff_charset(synth_html_bytes(docs))
 
 
+def q_binary_extract(spark, sf_dir):
+    """The full archive path on one lazy plan: BINARY html (7 real
+    encodings incl. UTF-16 both ways) → codegen charset sniff →
+    Arrow-batched decode (textops/charset.py) → DOM main-content
+    extraction (textops/content.py) — the north-rule input shape
+    (html:binary) to corpus text end-to-end.  The oracle predicts the
+    extracted text byte-for-byte from the deterministic synthesis."""
+    from .textops.charset import decode_html, synth_html_bytes
+    from .textops.content import extract_main_content
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_html(synth_html_bytes(docs))
+    return extract_main_content(decoded, html_col="text")
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities (graph.py hits), 2 iterations in EXACT
     integer arithmetic (normalization deferred to one emitted division)
@@ -4745,6 +4760,7 @@ QUERIES.update(
         "encoding_health": q_encoding_health,
         "length_distribution": q_length_distribution,
         "hits_scores": q_hits_scores,
+        "binary_extract": q_binary_extract,
     }
 )
 
@@ -4929,6 +4945,14 @@ ORACLES.update(
 
 ORACLES.update(
     {
+        "binary_extract": """
+        SELECT doc_id,
+               'body' AS main_tag,
+               'page ' || doc_id AS main_text,
+               CAST(0 AS INTEGER) AS n_paras,
+               CAST(LENGTH('page ' || doc_id) AS INTEGER) AS main_len
+        FROM documents
+    """,
         "hits_scores": _GRAPH_SQL
         + r"""
         , h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS s
