@@ -800,3 +800,28 @@ def test_length_distribution_exact_and_approx(spark):
     assert r["mean_tokens"] == pytest.approx(3.0)
     ra = length_distribution(df, approx=True).collect()[0]
     assert ra["n_docs"] == 5 and 1 <= ra["p10_tokens"] <= ra["p90_tokens"] <= 5
+
+
+def test_containment_pairs_quote_case(spark):
+    """A short doc fully quoted inside a long one: containment ≈ 1
+    while Jaccard is low — the pair MinHash-on-full-docs misses."""
+    from uniparser_spark.textops.dedup import containment_pairs
+
+    quote = "the quarterly report shows revenue rose sharply in march"
+    filler = " ".join("filler%d word%d extra%d" % (i, i, i) for i in range(30))
+    rows = [
+        (1, quote),
+        (2, "intro text before the quote . " + quote + " . closing remarks " + filler),
+        (3, "completely unrelated content about gardening and weather patterns today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(
+        df, shingle_k=3, min_shared=3, max_df=100, threshold=0.5
+    ).collect()
+    pairs = {(r["id1"], r["id2"]): r for r in out}
+    assert (1, 2) in pairs and len(pairs) == 1
+    r = pairs[(1, 2)]
+    # every shingle of doc1 appears in doc2 -> c1 == 1.0
+    assert r["c1"] == 1.0 and r["containment"] == 1.0
+    # but doc2 is much bigger: the symmetric-Jaccard view is small
+    assert r["c2"] < 0.2

@@ -4697,6 +4697,19 @@ def q_charset_sniff(spark, sf_dir):
     return sniff_charset(synth_html_bytes(docs))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (textops/dedup.py
+    containment_pairs): df-capped shingle inverted index, both-way
+    overlap scores — catches quoted/syndicated copies whose Jaccard is
+    too low for the MinHash family.  All codegen, no Arrow crossing."""
+    from .textops.dedup import containment_pairs
+
+    return containment_pairs(
+        tp(spark, sf_dir, "documents"),
+        shingle_k=3, min_shared=3, max_df=100, threshold=0.5,
+    )
+
+
 def q_binary_extract(spark, sf_dir):
     """The full archive path on one lazy plan: BINARY html (7 real
     encodings incl. UTF-16 both ways) → codegen charset sniff →
@@ -4761,6 +4774,7 @@ QUERIES.update(
         "length_distribution": q_length_distribution,
         "hits_scores": q_hits_scores,
         "binary_extract": q_binary_extract,
+        "containment_pairs": q_containment_pairs,
     }
 )
 
@@ -4945,6 +4959,44 @@ ORACLES.update(
 
 ORACLES.update(
     {
+        "containment_pairs": rf"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(tk) - 2),
+                               i -> array_to_string(tk[i+1:i+3], ' '))) AS s
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+          WHERE len(tk) >= 3
+        ),
+        d2 AS (SELECT doc_id, s FROM d WHERE len(s) > 0),
+        sizes AS (SELECT doc_id, len(s) AS n_sh FROM d2),
+        post AS (
+          SELECT doc_id, substr(md5(g), 1, 16) AS fp
+          FROM (SELECT doc_id, unnest(s) AS g FROM d2)
+        ),
+        keep AS (
+          SELECT fp FROM post GROUP BY fp
+          HAVING COUNT(*) >= 2 AND COUNT(*) <= 100
+        ),
+        p AS (SELECT post.doc_id, post.fp FROM post JOIN keep USING (fp)),
+        shared AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+          FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        scored AS (
+          SELECT id1, id2, n_shared,
+                 ROUND(CAST(n_shared AS DOUBLE)
+                       / CAST(s1.n_sh AS DOUBLE), 4) AS c1,
+                 ROUND(CAST(n_shared AS DOUBLE)
+                       / CAST(s2.n_sh AS DOUBLE), 4) AS c2
+          FROM shared
+          JOIN sizes s1 ON shared.id1 = s1.doc_id
+          JOIN sizes s2 ON shared.id2 = s2.doc_id
+        )
+        SELECT id1, id2, n_shared, c1, c2,
+               GREATEST(c1, c2) AS containment
+        FROM scored WHERE GREATEST(c1, c2) >= 0.5
+    """,
         "binary_extract": """
         SELECT doc_id,
                'body' AS main_tag,

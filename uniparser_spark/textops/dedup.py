@@ -813,3 +813,80 @@ def cdc_chunks(
     return chunks.join(
         copies.filter(F.col("n_copies") >= min_copies), "fp", "inner"
     ).select(id_col, "chunk_idx", "start_tok", "n_tok", "n_copies")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_shared: int = 3,
+    max_df: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC containment detection — the dedup case MinHash
+    misses.  A short doc fully quoted inside a long one has
+    containment |A∩B|/|B| ≈ 1 but Jaccard ≈ |B|/|A| ≈ 0, so
+    full-doc-signature LSH never surfaces the pair; syndicated
+    articles, quoted posts and boilerplate-wrapped copies live exactly
+    there.
+
+    Shape: distinct word shingles per doc (pure array expressions —
+    no Arrow crossing), explode to a 16-byte-fingerprint inverted
+    index, drop stop-shingles by document frequency
+    (df ∉ [2, max_df]), self-join on fingerprint, count shared
+    shingles per pair, then score both directions against each doc's
+    shingle-set size.  The df cap bounds the self-join fan-out to
+    max_df per postings list (Σdf² ≤ max_df·Σdf) — the standard
+    precision/recall trade: shingles shared by more than ``max_df``
+    docs are boilerplate, and dropping them slightly UNDER-counts the
+    true intersection (documented; the verified-Jaccard path is the
+    symmetric complement).
+
+    Returns (id1, id2, n_shared, c1, c2, containment) where
+    ``c1 = n_shared/|sh1|`` (how much of doc1 lies in doc2), ``c2``
+    the reverse, ``containment = max`` — kept at ≥ threshold.
+    """
+    toks = tokens(F.col(text_col))
+    sh = F.array_distinct(word_shingles(toks, shingle_k))
+    docs = df.select(F.col(id_col), sh.alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sizes = docs.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    post = docs.select(
+        F.col(id_col), F.explode("sh").alias("g")
+    ).select(F.col(id_col), h16(F.col("g")).alias("fp"))
+    keep = (
+        post.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    p = post.join(keep, "fp")
+    a = p.select("fp", F.col(id_col).alias("id1"))
+    b = p.select("fp", F.col(id_col).alias("id2"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    c1 = F.round(
+        F.col("n_shared").cast("double") / F.col("n1").cast("double"), 4
+    )
+    c2 = F.round(
+        F.col("n_shared").cast("double") / F.col("n2").cast("double"), 4
+    )
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1", "id2", "n_shared",
+            c1.alias("c1"), c2.alias("c2"),
+            F.greatest(c1, c2).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
