@@ -16,7 +16,9 @@ from .clean import (
     top_tokens,
     with_page,
 )
+from .charset import decode_html, encoding_health, sniff_charset
 from .dedup import (
+    containment_pairs,
     exact_dup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -26,9 +28,11 @@ from .dedup import (
     verified_near_dups,
     with_simhash,
 )
+from .index import bm25_index
 from .quality import (
     doc_fingerprints,
     langid,
+    length_distribution,
     quality_scores,
     token_stats,
 )
@@ -43,6 +47,12 @@ from .similarity import (
 )
 
 __all__ = [
+    "bm25_index",
+    "containment_pairs",
+    "decode_html",
+    "encoding_health",
+    "length_distribution",
+    "sniff_charset",
     "c4_line_filter",
     "para_dedup",
     "pii_redact",
