@@ -825,3 +825,24 @@ def test_containment_pairs_quote_case(spark):
     assert r["c1"] == 1.0 and r["containment"] == 1.0
     # but doc2 is much bigger: the symmetric-Jaccard view is small
     assert r["c2"] < 0.2
+
+
+def test_containment_pairs_impl_parity(spark):
+    """md5 (oracle) and xxhash64 (production) fingerprints emit the
+    identical pair set and identical scores."""
+    from uniparser_spark.textops.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, quote),
+        (2, quote + " plus trailing commentary words here " + quote),
+        (3, "unrelated words entirely different from the others completely"),
+        (4, quote),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda out: sorted(
+        (r["id1"], r["id2"], r["n_shared"], r["c1"], r["c2"]) for r in out
+    )
+    a = key(containment_pairs(df, impl="expr").collect())
+    b = key(containment_pairs(df, impl="xxhash64").collect())
+    assert a == b and len(a) >= 3  # (1,2),(1,4),(2,4)

@@ -823,6 +823,7 @@ def containment_pairs(
     min_shared: int = 3,
     max_df: int = 100,
     threshold: float = 0.5,
+    impl: str = "expr",
 ) -> DataFrame:
     """ASYMMETRIC containment detection — the dedup case MinHash
     misses.  A short doc fully quoted inside a long one has
@@ -833,41 +834,62 @@ def containment_pairs(
 
     Shape: distinct word shingles per doc (pure array expressions —
     no Arrow crossing), explode to a 16-byte-fingerprint inverted
-    index, drop stop-shingles by document frequency
-    (df ∉ [2, max_df]), self-join on fingerprint, count shared
-    shingles per pair, then score both directions against each doc's
-    shingle-set size.  The df cap bounds the self-join fan-out to
-    max_df per postings list (Σdf² ≤ max_df·Σdf) — the standard
-    precision/recall trade: shingles shared by more than ``max_df``
-    docs are boilerplate, and dropping them slightly UNDER-counts the
-    true intersection (documented; the verified-Jaccard path is the
-    symmetric complement).
+    index, ONE groupBy(fp) that collects each fingerprint's postings
+    list and drops stop-shingles by document frequency
+    (df ∉ [2, max_df]), then pair generation as an in-array
+    combination explode (nested higher-order transform, id1 < id2) —
+    no fingerprint self-join at all, so the index crosses the wire
+    once.  The df cap bounds the combination fan-out to C(max_df, 2)
+    per postings list — the standard precision/recall trade: shingles
+    shared by more than ``max_df`` docs are boilerplate, and dropping
+    them slightly UNDER-counts the true intersection (documented; the
+    verified-Jaccard path is the symmetric complement).
 
     Returns (id1, id2, n_shared, c1, c2, containment) where
     ``c1 = n_shared/|sh1|`` (how much of doc1 lies in doc2), ``c2``
     the reverse, ``containment = max`` — kept at ≥ threshold.
+
+    ``impl``: 'expr' (default) fingerprints with the portable md5
+    family so the DuckDB oracle is exact; 'xxhash64' is the
+    production twin — same pair set (any collision-free-in-practice
+    hash induces the same postings partition), one cheap JVM hash
+    instead of md5 over every shingle.  Same convention as
+    :func:`minhash_signatures`; parity pinned in pytest.
     """
     toks = tokens(F.col(text_col))
     sh = F.array_distinct(word_shingles(toks, shingle_k))
     docs = df.select(F.col(id_col), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
-    sizes = docs.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    fp = (
+        F.xxhash64(F.col("g")) if impl == "xxhash64" else h16(F.col("g"))
+    )
     post = docs.select(
         F.col(id_col), F.explode("sh").alias("g")
-    ).select(F.col(id_col), h16(F.col("g")).alias("fp"))
-    keep = (
+    ).select(F.col(id_col), fp.alias("fp"))
+    # |sh| per doc == its postings rows (shingles are distinct), so the
+    # sizes come from the SAME exploded index — no second
+    # scan→tokenize→shingle pass for the denominator branch
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    postings = (
         post.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("fp")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    p = post.join(keep, "fp")
-    a = p.select("fp", F.col(id_col).alias("id1"))
-    b = p.select("fp", F.col(id_col).alias("id2"))
+    # ordered pairs from each postings list, in codegen: for every id x,
+    # pair it with every LARGER id in the same list
+    comb = F.flatten(
+        F.transform(
+            "ids",
+            lambda x: F.transform(
+                F.filter("ids", lambda y: y > x),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "fp")
-        .filter(F.col("id1") < F.col("id2"))
+        postings.select(F.explode(comb).alias("pr"))
+        .select("pr.id1", "pr.id2")
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
