@@ -53,7 +53,15 @@ def apply_blocklist(
     most specific rule — the audit column: WHY was this URL dropped);
     NULL and ``blocked = 0`` when no suffix is listed.  Compose with
     ``.filter("blocked = 0")`` for the admission path, or keep the full
-    frame for block-rate reporting per list."""
+    frame for block-rate reporting per list.
+
+    Plan shape: suffix rows LEFT-join the broadcast list, then ONE
+    map-side-combined groupBy(url, host) folds each URL back to a
+    single row — no join back to the base table, so the URL table is
+    scanned once and shuffled once.  (The earlier inner-join +
+    join-back shape re-shuffles the full URL table whenever the hit
+    set outgrows a broadcast — at 10^10 URLs even a 1% block rate
+    does.)"""
     # two selects: aliasing host and exploding a lambda over it in ONE
     # select trips Spark 4's lateral-column-alias resolution
     base0 = urls.select(
@@ -62,21 +70,27 @@ def apply_blocklist(
     suf = base0.select(
         "url", "host", F.explode(host_suffixes(F.col("host"))).alias("suf")
     )
-    rules = blocklist.select(F.col(domain_col).alias("suf")).distinct()
-    key = F.concat(
-        F.lpad(F.length("suf").cast("string"), _KEYLEN, "0"),
-        F.lit(":"),
-        F.col("suf"),
+    rules = (
+        blocklist.select(F.col(domain_col).alias("suf"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    hits = (
-        suf.join(F.broadcast(rules), "suf", "inner")
-        .groupBy("url")
+    key = F.when(
+        F.col("_hit").isNotNull(),
+        F.concat(
+            F.lpad(F.length("suf").cast("string"), _KEYLEN, "0"),
+            F.lit(":"),
+            F.col("suf"),
+        ),
+    )
+    return (
+        suf.join(F.broadcast(rules), "suf", "left")
+        .groupBy("url", "host")
         .agg(F.max(key).alias("_k"))
-    )
-    base = urls.select(F.col(url_col).alias("url"), F.col(host_col).alias("host"))
-    return base.join(hits, "url", "left").select(
-        "url",
-        "host",
-        F.col("_k").isNotNull().cast("int").alias("blocked"),
-        F.substring(F.col("_k"), _KEYLEN + 2, 1000).alias("matched"),
+        .select(
+            "url",
+            "host",
+            F.col("_k").isNotNull().cast("int").alias("blocked"),
+            F.substring(F.col("_k"), _KEYLEN + 2, 1000).alias("matched"),
+        )
     )
