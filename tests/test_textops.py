@@ -845,4 +845,75 @@ def test_containment_pairs_impl_parity(spark):
     )
     a = key(containment_pairs(df, impl="expr").collect())
     b = key(containment_pairs(df, impl="xxhash64").collect())
-    assert a == b and len(a) >= 3  # (1,2),(1,4),(2,4)
+    c = key(containment_pairs(df, impl="pandas").collect())
+    assert a == b == c and len(a) >= 3  # (1,2),(1,4),(2,4)
+
+
+def test_winnow_fingerprints_guarantee_and_ties(spark):
+    """Winnowing invariants: (a) the t = w+k-1 guarantee — two docs
+    sharing a >= t-token run share at least one selected fingerprint;
+    (b) selection density is sparse (<= n_grams windows can never
+    select more than n_grams, and typically ~2/(w+1)); (c) rightmost
+    tie-break — a doc of one repeated token has every window minimum
+    at its RIGHT edge."""
+    from uniparser_spark.textops.quality import winnow_fingerprints
+
+    k, w = 4, 4
+    shared = "one two three four five six seven eight"  # 8 tokens >= w+k-1
+    rows = [
+        (1, "prefix words here " + shared),
+        (2, shared + " completely different suffix follows now"),
+        (3, "zz zz zz zz zz zz zz zz"),  # all grams identical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    fps = lambda d: {fp for _, fp in by_doc[d]}
+    # (a) guarantee: docs 1 and 2 share the 8-token run
+    assert fps(1) & fps(2)
+    # (b) selected set is a subset of the gram positions
+    assert all(0 <= p <= 7 for p, _ in by_doc[1] | by_doc[2])
+    # (c) doc 3: identical hashes everywhere -> rightmost of each
+    # window wins; windows at p=0,1 (n_grams=5, w=4) select pos 3, 4
+    assert {p for p, _ in by_doc[3]} == {3, 4}
+
+
+def test_boilerplate_lines_host_scoped(spark):
+    """A nav line on every page of a host is boilerplate; a unique
+    body line is not; a host under min_docs is never classified."""
+    from uniparser_spark.textops.clean import boilerplate_lines
+
+    rows = []
+    for i in range(6):  # big host: 6 pages, shared nav
+        rows.append((i, "big.example", f"nav home login\nbody text {i}"))
+    for i in range(2):  # tiny host: shared line but too few pages
+        rows.append((10 + i, "tiny.example", "nav home login\nother"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, page string")
+    out = boilerplate_lines(df, min_docs=5, min_frac=0.5).collect()
+    got = {(r["host"], r["line"]): r for r in out}
+    assert got[("big.example", "nav home login")]["boilerplate"] == 1
+    assert got[("big.example", "nav home login")]["n_docs"] == 6
+    assert got[("big.example", "body text 0")]["boilerplate"] == 0
+    # tiny host: frac would qualify but host_docs < min_docs
+    r = got[("tiny.example", "nav home login")]
+    assert r["frac"] == 1.0 and r["boilerplate"] == 0
+
+
+def test_bpe_merge_pairs_hand_counts(spark):
+    """Adjacent-pair counts with deterministic tie-break, hand-checked."""
+    from uniparser_spark.textops.mix import bpe_merge_pairs
+
+    rows = [
+        (1, "a b a b a"),   # 'a b' x2, 'b a' x2
+        (2, "a b c"),       # 'a b' x1, 'b c' x1
+        (3, "solo"),        # no pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["pair"]: (r["cnt"], r["rank"]) for r in
+           bpe_merge_pairs(df, top_k=10).collect()}
+    assert out["a b"] == (3, 1)
+    assert out["b a"] == (2, 2)
+    assert out["b c"] == (1, 3)
+    assert "solo" not in out and len(out) == 3

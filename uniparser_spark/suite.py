@@ -4764,8 +4764,59 @@ def q_encoding_health(spark, sf_dir):
     return encoding_health(docs.select(d, text.alias("text")))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (textops/quality.py
+    winnow_fingerprints): MOSS-style per-window rightmost-min k-gram
+    hashes — position-aware partial-copy detection; zero-shuffle
+    narrow transformation, one Arrow crossing.  The oracle re-derives
+    the selection relationally (min_by over a ROWS window) — a
+    cross-algorithm check, not a reimplementation."""
+    from .textops.quality import winnow_fingerprints
+
+    return winnow_fingerprints(
+        tp(spark, sf_dir, "documents"), k=4, w=4
+    )
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Host-scoped boilerplate line discovery (textops/clean.py
+    boilerplate_lines): lines on ≥50% of a host's pages are chrome.
+    Hosts synthesized from `source`; a per-host nav line is prepended
+    so host-specific chrome exists alongside the corpus-wide
+    header/footer the paragraph-dedup family handles."""
+    from .textops.clean import boilerplate_lines, synth_page_expr
+
+    docs = tp(spark, sf_dir, "documents")
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".example"))
+    pages = docs.select(
+        F.col("doc_id"),
+        host.alias("host"),
+        F.concat(
+            F.lit("nav "),
+            F.col("source"),
+            F.lit(" home\n"),
+            synth_page_expr(),
+        ).alias("page"),
+    )
+    return boilerplate_lines(pages, min_docs=5, min_frac=0.5)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """First BPE merge iteration (textops/mix.py bpe_merge_pairs):
+    corpus-wide adjacent-token-pair counts, top-50 merge candidates
+    with deterministic tie-break — the tokenizer-training primitive
+    over the assembled corpus.  One map-side-combined shuffle of the
+    distinct-pair zipf head."""
+    from .textops.mix import bpe_merge_pairs
+
+    return bpe_merge_pairs(tp(spark, sf_dir, "documents"), top_k=50)
+
+
 QUERIES.update(
     {
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "boilerplate_lines": q_boilerplate_lines,
+        "bpe_pairs": q_bpe_pairs,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5004,6 +5055,79 @@ ORACLES.update(
                CAST(0 AS INTEGER) AS n_paras,
                CAST(LENGTH('page ' || doc_id) AS INTEGER) AS main_len
         FROM documents
+    """,
+        "winnow_fingerprints": rf"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        d AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 4),
+        g0 AS (
+          SELECT doc_id, CAST(len(tk) - 3 AS INT) AS n_grams,
+                 UNNEST(list_transform(range(0, len(tk) - 3),
+                   i -> struct_pack(
+                     pos := CAST(i AS INT),
+                     h := substr(md5(array_to_string(tk[i+1:i+4], ' ')),
+                                 1, 16)))) AS u
+          FROM d
+        ),
+        sk AS (
+          SELECT doc_id, u.pos AS pos, n_grams,
+                 u.h || lpad(CAST(1000000000 - u.pos AS VARCHAR), 10, '0')
+                   AS skey
+          FROM g0
+        ),
+        win AS (
+          SELECT doc_id, pos, n_grams,
+                 min_by(pos, skey) OVER wnd AS sel_pos,
+                 min(skey) OVER wnd AS min_sk
+          FROM sk
+          WINDOW wnd AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        )
+        SELECT DISTINCT doc_id, CAST(sel_pos AS INT) AS pos,
+               substr(min_sk, 1, 16) AS fp
+        FROM win WHERE pos <= greatest(n_grams - 4, 0)
+    """,
+        "boilerplate_lines": rf"""
+        WITH {_PAGE_SQL},
+        hosted AS (
+          SELECT d.doc_id, 'www.' || d.source || '.example' AS host,
+                 'nav ' || d.source || ' home' || chr(10) || p.page AS page
+          FROM pages p JOIN documents d USING (doc_id)
+        ),
+        lns AS (
+          SELECT host,
+                 UNNEST(list_distinct(list_filter(
+                   string_split(page, chr(10)), l -> l <> ''))) AS line
+          FROM hosted
+        ),
+        per_line AS (
+          SELECT host, substr(md5(line), 1, 16) AS fp,
+                 COUNT(*) AS n_docs, MIN(line) AS line
+          FROM lns GROUP BY host, substr(md5(line), 1, 16)
+        ),
+        hd AS (SELECT host, COUNT(*) AS host_docs FROM hosted GROUP BY host)
+        SELECT per_line.host, fp, line, n_docs, host_docs,
+               ROUND(CAST(n_docs AS DOUBLE) / CAST(host_docs AS DOUBLE), 4)
+                 AS frac,
+               CAST(host_docs >= 5
+                    AND CAST(n_docs AS DOUBLE)
+                        >= 0.5 * CAST(host_docs AS DOUBLE) AS INT)
+                 AS boilerplate
+        FROM per_line JOIN hd USING (host)
+    """,
+        "bpe_pairs": rf"""
+        WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+        p AS (
+          SELECT UNNEST(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS pair
+          FROM t WHERE len(tk) >= 2
+        ),
+        c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+        SELECT pair, cnt, rank FROM (
+          SELECT pair, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+                      AS INTEGER) AS rank
+          FROM c)
+        WHERE rank <= 50
     """,
         "hits_scores": _GRAPH_SQL
         + r"""

@@ -9,6 +9,7 @@ is how correctness is checked end-to-end.
 """
 
 from .clean import (
+    boilerplate_lines,
     c4_line_filter,
     para_dedup,
     pii_redact,
@@ -29,12 +30,14 @@ from .dedup import (
     with_simhash,
 )
 from .index import bm25_index
+from .mix import bpe_merge_pairs
 from .quality import (
     doc_fingerprints,
     langid,
     length_distribution,
     quality_scores,
     token_stats,
+    winnow_fingerprints,
 )
 from .similarity import (
     cosine_topk,
@@ -48,7 +51,10 @@ from .similarity import (
 
 __all__ = [
     "bm25_index",
+    "boilerplate_lines",
+    "bpe_merge_pairs",
     "containment_pairs",
+    "winnow_fingerprints",
     "decode_html",
     "encoding_health",
     "length_distribution",

@@ -209,6 +209,71 @@ def para_dedup(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "page",
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """HOST-scoped boilerplate line discovery (the CC-Net move): a line
+    that appears on at least ``min_frac`` of a host's pages is chrome —
+    nav, footer, cookie banner — not content, and should be stripped
+    from EVERY page of that host (unlike corpus-wide keep-first
+    paragraph dedup, which wrongly keeps the first copy of chrome).
+    Hosts with fewer than ``min_docs`` pages are never classified
+    (frac is meaningless at tiny n).
+
+    Returns one row per (host, distinct line): ``(host, fp, line,
+    n_docs, host_docs, frac, boilerplate)``.  Compose with an
+    anti-join on (host, fp) over exploded lines for the strip side.
+
+    Scale shape: each page's lines are deduped in-array (so a line
+    repeated within one page counts once), exploded to narrow
+    ``(host, fp, line)`` rows, and counted by ONE map-side-combined
+    groupBy; per-host page counts are a second tiny aggregate joined
+    back by broadcast.  The shuffle carries one short line per
+    distinct (host, line) — never the page text.
+    """
+    lines = F.array_distinct(
+        F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
+    )
+    narrow = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(lines).alias("line"),
+    ).select("host", h16(F.col("line")).alias("fp"), "line")
+    per_line = narrow.groupBy("host", "fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("line").alias("line"),
+    )
+    host_docs = (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count(F.lit(1)).alias("host_docs"))
+    )
+    frac = F.round(
+        F.col("n_docs").cast("double") / F.col("host_docs").cast("double"),
+        4,
+    )
+    return per_line.join(F.broadcast(host_docs), "host").select(
+        "host",
+        "fp",
+        "line",
+        "n_docs",
+        "host_docs",
+        frac.alias("frac"),
+        (
+            (F.col("host_docs") >= min_docs)
+            & (
+                F.col("n_docs").cast("double")
+                >= F.lit(min_frac) * F.col("host_docs").cast("double")
+            )
+        )
+        .cast("int")
+        .alias("boilerplate"),
+    )
+
+
 def ngram_repetition(
     df: DataFrame,
     text_col: str = "text",

@@ -396,6 +396,46 @@ def unigram_scores(
     )
 
 
+# --------------------------------------------------------- tokenizer prep
+def bpe_merge_pairs(
+    docs: DataFrame,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE merge iteration at corpus scale: count every ADJACENT
+    token pair and rank the merge candidates — the inner loop of
+    training a BPE/WordPiece tokenizer on the corpus the pipeline just
+    assembled.  Output: ``(pair, cnt, rank)`` for the top ``top_k``
+    pairs, rank 1 = the pair the first merge would fuse; ties break
+    lexicographically so the ranking is deterministic across engines
+    and partitionings.
+
+    Scale shape: pairs are built per-doc by zipping the token array
+    with its own tail (narrow, no shuffle), exploded, and counted by
+    ONE map-side-combined groupBy — the shuffle carries (pair, partial
+    count), i.e. the distinct-pair zipf head after combine, never token
+    instances.  The top-k cut sorts only the aggregated pair counts.
+    Iterating merges re-runs this with a re-tokenized corpus; each
+    iteration is one job of the same shape.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = docs.select(F.explode(pairs).alias("pair"))
+    counts = exploded.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("pair", "cnt", "rank")
+    )
+
+
 # ------------------------------------------------------------- epoch mixing
 def epoch_mix(
     df: DataFrame,

@@ -357,6 +357,95 @@ def doc_fingerprints(
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): from each doc's word ``k``-gram hash sequence,
+    every window of ``w`` consecutive hashes contributes its minimum
+    (rightmost on ties), and the selected ``(pos, fp)`` set is the
+    document's fingerprint.  Guarantee: any shared substring of at
+    least ``w + k - 1`` tokens yields at least one shared selected
+    fingerprint — so partial/local copies are detectable by a plain
+    equi-join on ``fp``, with expected density 2/(w+1) of the grams
+    (far sparser than a full shingle index).  This is the stronger,
+    position-aware sibling of the single global ``min_gram_fp`` in
+    :func:`doc_fingerprints`.
+
+    Scale shape: selection is computed per document inside ONE
+    Arrow-batched crossing — a narrow transformation with NO shuffle
+    at all (winnowing never looks across documents); joins against the
+    emitted ``(doc_id, pos, fp)`` relation are the caller's choice.
+    hashlib.md5 keeps values byte-identical to the DuckDB oracle,
+    which re-derives the selection relationally (min_by over a
+    ROWS-window) — a genuine cross-algorithm check.
+
+    Docs with fewer than ``k`` tokens emit nothing; docs with fewer
+    than ``w`` grams degenerate to one window over all grams (the
+    standard convention).
+    """
+    import hashlib
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("pos", IntegerType(), False),
+            StructField("fp", StringType(), False),
+        ]
+    )
+    ws = _re.compile(r"\s+")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for batch in batches:
+            ids, poss, fps = [], [], []
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                toks = ws.split(text.strip()) if text and text.strip() else []
+                n_grams = len(toks) - k + 1
+                if n_grams <= 0:
+                    continue
+                hs = [
+                    md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:16]
+                    for i in range(n_grams)
+                ]
+                sel = set()
+                for p in range(max(n_grams - w, 0) + 1):
+                    best_pos = p
+                    for j in range(p + 1, min(p + w, n_grams)):
+                        # rightmost minimum: later position wins ties
+                        if hs[j] <= hs[best_pos]:
+                            best_pos = j
+                    sel.add((best_pos, hs[best_pos]))
+                for pos, fp in sel:
+                    ids.append(int(doc_id))
+                    poss.append(pos)
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "fp": fps,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def doc_keywords(
     df: DataFrame,
     id_col: str = "doc_id",
