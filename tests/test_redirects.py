@@ -1,0 +1,71 @@
+"""Redirect-chain resolution + soft-404 detection (crawl/redirects.py).
+
+Reference scope: the reference delegates redirects to requests/aiohttp
+(`adapters.py`, allow_redirects) with no corpus-side chain view; these
+operators are part of the frontier layer the north rule adds.
+"""
+
+from uniparser_spark.crawl.redirects import resolve_redirects, soft404_scores
+
+
+def test_resolve_redirects_chain_loop_dangling(spark):
+    log = [
+        # 3-hop chain: a -> b -> c -> d(200)
+        ("a", 301, "b"),
+        ("b", 302, "c"),
+        ("c", 301, "d"),
+        ("d", 200, None),
+        # 2-cycle loop: e <-> f
+        ("e", 301, "f"),
+        ("f", 301, "e"),
+        # dangling: g -> h, h never fetched
+        ("g", 307, "h"),
+        # terminal with a junk location (not a 3xx -> ignored)
+        ("i", 200, "zzz"),
+    ]
+    df = spark.createDataFrame(log, "url string, status int, location string")
+    out = {r["url"]: r for r in resolve_redirects(df, max_hops=8).collect()}
+
+    assert out["a"]["final_url"] == "d" and out["a"]["n_hops"] == 3
+    assert out["a"]["verdict"] == "resolved"
+    assert out["b"]["final_url"] == "d" and out["b"]["n_hops"] == 2
+    assert out["d"]["verdict"] == "resolved" and out["d"]["n_hops"] == 0
+
+    # loops never terminate: capped and flagged, both members
+    assert out["e"]["verdict"] == "unresolved"
+    assert out["f"]["verdict"] == "unresolved"
+
+    # chain leaves the log: the unfetched target is the schedule hint
+    assert out["g"]["final_url"] == "h" and out["g"]["verdict"] == "dangling"
+    assert out["g"]["n_hops"] == 1
+
+    # 200 with a Location header is terminal
+    assert out["i"]["final_url"] == "i" and out["i"]["verdict"] == "resolved"
+
+
+def test_resolve_redirects_hop_cap(spark):
+    # 5-hop chain with max_hops=4 -> unresolved; with 8 -> resolved
+    log = [(f"u{i}", 301, f"u{i+1}") for i in range(5)] + [("u5", 200, None)]
+    df = spark.createDataFrame(log, "url string, status int, location string")
+    tight = {r["url"]: r for r in resolve_redirects(df, max_hops=4).collect()}
+    wide = {r["url"]: r for r in resolve_redirects(df, max_hops=8).collect()}
+    assert tight["u0"]["verdict"] == "unresolved"
+    assert wide["u0"]["verdict"] == "resolved" and wide["u0"]["n_hops"] == 5
+
+
+def test_soft404_scores_verdicts(spark):
+    rows = [
+        ("tiny-marker", "sorry page not found", 0),
+        ("long-marker-low-links", "error 404 " + "word " * 100, 3),
+        ("link-heavy-marker", "not found", 50),
+        ("clean", "perfectly normal content " * 10, 3),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, n_links int")
+    out = {r["url"]: r for r in
+           soft404_scores(df, min_tokens=20, max_link_ratio=0.5).collect()}
+    assert out["tiny-marker"]["soft404"] == 1
+    # marker fired but the page is long and link-light -> keep
+    assert out["long-marker-low-links"]["soft404"] == 0
+    assert out["long-marker-low-links"]["n_markers"] == 1
+    assert out["link-heavy-marker"]["soft404"] == 1
+    assert out["clean"]["soft404"] == 0 and out["clean"]["n_markers"] == 0

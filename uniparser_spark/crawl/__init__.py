@@ -1,4 +1,10 @@
 from .engine import CrawlEngine
+from .redirects import resolve_redirects, soft404_scores
 from .simulator import simulate_crawl
 
-__all__ = ["CrawlEngine", "simulate_crawl"]
+__all__ = [
+    "CrawlEngine",
+    "resolve_redirects",
+    "simulate_crawl",
+    "soft404_scores",
+]

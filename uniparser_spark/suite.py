@@ -4812,11 +4812,84 @@ def q_bpe_pairs(spark, sf_dir):
     return bpe_merge_pairs(tp(spark, sf_dir, "documents"), top_k=50)
 
 
+def _fetch_log_synth(spark, sf_dir):
+    """Deterministic fetch log with redirect structure: per doc_id
+    m=id%10 — m∈{0..4,8} terminal 200; m=5 → 301 to an external URL
+    never fetched (dangling); m=6 → 301 to id+1 (m=7) → 302 to id+2
+    (m=8, terminal): a 2-hop chain; m=9 → 301 to itself (loop)."""
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def url_of(i):
+        return F.concat(
+            F.lit("https://h"), (i % 50).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        )
+
+    m = d % 10
+    status = (
+        F.when(m == 5, F.lit(301))
+        .when(m == 6, F.lit(301))
+        .when(m == 7, F.lit(302))
+        .when(m == 9, F.lit(301))
+        .otherwise(F.lit(200))
+    )
+    loc = (
+        F.when(
+            m == 5,
+            F.concat(F.lit("https://external.example/x"), d.cast("string")),
+        )
+        .when((m == 6) | (m == 7), url_of(d + 1))
+        .when(m == 9, url_of(d))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select(
+        url_of(d).alias("url"), status.alias("status"), loc.alias("location")
+    )
+
+
+def q_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution (crawl/redirects.py resolve_redirects):
+    pointer doubling — ceil(log2(max_hops)) narrow self-joins resolve
+    chains of length max_hops; loops and over-cap chains come back
+    verdict='unresolved', chain exits verdict='dangling' (frontier
+    candidates).  The oracle walks the same log with a recursive CTE —
+    a cross-algorithm check of the doubling."""
+    from .crawl.redirects import resolve_redirects
+
+    return resolve_redirects(_fetch_log_synth(spark, sf_dir), max_hops=8)
+
+
+def q_soft404(spark, sf_dir):
+    """Soft-404 classification (crawl/redirects.py soft404_scores):
+    200-status error pages detected from content — marker phrases ×
+    (tiny text | link-heavy chrome).  Pure codegen projection."""
+    from .crawl.redirects import soft404_scores
+
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 7
+    text = (
+        F.when(m == 0, F.lit("sorry this page does not exist"))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" error 404 appended")))
+        .when(m == 2, F.lit("not found"))
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://s.example/p/"), d.cast("string")).alias("url"),
+        text.alias("text"),
+        F.when(m == 2, F.lit(50)).otherwise((d * 3) % 40).alias("n_links"),
+    )
+    return soft404_scores(pages, min_tokens=20, max_link_ratio=0.5)
+
+
 QUERIES.update(
     {
         "winnow_fingerprints": q_winnow_fingerprints,
         "boilerplate_lines": q_boilerplate_lines,
         "bpe_pairs": q_bpe_pairs,
+        "redirect_chains": q_redirect_chains,
+        "soft404": q_soft404,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5113,6 +5186,78 @@ ORACLES.update(
                         >= 0.5 * CAST(host_docs AS DOUBLE) AS INT)
                  AS boilerplate
         FROM per_line JOIN hd USING (host)
+    """,
+        "redirect_chains": r"""
+        WITH RECURSIVE log AS (
+          SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                 || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 10 IN (5, 6, 9) THEN 301
+                      WHEN doc_id % 10 = 7 THEN 302
+                      ELSE 200 END AS status,
+                 CASE WHEN doc_id % 10 = 5
+                        THEN 'https://external.example/x'
+                             || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 10 IN (6, 7)
+                        THEN 'https://h' || CAST((doc_id+1) % 50 AS VARCHAR)
+                             || '.example/p/' || CAST(doc_id+1 AS VARCHAR)
+                      WHEN doc_id % 10 = 9
+                        THEN 'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                             || '.example/p/' || CAST(doc_id AS VARCHAR)
+                      ELSE NULL END AS loc
+          FROM documents
+        ),
+        walk AS (
+          SELECT url, url AS cur, 0 AS hops FROM log
+          UNION ALL
+          SELECT w.url, l.loc, w.hops + 1
+          FROM walk w JOIN log l ON w.cur = l.url
+          WHERE l.status >= 300 AND l.status < 400
+            AND l.loc IS NOT NULL AND w.hops < 8
+        ),
+        fin AS (
+          SELECT url, max_by(cur, hops) AS final_url,
+                 CAST(MAX(hops) AS INT) AS n_hops
+          FROM walk GROUP BY url
+        )
+        SELECT f.url, f.final_url, f.n_hops,
+               CASE WHEN l2.url IS NOT NULL AND l2.status >= 300
+                         AND l2.status < 400 AND l2.loc IS NOT NULL
+                      THEN 'unresolved'
+                    WHEN l2.url IS NULL THEN 'dangling'
+                    ELSE 'resolved' END AS verdict
+        FROM fin f LEFT JOIN log l2 ON f.final_url = l2.url
+    """,
+        "soft404": rf"""
+        WITH pages AS (
+          SELECT 'https://s.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 7 = 0
+                        THEN 'sorry this page does not exist'
+                      WHEN doc_id % 7 = 1 THEN text || ' error 404 appended'
+                      WHEN doc_id % 7 = 2 THEN 'not found'
+                      ELSE text END AS text,
+                 CASE WHEN doc_id % 7 = 2 THEN 50
+                      ELSE (doc_id * 3) % 40 END AS n_links
+          FROM documents
+        ),
+        scored AS (
+          SELECT url,
+                 len(regexp_extract_all(lower(text),
+                   '(not found|page does not exist|no longer available|error 404|page unavailable)',
+                   1)) AS n_markers,
+                 len({_TOKS}) AS n_tokens,
+                 n_links
+          FROM pages
+        )
+        SELECT url, CAST(n_markers AS INT) AS n_markers,
+               CAST(n_tokens AS INT) AS n_tokens,
+               ROUND(CAST(n_links AS DOUBLE)
+                     / CAST(greatest(n_tokens, 1) AS DOUBLE), 4)
+                 AS link_ratio,
+               CAST(n_markers > 0 AND (n_tokens < 20
+                    OR CAST(n_links AS DOUBLE)
+                       >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
+                 AS INT) AS soft404
+        FROM scored
     """,
         "bpe_pairs": rf"""
         WITH t AS (SELECT {_TOKS} AS tk FROM documents),
