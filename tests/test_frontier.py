@@ -531,3 +531,27 @@ def test_registrable_domain_psl_cases(spark):
     for host, suffix, domain in hosts:
         assert out[host]["public_suffix"] == suffix, host
         assert out[host]["registrable_domain"] == domain, host
+
+
+def test_politeness_audit_hand_case(spark):
+    """Gaps vs contract, hand-computed: h1 delay=10us with gaps (5, 20)
+    -> one violation; h2 single fetch -> clean with no gaps; h3 has no
+    contract row -> violations never fire on a NULL delay."""
+    from uniparser_spark.frontier.politeness import politeness_audit
+
+    log = spark.createDataFrame(
+        [("h1", 100), ("h1", 105), ("h1", 125), ("h2", 50), ("h3", 1), ("h3", 2)],
+        "host string, ts long",
+    )
+    delays = spark.createDataFrame(
+        [("h1", 10), ("h2", 10)], "host string, delay_us long"
+    )
+    out = {r["host"]: r for r in politeness_audit(log, delays).collect()}
+    h1 = out["h1"]
+    assert (h1["n_fetches"], h1["n_gaps"], h1["n_violations"]) == (3, 2, 1)
+    assert h1["min_gap_us"] == 5 and h1["delay_us"] == 10
+    h2 = out["h2"]
+    assert (h2["n_fetches"], h2["n_gaps"], h2["n_violations"]) == (1, 0, 0)
+    assert h2["min_gap_us"] is None
+    h3 = out["h3"]
+    assert h3["n_violations"] == 0 and h3["delay_us"] is None

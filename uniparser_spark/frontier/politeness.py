@@ -140,3 +140,50 @@ def adaptive_delays(
             .cast("long").alias("budget"),
         )
     )
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    delay_col: str = "delay_us",
+) -> DataFrame:
+    """Compliance audit of an executed crawl against per-host
+    crawl-delay contracts: did consecutive fetches to a host ever
+    arrive closer than its delay?  This is the operator that VERIFIES
+    the scheduler (and any third-party fetch tier) kept the politeness
+    budget — the audit side of :func:`schedule_batch`.
+
+    Inputs: the fetch log ``(host, ts)`` (timestamps as integer
+    microseconds — integer arithmetic end-to-end, same convention as
+    sessionize) and a ``(host, delay_us)`` contract table.  Output one
+    row per host: ``(host, n_fetches, n_gaps, n_violations, min_gap_us,
+    delay_us)``; hosts with a single fetch have no gaps and audit
+    clean.
+
+    Scale shape: ONE Exchange — lag() and the closing groupBy(host)
+    share the (host) partitioning, so the per-gap flags never
+    re-shuffle (superset-grouping-key device, same as sessionize);
+    the contract table joins in by broadcast.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col)
+    gaps = (
+        fetch_log.join(F.broadcast(delays), host_col, "left")
+        .select(
+            F.col(host_col),
+            F.col(delay_col),
+            (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap_us"),
+        )
+    )
+    return gaps.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.count("gap_us").alias("n_gaps"),
+        F.sum(
+            F.when(F.col("gap_us") < F.col(delay_col), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max(delay_col).alias(delay_col),
+    )

@@ -4883,6 +4883,30 @@ def q_soft404(spark, sf_dir):
     return soft404_scores(pages, min_tokens=20, max_link_ratio=0.5)
 
 
+def q_politeness_audit(spark, sf_dir):
+    """Crawl-delay compliance audit (frontier/politeness.py
+    politeness_audit): per-host consecutive-fetch gaps vs the delay
+    contract — the operator that VERIFIES the scheduler kept the
+    politeness budget.  One Exchange: lag and the closing groupBy
+    share the (host) partitioning; the contract table broadcasts.
+    Events stand in as the fetch log (integer-microsecond gaps)."""
+    from .frontier.politeness import politeness_audit
+
+    ev = t(spark, sf_dir, "events")
+    hostnum = F.col("user_id") % 40
+    log = ev.select(
+        F.concat(F.lit("h"), hostnum.cast("string")).alias("host"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+    )
+    delays = spark.range(40).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        ((F.lit(30) + (F.col("id") % 5) * 30) * 1000000)
+        .cast("long")
+        .alias("delay_us"),
+    )
+    return politeness_audit(log, delays)
+
+
 QUERIES.update(
     {
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4890,6 +4914,7 @@ QUERIES.update(
         "bpe_pairs": q_bpe_pairs,
         "redirect_chains": q_redirect_chains,
         "soft404": q_soft404,
+        "politeness_audit": q_politeness_audit,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5258,6 +5283,29 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "politeness_audit": r"""
+        WITH log AS (
+          SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+                 epoch_us(ts) AS ts
+          FROM events
+        ),
+        delays AS (
+          SELECT 'h' || CAST(i AS VARCHAR) AS host,
+                 CAST((30 + (i % 5) * 30) * 1000000 AS BIGINT) AS delay_us
+          FROM range(0, 40) r(i)
+        ),
+        gaps AS (
+          SELECT host,
+                 ts - lag(ts) OVER (PARTITION BY host ORDER BY ts) AS gap_us
+          FROM log
+        )
+        SELECT g.host, COUNT(*) AS n_fetches, COUNT(gap_us) AS n_gaps,
+               CAST(SUM(CASE WHEN gap_us < d.delay_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               MIN(gap_us) AS min_gap_us, MAX(d.delay_us) AS delay_us
+        FROM gaps g JOIN delays d USING (host)
+        GROUP BY g.host
     """,
         "bpe_pairs": rf"""
         WITH t AS (SELECT {_TOKS} AS tk FROM documents),
