@@ -69,3 +69,43 @@ def test_soft404_scores_verdicts(spark):
     assert out["long-marker-low-links"]["n_markers"] == 1
     assert out["link-heavy-marker"]["soft404"] == 1
     assert out["clean"]["soft404"] == 0 and out["clean"]["n_markers"] == 0
+
+
+def test_redirect_dangling_targets_feed_frontier(spark, tmp_path):
+    """Composition: resolve_redirects' 'dangling' exits are exactly the
+    URLs worth scheduling — feed them to CrawlEngine.seed_df and the
+    crawl fetches them (and what they link to)."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark import testgen
+    from uniparser_spark.crawl import CrawlEngine
+    from uniparser_spark.urls import canonicalize_url
+
+    pages = testgen.generate_pages(spark, n_hosts=2, n_details=6)
+    storage_json = testgen.storage_json(2, keep_first=2)
+    host0 = testgen.host_name(0)
+    target = testgen.list_url(host0)
+
+    log = spark.createDataFrame(
+        [
+            ("https://old.example/moved", 301, target),  # dangling exit
+            ("https://old.example/kept", 200, None),      # terminal
+        ],
+        "url string, status int, location string",
+    )
+    res = resolve_redirects(log, max_hops=8)
+    dangling = res.filter(F.col("verdict") == "dangling").select(
+        F.col("final_url").alias("url"), F.lit(0.9).alias("priority")
+    )
+    assert dangling.count() == 1
+
+    eng = CrawlEngine(
+        spark, pages, storage_json, tmp_path / "state_redir",
+        state_partitions=4,
+    )
+    eng.seed_df(dangling)
+    eng.run(max_rounds=10)
+    seen = {r["url_canon"] for r in eng.seen().collect()}
+    assert canonicalize_url(target) in seen
+    # the redirect target's own outlinks got crawled in later rounds
+    assert canonicalize_url(testgen.detail_url(host0, 0)) in seen
