@@ -555,3 +555,30 @@ def test_politeness_audit_hand_case(spark):
     assert h2["min_gap_us"] is None
     h3 = out["h3"]
     assert h3["n_violations"] == 0 and h3["delay_us"] is None
+
+
+def test_rendezvous_shards_minimal_remap(spark):
+    """HRW property: adding shard N remaps ONLY hosts whose new argmax
+    is the new shard, and roughly 1/(N+1) of them; every unmoved host
+    keeps its shard byte-identically.  Holds on both hash impls."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.sharding import rendezvous_shards
+
+    hosts = spark.createDataFrame(
+        [(f"host{i}.example",) for i in range(400)], "host string"
+    )
+    for impl in ("expr", "xxhash64"):
+        a = {r["host"]: r["shard"]
+             for r in rendezvous_shards(hosts, 16, impl=impl).collect()}
+        b = {r["host"]: r["shard"]
+             for r in rendezvous_shards(hosts, 17, impl=impl).collect()}
+        moved = {h for h in a if a[h] != b[h]}
+        # every remapped host landed on the NEW shard
+        assert all(b[h] == 16 for h in moved), impl
+        # expected 400/17 ~ 24; generous envelope
+        assert 5 <= len(moved) <= 60, (impl, len(moved))
+        # balance: no shard is pathologically loaded
+        from collections import Counter
+        c = Counter(a.values())
+        assert len(c) == 16 and max(c.values()) <= 3 * (400 // 16), impl

@@ -4907,6 +4907,20 @@ def q_politeness_audit(spark, sf_dir):
     return politeness_audit(log, delays)
 
 
+def q_shard_plan(spark, sf_dir):
+    """Rendezvous-hash frontier sharding (frontier/sharding.py
+    rendezvous_shards): host -> argmax_k weight(host, k) over 16
+    shards — minimal remap on resize (the mod-hash killer at 10^10
+    URLs); pure codegen array reduction, no shuffle.  pytest pins the
+    add-a-shard property: every remapped host lands on the NEW shard."""
+    from .frontier.sharding import rendezvous_shards
+
+    hosts = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host")
+    )
+    return rendezvous_shards(hosts, n_shards=16)
+
+
 QUERIES.update(
     {
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4915,6 +4929,7 @@ QUERIES.update(
         "redirect_chains": q_redirect_chains,
         "soft404": q_soft404,
         "politeness_audit": q_politeness_audit,
+        "shard_plan": q_shard_plan,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5283,6 +5298,14 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "shard_plan": r"""
+        SELECT host,
+               CAST(list_max(list_transform(range(0, 16),
+                 k -> struct_pack(
+                   w := substr(md5(host || ':' || CAST(k AS VARCHAR)), 1, 16),
+                   k := k))).k AS INT) AS shard
+        FROM (SELECT 'h' || CAST(doc_id AS VARCHAR) AS host FROM documents)
     """,
         "politeness_audit": r"""
         WITH log AS (
