@@ -490,3 +490,22 @@ def test_host_quota_sample_two_phase_exactness(spark):
             if r["kept"] == 1
         }
         assert got == truth, sb
+
+
+def test_ngram_lm_counts_hand_case(spark):
+    """KN count semantics, hand-computed: 'a b' appears 3x; w2='b' is
+    preceded by {a, c} -> n_left_types=2; w1='a' is followed only by
+    {b} -> n_right_types=1."""
+    from uniparser_spark.textops.mix import ngram_lm_counts
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "c b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           ngram_lm_counts(df, top_k=10).collect()}
+    ab = out[("a", "b")]
+    assert ab["cnt"] == 3 and ab["rank"] == 1
+    assert ab["n_left_types"] == 2   # a and c precede b
+    assert ab["n_right_types"] == 1  # a is followed only by b
+    ba = out[("b", "a")]
+    assert ba["cnt"] == 1 and ba["n_right_types"] == 1
+    assert out[("c", "b")]["n_left_types"] == 2

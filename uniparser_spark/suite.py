@@ -4921,6 +4921,17 @@ def q_shard_plan(spark, sf_dir):
     return rendezvous_shards(hosts, n_shards=16)
 
 
+def q_ngram_lm(spark, sf_dir):
+    """Kneser-Ney bigram count tables (textops/mix.py ngram_lm_counts):
+    pair counts + both continuation type counts — the inputs a KenLM-
+    style corpus quality model is estimated from.  One combined
+    shuffle of token pairs; continuation counts are windows over the
+    aggregated zipf head."""
+    from .textops.mix import ngram_lm_counts
+
+    return ngram_lm_counts(tp(spark, sf_dir, "documents"), top_k=100)
+
+
 QUERIES.update(
     {
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4930,6 +4941,7 @@ QUERIES.update(
         "soft404": q_soft404,
         "politeness_audit": q_politeness_audit,
         "shard_plan": q_shard_plan,
+        "ngram_lm": q_ngram_lm,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5298,6 +5310,28 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "ngram_lm": rf"""
+        WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+        g AS (
+          SELECT UNNEST(list_transform(range(1, len(tk)),
+                   i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS u
+          FROM t WHERE len(tk) >= 2
+        ),
+        pairs AS (
+          SELECT u.w1 AS w1, u.w2 AS w2, COUNT(*) AS cnt
+          FROM g GROUP BY u.w1, u.w2
+        ),
+        typed AS (
+          SELECT w1, w2, cnt,
+                 COUNT(*) OVER (PARTITION BY w2) AS n_left_types,
+                 COUNT(*) OVER (PARTITION BY w1) AS n_right_types,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, w1, w2)
+                      AS INTEGER) AS rank
+          FROM pairs
+        )
+        SELECT w1, w2, cnt, n_left_types, n_right_types, rank
+        FROM typed WHERE rank <= 100
     """,
         "shard_plan": r"""
         SELECT host,

@@ -30,7 +30,7 @@ from .dedup import (
     with_simhash,
 )
 from .index import bm25_index
-from .mix import bpe_merge_pairs
+from .mix import bpe_merge_pairs, ngram_lm_counts
 from .quality import (
     doc_fingerprints,
     langid,
@@ -53,6 +53,7 @@ __all__ = [
     "bm25_index",
     "boilerplate_lines",
     "bpe_merge_pairs",
+    "ngram_lm_counts",
     "containment_pairs",
     "winnow_fingerprints",
     "decode_html",

@@ -436,6 +436,61 @@ def bpe_merge_pairs(
     )
 
 
+def ngram_lm_counts(
+    docs: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kneser-Ney count tables for a corpus bigram LM: per bigram
+    ``(w1, w2)`` the raw count plus both CONTINUATION type counts —
+    ``n_left_types(w2)`` = how many distinct words precede w2 (the KN
+    lower-order numerator) and ``n_right_types(w1)`` = how many
+    distinct words follow w1 (the KN discount normalizer).  These
+    three tables are exactly what smoothed n-gram scoring (the CCNet
+    quality filter's KenLM) is built from; :func:`unigram_scores` is
+    the order-1 sibling.
+
+    Output: top ``top_k`` bigrams by count (ties broken
+    lexicographically): ``(w1, w2, cnt, n_left_types, n_right_types,
+    rank)``.
+
+    Scale shape: bigrams are built per-doc by tail-zip (narrow),
+    counted by ONE map-side-combined groupBy; both continuation
+    counts are windows over the AGGREGATED pair relation — the zipf
+    head, never token instances — partitioned by w2 / w1 (each a
+    narrow Exchange of (w1, w2, cnt) triples).  Distinctness is free:
+    the pair relation is already one row per (w1, w2).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        docs.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    left = Window.partitionBy("w2")
+    right = Window.partitionBy("w1")
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("w1"), F.col("w2"))
+    return (
+        pairs.withColumn(
+            "n_left_types", F.count(F.lit(1)).over(left).cast("long")
+        )
+        .withColumn(
+            "n_right_types", F.count(F.lit(1)).over(right).cast("long")
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_k)
+        .select("w1", "w2", "cnt", "n_left_types", "n_right_types", "rank")
+    )
+
+
 # ------------------------------------------------------------- epoch mixing
 def epoch_mix(
     df: DataFrame,
