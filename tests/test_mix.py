@@ -509,3 +509,32 @@ def test_ngram_lm_counts_hand_case(spark):
     ba = out[("b", "a")]
     assert ba["cnt"] == 1 and ba["n_right_types"] == 1
     assert out[("c", "b")]["n_left_types"] == 2
+
+
+def test_quality_buckets_terciles_per_lang(spark):
+    """Bucketing is per-language and tercile-balanced: 9 docs per lang
+    with strictly ordered scores -> 3 docs per bucket in each lang;
+    a lang's tail can outscore another lang's head (the reason
+    bucketing must be per-language)."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.textops.mix import quality_buckets
+
+    rows = []
+    # lang A: docs made of frequent tokens (high prob); lang B: rarer mix
+    for i in range(9):
+        rows.append((i, " ".join(["common"] * (9 - i) + [f"rare{i}"] * i), "A"))
+    for i in range(9):
+        rows.append((100 + i, " ".join(["common"] * (9 - i) + [f"xr{i}"] * (i + 3)), "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_buckets(df, vocab_size=4).collect()
+    from collections import Counter
+    per = Counter((r["lang"], r["bucket"]) for r in out)
+    for lang in ("A", "B"):
+        assert per[(lang, "head")] == 3, per
+        assert per[(lang, "middle")] == 3, per
+        assert per[(lang, "tail")] == 3, per
+    # buckets follow score order within a language
+    a = sorted((r["avg_tok_prob"], r["bucket"]) for r in out if r["lang"] == "A")
+    order = [b for _, b in a]
+    assert order == ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3

@@ -4921,6 +4921,16 @@ def q_shard_plan(spark, sf_dir):
     return rendezvous_shards(hosts, n_shards=16)
 
 
+def q_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (textops/mix.py
+    quality_buckets): per-language LM-score terciles — exact
+    interpolated percentile, bit-identical to DuckDB quantile_cont;
+    thresholds broadcast back over the scored relation."""
+    from .textops.mix import quality_buckets
+
+    return quality_buckets(tp(spark, sf_dir, "documents"))
+
+
 def q_ngram_lm(spark, sf_dir):
     """Kneser-Ney bigram count tables (textops/mix.py ngram_lm_counts):
     pair counts + both continuation type counts — the inputs a KenLM-
@@ -4942,6 +4952,7 @@ QUERIES.update(
         "politeness_audit": q_politeness_audit,
         "shard_plan": q_shard_plan,
         "ngram_lm": q_ngram_lm,
+        "quality_buckets": q_quality_buckets,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5310,6 +5321,34 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "quality_buckets": rf"""
+        WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
+        v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 16),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        per AS (
+          SELECT tk.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS mass
+          FROM tk LEFT JOIN v USING (tok) GROUP BY 1
+        ),
+        j AS (
+          SELECT per.doc_id, d.lang,
+                 ROUND(CAST(mass AS DOUBLE)
+                       / CAST(n_tokens * total AS DOUBLE), 10)
+                   AS avg_tok_prob
+          FROM per, tot JOIN documents d ON per.doc_id = d.doc_id
+        ),
+        thr AS (
+          SELECT lang, quantile_cont(avg_tok_prob, 1.0/3) AS t1,
+                 quantile_cont(avg_tok_prob, 2.0/3) AS t2
+          FROM j GROUP BY lang
+        )
+        SELECT j.doc_id, j.lang, j.avg_tok_prob,
+               CASE WHEN avg_tok_prob <= t1 THEN 'tail'
+                    WHEN avg_tok_prob <= t2 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM j JOIN thr USING (lang)
     """,
         "ngram_lm": rf"""
         WITH t AS (SELECT {_TOKS} AS tk FROM documents),

@@ -30,7 +30,7 @@ from .dedup import (
     with_simhash,
 )
 from .index import bm25_index
-from .mix import bpe_merge_pairs, ngram_lm_counts
+from .mix import bpe_merge_pairs, ngram_lm_counts, quality_buckets
 from .quality import (
     doc_fingerprints,
     langid,
@@ -54,6 +54,7 @@ __all__ = [
     "boilerplate_lines",
     "bpe_merge_pairs",
     "ngram_lm_counts",
+    "quality_buckets",
     "containment_pairs",
     "winnow_fingerprints",
     "decode_html",

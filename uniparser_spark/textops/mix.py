@@ -491,6 +491,52 @@ def ngram_lm_counts(
     )
 
 
+def quality_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """CCNet's head/middle/tail device: bucket documents by corpus-LM
+    score WITHIN each language at the terciles — 'head' is the
+    best-scoring third, 'tail' the worst.  Per-language bucketing is
+    the point (absolute scores are incomparable across languages);
+    downstream mixing keeps all of head, samples middle, drops or
+    heavily subsamples tail (compose with ``sample_gate`` for the
+    reproducible hash-gated rates).
+
+    Output: (id, lang, avg_tok_prob, bucket).
+
+    Scale shape: scoring is :func:`unigram_scores` (two combined
+    shuffles + vocabulary broadcast); the tercile thresholds are ONE
+    tiny per-language aggregate (exact interpolated percentile —
+    bit-identical to DuckDB quantile_cont, the device
+    length_distribution already pins) broadcast back over the scored
+    relation.  Nothing wide shuffles twice.
+    """
+    scores = unigram_scores(
+        docs, vocab_size=vocab_size, id_col=id_col, text_col=text_col
+    )
+    scored = scores.join(docs.select(id_col, lang_col), id_col).select(
+        id_col, lang_col, "avg_tok_prob"
+    )
+    thr = scored.groupBy(lang_col).agg(
+        F.percentile("avg_tok_prob", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("avg_tok_prob", F.lit(2.0 / 3)).alias("t2"),
+    )
+    s = F.col("avg_tok_prob")
+    return scored.join(F.broadcast(thr), lang_col).select(
+        id_col,
+        lang_col,
+        "avg_tok_prob",
+        F.when(s <= F.col("t1"), F.lit("tail"))
+        .when(s <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+
+
 # ------------------------------------------------------------- epoch mixing
 def epoch_mix(
     df: DataFrame,
