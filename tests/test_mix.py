@@ -538,3 +538,28 @@ def test_quality_buckets_terciles_per_lang(spark):
     a = sorted((r["avg_tok_prob"], r["bucket"]) for r in out if r["lang"] == "A")
     order = [b for _, b in a]
     assert order == ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+
+
+def test_temperature_mix_flattens(spark):
+    """α<1 flattens: the head stratum's q < p, the tail's q > p, order
+    preserved, q sums to 1, and α=1 is the identity."""
+    from uniparser_spark.textops.mix import temperature_mix
+
+    rows = (
+        [(i, "w " * 80, "big") for i in range(8)]
+        + [(100 + i, "w " * 10, "small") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["stratum"]: r for r in temperature_mix(df, alpha=0.3).collect()}
+    big, small = out["big"], out["small"]
+    assert big["p"] > small["p"]                 # mass order
+    assert big["q"] < big["p"]                   # head flattened down
+    assert small["q"] > small["p"]               # tail lifted
+    assert big["q"] > small["q"]                 # order preserved
+    assert abs(big["q"] + small["q"] - 1.0) < 1e-3
+    assert small["multiplier"] > 1.0 > big["multiplier"]
+
+    ident = {r["stratum"]: r for r in temperature_mix(df, alpha=1.0).collect()}
+    for s in ("big", "small"):
+        assert abs(ident[s]["q"] - ident[s]["p"]) < 1e-3
+        assert abs(ident[s]["multiplier"] - 1.0) < 1e-3

@@ -4931,6 +4931,16 @@ def q_quality_buckets(spark, sf_dir):
     return quality_buckets(tp(spark, sf_dir, "documents"))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature sampling rates (textops/mix.py temperature_mix):
+    q_s ∝ p_s^0.3 over per-language token mass — the XLM-R mixing
+    recipe; z normalized by a SORTED sequential fold so float
+    accumulation order is engine-independent."""
+    from .textops.mix import temperature_mix
+
+    return temperature_mix(tp(spark, sf_dir, "documents"), alpha=0.3)
+
+
 def q_ngram_lm(spark, sf_dir):
     """Kneser-Ney bigram count tables (textops/mix.py ngram_lm_counts):
     pair counts + both continuation type counts — the inputs a KenLM-
@@ -4953,6 +4963,7 @@ QUERIES.update(
         "shard_plan": q_shard_plan,
         "ngram_lm": q_ngram_lm,
         "quality_buckets": q_quality_buckets,
+        "temperature_mix": q_temperature_mix,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5321,6 +5332,34 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "temperature_mix": rf"""
+        WITH per AS (
+          SELECT lang AS stratum, COUNT(*) AS n_docs,
+                 CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+        powed AS (
+          SELECT stratum, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+                 pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 0.3)
+                   AS pa
+          FROM per, tot
+        ),
+        z AS (
+          SELECT list_reduce(
+                   list_transform(
+                     list_sort(list(struct_pack(stratum := stratum,
+                                                pa := pa))),
+                     x -> x.pa),
+                   (a, b) -> a + b) AS z
+          FROM powed
+        )
+        SELECT stratum, n_docs, n_tokens, ROUND(p, 4) AS p,
+               ROUND(pa / z, 4) AS q,
+               ROUND((pa / z) / p, 4) AS multiplier
+        FROM powed, z
     """,
         "quality_buckets": rf"""
         WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

@@ -30,7 +30,12 @@ from .dedup import (
     with_simhash,
 )
 from .index import bm25_index
-from .mix import bpe_merge_pairs, ngram_lm_counts, quality_buckets
+from .mix import (
+    bpe_merge_pairs,
+    ngram_lm_counts,
+    quality_buckets,
+    temperature_mix,
+)
 from .quality import (
     doc_fingerprints,
     langid,
@@ -55,6 +60,7 @@ __all__ = [
     "bpe_merge_pairs",
     "ngram_lm_counts",
     "quality_buckets",
+    "temperature_mix",
     "containment_pairs",
     "winnow_fingerprints",
     "decode_html",

@@ -537,6 +537,69 @@ def quality_buckets(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based multilingual sampling rates (the XLM-R /
+    mBERT device): given per-stratum token mass p_s, sample with
+    q_s ∝ p_s^α — α < 1 flattens the distribution so head languages
+    stop drowning the tail without inverting the order.  Emits the
+    mixing recipe :func:`epoch_mix` and :func:`sample_gate` execute:
+    per stratum ``(stratum, n_docs, n_tokens, p, q, multiplier)``
+    where multiplier = q/p is the repetition factor that realizes q
+    at unchanged total size (>1 = upsample, <1 = downsample).
+
+    4-dp rounding on the emitted ratios (the corpus-stats contract);
+    the power is the one deliberate float op — p^α has no exact
+    integer form — computed identically in both engines from the same
+    exact integer token counts, so the oracle still value-pairs.
+
+    Scale shape: one map-side-combined groupBy(stratum) over token
+    counts taken in the scan projection; the normalization constants
+    fold in a 1-row cross join.  Output is O(strata) rows.
+    """
+    n_tokens = F.size(tokens(F.col(text_col)))
+    per = (
+        docs.select(F.col(stratum_col).alias("stratum"), n_tokens.alias("n"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("total"))
+    p = F.col("n_tokens").cast("double") / F.col("total").cast("double")
+    powed = per.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n_docs", "n_tokens", p.alias("p"),
+        F.pow(p, F.lit(float(alpha))).alias("pa"),
+    )
+    # z as a SORTED sequential fold, not SUM: float accumulation order
+    # must be engine- and partitioning-independent (the module's
+    # determinism discipline) — strata are few, the fold is one row
+    z = powed.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("stratum"), F.col("pa")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["pa"],
+        ).alias("z")
+    )
+    q = F.col("pa") / F.col("z")
+    return powed.crossJoin(F.broadcast(z)).select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 4).alias("p"),
+        F.round(q, 4).alias("q"),
+        F.round(q / F.col("p"), 4).alias("multiplier"),
+    )
+
+
 # ------------------------------------------------------------- epoch mixing
 def epoch_mix(
     df: DataFrame,
