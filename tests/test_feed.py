@@ -1,0 +1,70 @@
+"""RSS/Atom feed connector (sources/feed.py).
+
+Reference scope: the reference has no discovery layer (seeds are
+caller-supplied, crawler.py:156-189); feeds are part of the frontier
+the north rule adds, next to sitemaps and CDX.
+"""
+
+from datetime import datetime, timezone
+
+from uniparser_spark.sources.feed import (
+    build_atom,
+    build_rss,
+    feed_entries,
+    parse_feed,
+    seeds_from_feed,
+)
+
+PUB = datetime(2026, 8, 18, 12, 30, 0, tzinfo=timezone.utc)
+
+
+def test_rss_roundtrip_with_escaping():
+    entries = [
+        {"loc": "https://e.org/a?x=1&y=2", "title": "T & <b>", "pub": PUB,
+         "guid": "urn:1"},
+        {"loc": "https://e.org/b", "title": None, "pub": None, "guid": None},
+    ]
+    items = parse_feed(build_rss("c & d", entries))
+    assert [i["loc"] for i in items] == ["https://e.org/a?x=1&y=2",
+                                         "https://e.org/b"]
+    assert items[0]["title"] == "T & <b>" and items[0]["guid"] == "urn:1"
+    assert items[0]["pub"] == PUB and items[0]["fmt"] == "rss"
+    assert items[1]["title"] is None and items[1]["pub"] is None
+
+
+def test_atom_roundtrip():
+    entries = [{"loc": 'https://e.org/q?a="x"', "title": "Atom <1>",
+                "pub": PUB, "guid": "tag:1"}]
+    items = parse_feed(build_atom("f", entries))
+    assert items[0]["loc"] == 'https://e.org/q?a="x"'
+    assert items[0]["pub"] == PUB and items[0]["fmt"] == "atom"
+
+
+def test_parse_feed_rejects_non_feed():
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_feed(b"<html><body>nope</body></html>")
+    with pytest.raises(ValueError):
+        parse_feed(b"<rss><channel><item>")  # malformed XML
+
+
+def test_feed_entries_prefilter_and_errors(spark):
+    rss = build_rss("c", [{"loc": "https://e.org/p1", "title": "t",
+                           "pub": PUB, "guid": "g1"}])
+    rows = [
+        ("https://h.example/feed.xml", bytearray(rss)),
+        ("https://h.example/rss", bytearray(b"<notxml")),       # error row
+        ("https://h.example/page.html", bytearray(b"<html/>")),  # prefiltered
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = feed_entries(df).collect()
+    kinds = {(r["feed_url"], r["kind"]) for r in out}
+    assert ("https://h.example/feed.xml", "item") in kinds
+    assert ("https://h.example/rss", "error") in kinds
+    assert all(r["feed_url"] != "https://h.example/page.html" for r in out)
+
+    seeds = seeds_from_feed(feed_entries(df)).collect()
+    assert [(s["url"], s["priority"]) for s in seeds] == [
+        ("https://e.org/p1", 0.8)
+    ]

@@ -1,6 +1,13 @@
 """Input connectors that land external formats on the engine's
 canonical Common-Crawl pages schema (url, warc_ts, html, text, lang)."""
 
+from .feed import (  # noqa: F401
+    build_atom,
+    build_rss,
+    feed_entries,
+    parse_feed,
+    seeds_from_feed,
+)
 from .sitemap import (  # noqa: F401
     build_sitemap,
     build_sitemap_index,

@@ -4931,6 +4931,56 @@ def q_quality_buckets(spark, sf_dir):
     return quality_buckets(tp(spark, sf_dir, "documents"))
 
 
+def q_feed_scan(spark, sf_dir):
+    """RSS/Atom feed connector (sources/feed.py) round-trip: each
+    partition's even doc_ids are encoded as one RSS 2.0 channel
+    (RFC-822 pubDate) and odd ids as one Atom feed (ISO-8601 updated),
+    then parsed back through the connector parser — one Arrow-batched
+    mapInPandas, no shuffle.  Titles and URLs carry '&'/'<' so an
+    escaping slip breaks parity; the oracle re-predicts every typed
+    field straight from doc_id."""
+    import pandas as pd
+    from datetime import datetime, timedelta, timezone
+
+    from .sources.feed import build_atom, build_rss, parse_feed
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        for b in batches:
+            def entry(i):
+                side = "r" if i % 2 == 0 else "a"
+                return {
+                    "loc": f"https://feed.example.org/{side}/{i}?x=1&y=2",
+                    "title": f"Post {i} & <news>",
+                    "pub": base + timedelta(days=i % 28, hours=i % 24),
+                    "guid": f"urn:item:{i}",
+                }
+
+            ids = [int(i) for i in b["doc_id"]]
+            rss = build_rss("chan & one", [entry(i) for i in ids if i % 2 == 0])
+            atom = build_atom("feed <two>", [entry(i) for i in ids if i % 2 == 1])
+            items = parse_feed(rss) + parse_feed(atom)
+            yield pd.DataFrame(
+                {
+                    "url": [it["loc"] for it in items],
+                    "fmt": [it["fmt"] for it in items],
+                    "title": [it["title"] for it in items],
+                    "pub_epoch": pd.Series(
+                        [int(it["pub"].timestamp()) for it in items],
+                        dtype="int64",
+                    ),
+                    "guid": [it["guid"] for it in items],
+                }
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="url string, fmt string, title string, pub_epoch long, guid string",
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature sampling rates (textops/mix.py temperature_mix):
     q_s ∝ p_s^0.3 over per-language token mass — the XLM-R mixing
@@ -4964,6 +5014,7 @@ QUERIES.update(
         "ngram_lm": q_ngram_lm,
         "quality_buckets": q_quality_buckets,
         "temperature_mix": q_temperature_mix,
+        "feed_scan": q_feed_scan,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5332,6 +5383,18 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "feed_scan": r"""
+        SELECT CASE WHEN doc_id % 2 = 0
+                 THEN 'https://feed.example.org/r/' || doc_id || '?x=1&y=2'
+                 ELSE 'https://feed.example.org/a/' || doc_id || '?x=1&y=2'
+               END AS url,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+               'Post ' || doc_id || ' & <news>' AS title,
+               CAST(epoch(TIMESTAMP '2026-01-01') AS BIGINT)
+                 + (doc_id % 28) * 86400 + (doc_id % 24) * 3600 AS pub_epoch,
+               'urn:item:' || doc_id AS guid
+        FROM documents
     """,
         "temperature_mix": rf"""
         WITH per AS (
