@@ -68,3 +68,33 @@ def test_feed_entries_prefilter_and_errors(spark):
     assert [(s["url"], s["priority"]) for s in seeds] == [
         ("https://e.org/p1", 0.8)
     ]
+
+
+def test_feed_seeds_compose_into_engine(spark, tmp_path):
+    """Feed discovery composes end-to-end: RSS advertising a list page
+    -> feed_entries -> seeds_from_feed -> CrawlEngine.seed_df -> the
+    page and its outlinks are crawled."""
+    from uniparser_spark import testgen
+    from uniparser_spark.crawl import CrawlEngine
+    from uniparser_spark.urls import canonicalize_url
+
+    pages = testgen.generate_pages(spark, n_hosts=2, n_details=6)
+    storage_json = testgen.storage_json(2, keep_first=2)
+    host0 = testgen.host_name(0)
+    target = testgen.list_url(host0)
+
+    rss = build_rss("news", [{"loc": target, "title": "front",
+                              "pub": PUB, "guid": "g"}])
+    feed_pages = spark.createDataFrame(
+        [("https://h.example/feed.xml", bytearray(rss))],
+        "url string, html binary",
+    )
+    seeds = seeds_from_feed(feed_entries(feed_pages))
+
+    eng = CrawlEngine(spark, pages, storage_json, tmp_path / "state_feed",
+                      state_partitions=4)
+    eng.seed_df(seeds)
+    eng.run(max_rounds=10)
+    seen = {r["url_canon"] for r in eng.seen().collect()}
+    assert canonicalize_url(target) in seen
+    assert canonicalize_url(testgen.detail_url(host0, 0)) in seen
