@@ -50,3 +50,34 @@ def test_extract_rule_not_found(spark):
     rows = out.collect()
     assert all(r["error"].startswith("RuleNotFoundError") for r in rows)
     assert all(r["result"] is None for r in rows)
+
+
+def test_extraction_health_rollup(spark):
+    """Health aggregation over a hand-built results frame: rates,
+    dominant error kind (struct-max tie-break), verdict thresholds,
+    and the '<none>' rule bucket for unmatched URLs."""
+    from uniparser_spark.engine.health import extraction_health
+
+    rows = [
+        # hostA/r1: 1 error in 10 -> degraded (rate 0.1)
+        *[(f"https://a.org/{i}", "r1", None) for i in range(9)],
+        ("https://a.org/9", "r1", "IndexError: boom"),
+        # hostB/r2: all broken, two kinds, tie 2-2 -> larger kind wins
+        ("https://b.org/1", "r2", "AttrError: x"),
+        ("https://b.org/2", "r2", "AttrError: y"),
+        ("https://b.org/3", "r2", "ZeroDivisionError: z"),
+        ("https://b.org/4", "r2", "ZeroDivisionError: w"),
+        # no rule matched
+        ("https://c.org/1", None, "RuleNotFoundError: nope"),
+    ]
+    df = spark.createDataFrame(rows, "url string, rule_name string, error string")
+    out = {(r["host"], r["rule_name"]): r
+           for r in extraction_health(df).collect()}
+    a = out[("a.org", "r1")]
+    assert (a["n_pages"], a["n_errors"], a["err_rate"]) == (10, 1, 0.1)
+    assert a["verdict"] == "degraded" and a["top_error"] == "IndexError"
+    b = out[("b.org", "r2")]
+    assert b["verdict"] == "broken"
+    assert b["top_error"] == "ZeroDivisionError"  # tie -> larger kind
+    c = out[("c.org", "<none>")]
+    assert c["err_rate"] == 1.0 and c["top_error"] == "RuleNotFoundError"

@@ -4931,6 +4931,46 @@ def q_quality_buckets(spark, sf_dir):
     return quality_buckets(tp(spark, sf_dir, "documents"))
 
 
+def q_extraction_health(spark, sf_dir):
+    """Extraction-health rollup (engine/health.py extraction_health)
+    over REAL engine output: m=id%5 — m=1 pages live on an unruled
+    host (RuleNotFoundError, rule '<none>'); m=0 pages carry a 1-word
+    body so the rule's __schema__ guard fails (InvalidSchemaError as
+    data — chain exceptions are VALUES, reference parity; the schema
+    rule is what turns them into page errors); the rest extract
+    cleanly.  The oracle predicts both health rows (rates, dominant
+    kind, verdicts) analytically from the synthesis."""
+    from .engine.health import extraction_health
+
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 5
+    url = F.concat(
+        F.when(m == 1, F.lit("https://norule.example.org/d/")).otherwise(
+            F.lit(f"https://{_DOCS_HOST}/d/")
+        ),
+        d.cast("string"),
+    )
+    text = F.when(m == 0, F.lit("xx")).otherwise(F.col("text"))
+    pages = docs.select(url.alias("url"), text.alias("text"))
+    third_chain = [["re", "[a-z]+", ""], ["python", "getitem", "[2]"]]
+    storage = _single_host_storage(
+        _DOCS_HOST,
+        "doc3",
+        rf"^https://docs\.example\.org/d/\d+$",
+        [
+            {"name": "third", "chain_rules": third_chain, "child_rules": []},
+            {
+                "name": "__schema__",
+                "chain_rules": third_chain
+                + [["udf", "isinstance(obj, str)", ""]],
+                "child_rules": [],
+            },
+        ],
+    )
+    return extraction_health(extract_pages(pages, storage))
+
+
 def q_feed_scan(spark, sf_dir):
     """RSS/Atom feed connector (sources/feed.py) round-trip: each
     partition's even doc_ids are encoded as one RSS 2.0 channel
@@ -5015,6 +5055,7 @@ QUERIES.update(
         "quality_buckets": q_quality_buckets,
         "temperature_mix": q_temperature_mix,
         "feed_scan": q_feed_scan,
+        "extraction_health": q_extraction_health,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5383,6 +5424,29 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "extraction_health": r"""
+        WITH m AS (
+          SELECT COUNT(*) FILTER (doc_id % 5 = 1) AS n_norule,
+                 COUNT(*) FILTER (doc_id % 5 <> 1) AS n_ruled,
+                 COUNT(*) FILTER (doc_id % 5 = 0) AS n_idx
+          FROM documents
+        )
+        SELECT 'docs.example.org' AS host, 'doc3' AS rule_name,
+               CAST(n_ruled AS BIGINT) AS n_pages,
+               CAST(n_idx AS BIGINT) AS n_errors,
+               ROUND(CAST(n_idx AS DOUBLE) / CAST(n_ruled AS DOUBLE), 4)
+                 AS err_rate,
+               'InvalidSchemaError' AS top_error,
+               CASE WHEN n_idx >= 0.5 * n_ruled THEN 'broken'
+                    WHEN n_idx >= 0.05 * n_ruled THEN 'degraded'
+                    ELSE 'healthy' END AS verdict
+        FROM m
+        UNION ALL
+        SELECT 'norule.example.org', '<none>',
+               CAST(n_norule AS BIGINT), CAST(n_norule AS BIGINT),
+               1.0, 'RuleNotFoundError', 'broken'
+        FROM m
     """,
         "feed_scan": r"""
         SELECT CASE WHEN doc_id % 2 = 0
