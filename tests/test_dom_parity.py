@@ -64,6 +64,27 @@ def _three_way(markup):
     assert tree(parse_html(markup, engine="scan")) == ref  # callback scanner
 
 
+_MARKED_EDGES = [
+    # _markupbase crash modes (AssertionError on '<![0', unknown-keyword
+    # error paths) and the ']]>'-vs-']>' close divergence — all pinned
+    # by MarkedSectionSafe to the fast engine's ']>' rule
+    "<![0",
+    "<![",
+    "<![CDATA[x",
+    "a<![0>b",
+    "<![foo]>x",
+    "<![CDATA[a]>b]]>",
+    "<![CDATA[x]]>t",
+    "<![if !IE]>x<![endif]>y",
+    "<p>hello<![0",
+]
+
+
+@pytest.mark.parametrize("markup", _MARKED_EDGES)
+def test_marked_section_edges_never_crash(markup):
+    _three_way(markup)
+
+
 @pytest.mark.parametrize("markup", EDGES)
 def test_edges_parity(markup):
     _three_way(markup)

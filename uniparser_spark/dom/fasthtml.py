@@ -38,13 +38,36 @@ _RAW_END = {
 _COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
+class MarkedSectionSafe:
+    """Never-crash marked sections for stdlib-bridge parsers.
+
+    CPython's ``_markupbase.parse_marked_section`` raises
+    ``AssertionError`` on ``<![`` followed by no valid section name
+    (e.g. ``<![0``, real-web garbage) and ``NotImplementedError`` on
+    unknown keywords — both would turn a malformed page into a
+    parse-time crash instead of a tree.  Override with the SAME rule
+    the fast tokenizer uses: consume to the next ``]>`` emitting
+    nothing (stdlib's unknown_decl is a no-op anyway), and drop an
+    unterminated section at EOF.  This also removes a latent
+    divergence: stdlib matched the looser ``]\\s*]\\s*>`` close, so
+    ``<![CDATA[a]>b]]>`` ended at a different offset than the fast
+    engine's ``]>`` scan."""
+
+    def parse_marked_section(self, i: int, report: int = 1) -> int:
+        rawdata = self.rawdata
+        j = rawdata.find("]>", i + 3)
+        if j < 0:
+            return len(rawdata)  # unterminated at EOF: drop
+        return j + 2
+
+
 def _std_tail(tail: str, builder) -> None:
     """Unterminated construct at EOF: hand the tail to the stdlib
     tokenizer so every EOF flush quirk matches exactly.  Runs at most
     once per document, on (usually tiny) trailing garbage."""
     from html.parser import HTMLParser
 
-    class _Bridge(HTMLParser):
+    class _Bridge(MarkedSectionSafe, HTMLParser):
         def handle_starttag(self, tag, attrs):
             builder.handle_starttag(tag, attrs)
 

@@ -101,9 +101,11 @@ class _TreeBuilder:
         self.top.append(Comment(data))
 
 
-class _StdBridge(_StdHTMLParser):
+class _StdBridge(fasthtml.MarkedSectionSafe, _StdHTMLParser):
     """stdlib tokenizer → builder callbacks (the reference engine for
-    the parity tests; also the fallback via UNIPARSER_SPARK_HTML_ENGINE=std)."""
+    the parity tests; also the fallback via UNIPARSER_SPARK_HTML_ENGINE=std).
+    MarkedSectionSafe keeps malformed ``<![`` from crashing the stdlib
+    tokenizer and pins the ``]>`` close rule to the fast engine's."""
 
     def __init__(self, builder: _TreeBuilder):
         super().__init__(convert_charrefs=True)
