@@ -98,3 +98,36 @@ def test_feed_seeds_compose_into_engine(spark, tmp_path):
     seen = {r["url_canon"] for r in eng.seen().collect()}
     assert canonicalize_url(target) in seen
     assert canonicalize_url(testgen.detail_url(host0, 0)) in seen
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _xmlish = st.lists(
+        st.one_of(
+            st.sampled_from(
+                ["<rss>", "</rss>", "<channel>", "<item>", "<link>",
+                 "</link>", "<feed>", "<entry>", '<link href="x"/>',
+                 "<updated>", "2026-01-01T00:00:00Z", "<pubDate>",
+                 "Mon, 18 Aug 2026 12:00:00 +0000", "<", ">", "&", "]]>"]
+            ),
+            st.text(max_size=10),
+        ),
+        max_size=25,
+    ).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(_xmlish)
+    def test_fuzz_parse_feed_total(markup):
+        """parse_feed is total over arbitrary input: a typed item list
+        or ValueError — never any other exception (the Spark path
+        quarantines ValueError as an error row)."""
+        try:
+            items = parse_feed(markup.encode("utf-8"))
+        except ValueError:
+            return
+        for it in items:
+            assert it["fmt"] in ("rss", "atom") and it["loc"]
+
+except ImportError:  # pragma: no cover
+    pass

@@ -120,3 +120,37 @@ def test_host_graph_rollup(spark):
     assert ab["n_links"] == 3 and ab["n_nofollow"] == 1 and ab["internal"] == 0
     aa = got[("a.org", "a.org")]
     assert aa["n_links"] == 1 and aa["internal"] == 1
+
+
+def test_host_reciprocity_hand_case(spark):
+    """Balanced exchange -> reciprocity 1; one-way -> 0; unbalanced ->
+    2*min/(sum); internal edges ignored; min_links gate applies to
+    either direction."""
+    from uniparser_spark.crawl.links import host_graph, host_reciprocity
+
+    def edge(s, d, i):
+        return (f"https://{s}/p/{i}", f"https://{d}/x/{i}", "a", 0, 0, 0)
+
+    rows = (
+        [edge("a.org", "b.org", i) for i in range(3)]
+        + [edge("b.org", "a.org", i) for i in range(3)]     # balanced
+        + [edge("c.org", "d.org", i) for i in range(4)]     # one-way
+        + [edge("e.org", "f.org", i) for i in range(4)]
+        + [edge("f.org", "e.org", i) for i in range(2)]     # 4:2
+        + [edge("g.org", "g.org", 0)]                       # internal
+        + [edge("x.org", "y.org", 0)]                       # below gate
+    )
+    df = spark.createDataFrame(
+        rows, "src string, dst string, anchor string, link_idx int, "
+              "nofollow int, internal int",
+    )
+    out = {(r["host_a"], r["host_b"]): r
+           for r in host_reciprocity(host_graph(df), min_links=2).collect()}
+    assert out[("a.org", "b.org")]["reciprocity"] == 1.0
+    assert out[("a.org", "b.org")]["n_mutual"] == 3
+    assert out[("c.org", "d.org")]["reciprocity"] == 0.0
+    ef = out[("e.org", "f.org")]
+    assert (ef["n_ab"], ef["n_ba"], ef["n_mutual"]) == (4, 2, 2)
+    assert abs(ef["reciprocity"] - round(4 / 6, 4)) < 1e-9
+    assert ("g.org", "g.org") not in out
+    assert ("x.org", "y.org") not in out

@@ -196,3 +196,61 @@ def host_graph(links: DataFrame) -> DataFrame:
             "internal", (F.col("src_host") == F.col("dst_host")).cast("int")
         )
     )
+
+
+def host_reciprocity(hg: DataFrame, min_links: int = 2) -> DataFrame:
+    """Link-farm signal over the host graph: reciprocal link density
+    per unordered host pair.  Organic linking is mostly one-way;
+    link-exchange schemes produce dense MUTUAL edges, so pairs with
+    high ``min(a→b, b→a)`` volume relative to their total are the
+    farm candidates a spam pipeline reviews (and TrustRank seeds
+    exclude).
+
+    Input: :func:`host_graph` output.  External pairs only (self-edges
+    are internal navigation, not exchange).  Output one row per
+    unordered pair with ``n_ab >= min_links`` or ``n_ba >= min_links``:
+    ``(host_a, host_b, n_ab, n_ba, n_mutual, reciprocity)`` where
+    hosts are ordered ``host_a < host_b``, ``n_mutual = min`` of the
+    two directions (0 when one-way) and ``reciprocity =
+    2·n_mutual/(n_ab+n_ba) ∈ [0,1]`` (1 = perfectly balanced
+    exchange).
+
+    Scale shape: the host graph is the ~10^4×-reduced rollup, and the
+    pairing is ONE map-side-combined groupBy on the canonically
+    ordered pair key (no self-join: each directed edge contributes to
+    its unordered pair's forward or reverse counter by comparison) —
+    narrow (host_a, host_b, cnt, cnt) rows only.
+    """
+    ext = hg.filter(F.col("src_host") != F.col("dst_host"))
+    a_first = F.col("src_host") < F.col("dst_host")
+    keyed = ext.select(
+        F.when(a_first, F.col("src_host")).otherwise(F.col("dst_host"))
+        .alias("host_a"),
+        F.when(a_first, F.col("dst_host")).otherwise(F.col("src_host"))
+        .alias("host_b"),
+        F.when(a_first, F.col("n_links")).otherwise(F.lit(0)).alias("fwd"),
+        F.when(a_first, F.lit(0)).otherwise(F.col("n_links")).alias("rev"),
+    )
+    agg = keyed.groupBy("host_a", "host_b").agg(
+        F.sum("fwd").cast("long").alias("n_ab"),
+        F.sum("rev").cast("long").alias("n_ba"),
+    )
+    mutual = F.least(F.col("n_ab"), F.col("n_ba"))
+    return (
+        agg.filter(
+            (F.col("n_ab") >= min_links) | (F.col("n_ba") >= min_links)
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_ab",
+            "n_ba",
+            mutual.alias("n_mutual"),
+            F.round(
+                2.0
+                * mutual.cast("double")
+                / (F.col("n_ab") + F.col("n_ba")).cast("double"),
+                4,
+            ).alias("reciprocity"),
+        )
+    )

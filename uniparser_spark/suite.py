@@ -4921,6 +4921,39 @@ def q_shard_plan(spark, sf_dir):
     return rendezvous_shards(hosts, n_shards=16)
 
 
+def q_host_reciprocity(spark, sf_dir):
+    """Link-farm reciprocity (crawl/links.py host_reciprocity) over
+    host_graph: m=id%4 — m∈{0,1} build a balanced h1↔h2 exchange,
+    m=2 a one-way h3→h4, m=3 an unbalanced h5↔h6 (id%8 splits the
+    direction 1:0.5).  One canonically-keyed groupBy, no self-join."""
+    from .crawl.links import host_graph, host_reciprocity
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m = d % 4
+    src_h = (
+        F.when(m == 0, F.lit("h1")).when(m == 1, F.lit("h2"))
+        .when(m == 2, F.lit("h3"))
+        .otherwise(F.when(d % 8 == 3, F.lit("h5")).otherwise(F.lit("h6")))
+    )
+    dst_h = (
+        F.when(m == 0, F.lit("h2")).when(m == 1, F.lit("h1"))
+        .when(m == 2, F.lit("h4"))
+        .otherwise(F.when(d % 8 == 3, F.lit("h6")).otherwise(F.lit("h5")))
+    )
+    links = docs.select(
+        F.concat(F.lit("https://"), src_h, F.lit(".example/p/"),
+                 d.cast("string")).alias("src"),
+        F.concat(F.lit("https://"), dst_h, F.lit(".example/x/"),
+                 d.cast("string")).alias("dst"),
+        F.lit("a").alias("anchor"),
+        F.lit(0).alias("link_idx"),
+        F.lit(0).alias("nofollow"),
+        F.lit(0).alias("internal"),
+    )
+    return host_reciprocity(host_graph(links), min_links=2)
+
+
 def q_quality_buckets(spark, sf_dir):
     """CCNet head/middle/tail bucketing (textops/mix.py
     quality_buckets): per-language LM-score terciles — exact
@@ -5056,6 +5089,7 @@ QUERIES.update(
         "temperature_mix": q_temperature_mix,
         "feed_scan": q_feed_scan,
         "extraction_health": q_extraction_health,
+        "host_reciprocity": q_host_reciprocity,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5424,6 +5458,31 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "host_reciprocity": r"""
+        WITH c AS (
+          SELECT COUNT(*) FILTER (doc_id % 4 = 0) AS ab12,
+                 COUNT(*) FILTER (doc_id % 4 = 1) AS ab21,
+                 COUNT(*) FILTER (doc_id % 4 = 2) AS ab34,
+                 COUNT(*) FILTER (doc_id % 8 = 3) AS ab56,
+                 COUNT(*) FILTER (doc_id % 8 = 7) AS ab65
+          FROM documents
+        )
+        SELECT 'h1.example' AS host_a, 'h2.example' AS host_b,
+               CAST(ab12 AS BIGINT) AS n_ab, CAST(ab21 AS BIGINT) AS n_ba,
+               CAST(least(ab12, ab21) AS BIGINT) AS n_mutual,
+               ROUND(2.0 * least(ab12, ab21) / (ab12 + ab21), 4)
+                 AS reciprocity
+        FROM c
+        UNION ALL
+        SELECT 'h3.example', 'h4.example', CAST(ab34 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+        FROM c
+        UNION ALL
+        SELECT 'h5.example', 'h6.example', CAST(ab56 AS BIGINT),
+               CAST(ab65 AS BIGINT), CAST(least(ab56, ab65) AS BIGINT),
+               ROUND(2.0 * least(ab56, ab65) / (ab56 + ab65), 4)
+        FROM c
     """,
         "extraction_health": r"""
         WITH m AS (
