@@ -5739,6 +5739,11 @@ _GATE_PRIORITY = [
     #  - the CC twins run the SAME oracle as dedup_clusters (one row
     #    certifies the closure; algorithm agreement is differential-
     #    tested in pytest)
+    #  - session-6 additions (winnow_fingerprints, boilerplate_lines,
+    #    bpe_pairs, redirect_chains, soft404, politeness_audit,
+    #    shard_plan, ngram_lm, quality_buckets, temperature_mix,
+    #    feed_scan, extraction_health, host_reciprocity) queue behind
+    #    these — all green in the local sweep, none yet driver-rowed
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
