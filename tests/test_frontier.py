@@ -582,3 +582,33 @@ def test_rendezvous_shards_minimal_remap(spark):
         from collections import Counter
         c = Counter(a.values())
         assert len(c) == 16 and max(c.values()) <= 3 * (400 // 16), impl
+
+
+def test_robots_delay_feeds_politeness_audit(spark):
+    """Composition: robots.txt Crawl-delay -> robots_table -> delay
+    contract -> politeness_audit verdicts on a fetch log."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.politeness import politeness_audit
+    from uniparser_spark.frontier.robots import robots_table
+
+    body = "User-agent: *\nCrawl-delay: 2\nDisallow: /private\n"
+    robots = spark.createDataFrame(
+        [("https://polite.example/robots.txt", body)],
+        "url string, text string",
+    )
+    delays = robots_table(robots).select(
+        "host",
+        (F.col("crawl_delay") * 1_000_000).cast("long").alias("delay_us"),
+    )
+    # gaps: 1s (violation), 3s (ok)
+    log = spark.createDataFrame(
+        [("polite.example", 0), ("polite.example", 1_000_000),
+         ("polite.example", 4_000_000)],
+        "host string, ts long",
+    )
+    out = politeness_audit(log, delays).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["delay_us"] == 2_000_000
+    assert (r["n_gaps"], r["n_violations"]) == (2, 1)
