@@ -612,3 +612,36 @@ def test_robots_delay_feeds_politeness_audit(spark):
     r = out[0]
     assert r["delay_us"] == 2_000_000
     assert (r["n_gaps"], r["n_violations"]) == (2, 1)
+
+
+def test_bloom_merge_union_no_false_negatives(spark):
+    """OR-merging per-shard bloom states answers membership for the
+    UNION of seen sets with zero false negatives; mismatched bitmap
+    sizes are refused instead of silently OR-ed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.seen import BloomSeenFilter
+
+    bf = BloomSeenFilter(n_buckets=8)
+    shard_a = spark.range(0, 400).select((F.col("id") * 7919).alias("url_hash"))
+    shard_b = spark.range(400, 800).select((F.col("id") * 7919).alias("url_hash"))
+    # shared expected_total -> identical bitmap geometry across shards
+    ba = bf.build(shard_a, expected_total=800)
+    bb = bf.build(shard_b, expected_total=800)
+    merged = bf.merge(ba, bb)
+
+    probe = spark.range(0, 800).select((F.col("id") * 7919).alias("url_hash"))
+    flags = bf.probe(probe, merged).collect()
+    assert all(r["maybe_seen"] for r in flags)  # no false negatives
+
+    fresh = spark.range(10_000, 10_400).select(
+        (F.col("id") * 7919).alias("url_hash")
+    )
+    fp = [r["maybe_seen"] for r in bf.probe(fresh, merged).collect()]
+    assert sum(fp) < len(fp) * 0.2  # still a useful filter after union
+
+    # geometry mismatch: built with very different expected totals
+    tiny = bf.build(shard_b.limit(10), expected_total=8 * (1 << 20))
+    with pytest.raises(Exception):
+        bf.merge(ba, tiny).collect()

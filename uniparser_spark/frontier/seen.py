@@ -219,3 +219,47 @@ class BloomSeenFilter:
         suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         verified_new = suspects.join(seen.select("url_hash"), "url_hash", "left_anti")
         return definite_new.unionByName(verified_new)
+
+    def merge(self, *blooms: DataFrame) -> DataFrame:
+        """Union bloom states from multiple crawl shards into one.
+
+        Bloom filters union by bitwise OR — the merged filter answers
+        membership for the UNION of the shards' seen sets with zero
+        false negatives (the property federated crawls and
+        shard-rebalance cutovers rely on: each shard keeps crawling
+        against its local filter, and a periodic merge publishes the
+        global one).  Requires every shard to have been built with the
+        same ``n_buckets`` AND the same bitmap size per bucket (build
+        with a shared ``expected_total``); mismatched sizes hash bit
+        positions differently, so the method raises rather than
+        silently OR-ing incompatible bitmaps — rebuild from the exact
+        tables in that case (bitmaps are rebuildable accelerators by
+        design).
+
+        Scale shape: one map-side-combined groupBy(bucket) over
+        O(shards × buckets) bitmap rows — for 4096 buckets × 3 MB this
+        is a few-GB shuffle that co-partitions with later probes.
+        """
+        if not blooms:
+            raise ValueError("merge() needs at least one bloom state")
+        allb = blooms[0]
+        for b in blooms[1:]:
+            allb = allb.unionByName(b)
+
+        def or_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            sizes = {len(b) for b in pdf["bitmap"]}
+            if len(sizes) != 1:
+                raise ValueError(
+                    "bloom merge: bucket %d has mismatched bitmap sizes %s "
+                    "(shards built with different expected_total); rebuild "
+                    "from the exact seen tables instead"
+                    % (int(pdf["bucket"].iloc[0]), sorted(sizes))
+                )
+            acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+            for raw in pdf["bitmap"].iloc[1:]:
+                acc |= np.frombuffer(raw, dtype=np.uint8)
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "bitmap": [acc.tobytes()]}
+            )
+
+        return allb.groupBy("bucket").applyInPandas(or_fold, schema=BLOOM_SCHEMA)
