@@ -4921,6 +4921,23 @@ def q_shard_plan(spark, sf_dir):
     return rendezvous_shards(hosts, n_shards=16)
 
 
+def q_shard_loads(spark, sf_dir):
+    """Shard balance report (frontier/sharding.py shard_loads) over
+    the rendezvous assignment, weighted by a per-host page estimate —
+    the table a resize decision reads.  Composes shard_plan's
+    assignment; one map-side-combined groupBy on the shard id."""
+    from .frontier.sharding import rendezvous_shards, shard_loads
+
+    hosts = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        (F.col("doc_id") % 100 + 1).alias("est_pages"),
+    )
+    assigned = rendezvous_shards(hosts.select("host"), n_shards=16).join(
+        hosts, "host"
+    )
+    return shard_loads(assigned, weight_col="est_pages")
+
+
 def q_host_reciprocity(spark, sf_dir):
     """Link-farm reciprocity (crawl/links.py host_reciprocity) over
     host_graph: m=id%4 — m∈{0,1} build a balanced h1↔h2 exchange,
@@ -5090,6 +5107,7 @@ QUERIES.update(
         "feed_scan": q_feed_scan,
         "extraction_health": q_extraction_health,
         "host_reciprocity": q_host_reciprocity,
+        "shard_loads": q_shard_loads,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5458,6 +5476,25 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "shard_loads": r"""
+        WITH hosts AS (
+          SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                 doc_id % 100 + 1 AS est_pages
+          FROM documents
+        ),
+        assigned AS (
+          SELECT host, est_pages,
+                 CAST(list_max(list_transform(range(0, 16),
+                   k -> struct_pack(
+                     w := substr(md5(host || ':' || CAST(k AS VARCHAR)),
+                                 1, 16),
+                     k := k))).k AS INT) AS shard
+          FROM hosts
+        )
+        SELECT shard, COUNT(*) AS n_hosts,
+               CAST(SUM(est_pages) AS BIGINT) AS load
+        FROM assigned GROUP BY shard
     """,
         "host_reciprocity": r"""
         WITH c AS (
