@@ -645,3 +645,29 @@ def test_bloom_merge_union_no_false_negatives(spark):
     tiny = bf.build(shard_b.limit(10), expected_total=8 * (1 << 20))
     with pytest.raises(Exception):
         bf.merge(ba, tiny).collect()
+
+
+def test_revalidation_plan_actions(spark):
+    """skip when fresh; revalidate when stale+validator+slow-churn;
+    fetch when stale without a validator or churning fast."""
+    from uniparser_spark.frontier.freshness import revalidation_plan
+
+    hist = spark.createDataFrame(
+        [
+            # fresh: fetched this round -> age 0 -> staleness 0
+            ("u-fresh", "h", 6, 5, 40, 1),
+            # stale (lam=0.5/7, age 40 -> staleness 0.74), validator,
+            # slow churn -> revalidate
+            ("u-reval", "h", 6, 0, 0, 1),
+            # stale, same churn, NO validator -> fetch
+            ("u-noval", "h", 6, 0, 0, 0),
+            # stale, validator but churning (lam = 5.5/7) -> fetch
+            ("u-churn", "h", 6, 5, 0, 1),
+        ],
+        "url_canon string, host string, fetch_count long, "
+        "change_count long, last_fetch_round long, has_validator int",
+    )
+    out = {r["url_canon"]: r["action"]
+           for r in revalidation_plan(hist, now_round=40).collect()}
+    assert out == {"u-fresh": "skip", "u-reval": "revalidate",
+                   "u-noval": "fetch", "u-churn": "fetch"}

@@ -216,3 +216,53 @@ def crawl_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def revalidation_plan(
+    history: DataFrame,
+    now_round: int,
+    fresh_below: float = 0.5,
+    revalidate_lam_below: float = 0.3,
+    url_col: str = "url_canon",
+    validator_col: str = "has_validator",
+) -> DataFrame:
+    """Conditional-GET planning: for each known URL decide ``skip``
+    (still fresh), ``revalidate`` (stale, the server gave us an
+    ETag/Last-Modified AND the page rarely changes — a cheap
+    conditional GET will usually come back 304), or ``fetch`` (stale
+    with no validator, or churning too fast for a 304 to be likely).
+    At web scale the revalidate bucket is most of the recrawl traffic
+    and costs ~40 bytes a hit instead of a page body — this operator
+    is the split that realizes that saving.
+
+    Input: the fetch-history table (:func:`update_fetch_history`
+    shape) plus a ``has_validator`` int column (did the last response
+    carry ETag/Last-Modified).  Output: (url, host, lam, staleness,
+    action) with the same change-rate model as
+    :func:`recrawl_priority` (λ = (c+½)/(f+1) Laplace-smoothed;
+    staleness = λ·age/(1+λ·age)) — one codegen projection over the
+    history scan, no shuffle at all.
+    """
+    lam = lam_expr()
+    staleness = staleness_expr(now_round)
+    scored = history.select(
+        F.col(url_col),
+        F.col("host"),
+        lam.alias("lam"),
+        staleness.alias("staleness"),
+        F.col(validator_col),
+    )
+    return scored.select(
+        url_col,
+        "host",
+        "lam",
+        "staleness",
+        F.when(F.col("staleness") < F.lit(fresh_below), F.lit("skip"))
+        .when(
+            (F.col(validator_col) == 1)
+            & (F.col("lam") < F.lit(revalidate_lam_below)),
+            F.lit("revalidate"),
+        )
+        .otherwise(F.lit("fetch"))
+        .alias("action"),
+    )

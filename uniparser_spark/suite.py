@@ -4921,6 +4921,33 @@ def q_shard_plan(spark, sf_dir):
     return rendezvous_shards(hosts, n_shards=16)
 
 
+def q_revalidation_plan(spark, sf_dir):
+    """Conditional-GET planning (frontier/freshness.py
+    revalidation_plan): skip / revalidate / fetch from the same
+    rational staleness model as recrawl_priority plus a has_validator
+    flag — the split that turns most recrawl traffic into ~40-byte
+    304s.  Pure codegen projection, no shuffle."""
+    from .frontier.freshness import revalidation_plan
+
+    docs = tp(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fetch_count = (did % 7 + 1).cast("long")
+    history = docs.select(
+        F.concat(
+            F.lit("https://h"), (did % 7).cast("string"),
+            F.lit(".example.org/d/"), did.cast("string"),
+        ).alias("url_canon"),
+        F.concat(
+            F.lit("h"), (did % 7).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        fetch_count.alias("fetch_count"),
+        ((did * 3) % (fetch_count + 1)).cast("long").alias("change_count"),
+        (did % 13).cast("long").alias("last_fetch_round"),
+        (did % 3 != 0).cast("int").alias("has_validator"),
+    )
+    return revalidation_plan(history, now_round=16)
+
+
 def q_shard_loads(spark, sf_dir):
     """Shard balance report (frontier/sharding.py shard_loads) over
     the rendezvous assignment, weighted by a per-host page estimate —
@@ -5108,6 +5135,7 @@ QUERIES.update(
         "extraction_health": q_extraction_health,
         "host_reciprocity": q_host_reciprocity,
         "shard_loads": q_shard_loads,
+        "revalidation_plan": q_revalidation_plan,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5476,6 +5504,33 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "revalidation_plan": r"""
+        WITH h AS (
+          SELECT
+            'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/d/'
+              || CAST(doc_id AS VARCHAR) AS url_canon,
+            'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+            doc_id % 7 + 1 AS fetch_count,
+            (doc_id * 3) % (doc_id % 7 + 2) AS change_count,
+            doc_id % 13 AS last_fetch_round,
+            CAST(doc_id % 3 <> 0 AS INT) AS has_validator
+          FROM documents
+        ),
+        s AS (
+          SELECT url_canon, host, has_validator,
+            (change_count + 0.5) / CAST(fetch_count + 1 AS DOUBLE) AS lam,
+            ((change_count + 0.5) / CAST(fetch_count + 1 AS DOUBLE)
+              * CAST(16 - last_fetch_round AS DOUBLE))
+            / (1.0 + (change_count + 0.5) / CAST(fetch_count + 1 AS DOUBLE)
+               * CAST(16 - last_fetch_round AS DOUBLE)) AS staleness
+          FROM h
+        )
+        SELECT url_canon, host, lam, staleness,
+               CASE WHEN staleness < 0.5 THEN 'skip'
+                    WHEN has_validator = 1 AND lam < 0.3 THEN 'revalidate'
+                    ELSE 'fetch' END AS action
+        FROM s
     """,
         "shard_loads": r"""
         WITH hosts AS (
