@@ -917,3 +917,26 @@ def test_bpe_merge_pairs_hand_counts(spark):
     assert out["b a"] == (2, 2)
     assert out["b c"] == (1, 3)
     assert "solo" not in out and len(out) == 3
+
+
+def test_sentence_stats_hand_case(spark):
+    """Segmentation and stats, hand-computed: punctuation runs split
+    once, empty segments drop, degenerate docs yield NULL stats."""
+    from uniparser_spark.textops.quality import sentence_stats
+
+    rows = [
+        (1, "one two three. four five! six?"),
+        (2, "no terminal punctuation here"),
+        (3, "!!!"),
+        (4, "a. b... c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, page string")
+    out = {r["doc_id"]: r for r in sentence_stats(df).collect()}
+    r1 = out[1]
+    assert (r1["n_sentences"], r1["max_sent_tokens"]) == (3, 3)
+    assert r1["avg_sent_tokens"] == round((3 + 2 + 1) / 3, 4)
+    assert out[2]["n_sentences"] == 1 and out[2]["max_sent_tokens"] == 4
+    # only punctuation: zero sentences, NULL averages (no divide-by-zero)
+    assert out[3]["n_sentences"] == 0 and out[3]["avg_sent_tokens"] is None
+    # '...' is ONE terminator run
+    assert out[4]["n_sentences"] == 3 and out[4]["max_sent_tokens"] == 1

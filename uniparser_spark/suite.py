@@ -4921,6 +4921,17 @@ def q_shard_plan(spark, sf_dir):
     return rendezvous_shards(hosts, n_shards=16)
 
 
+def q_sentence_stats(spark, sf_dir):
+    """Sentence segmentation stats (textops/quality.py sentence_stats)
+    over the synthesized page column — packing/quality signal;
+    lookbehind-free split so Spark (java regex) and DuckDB (RE2)
+    compute the identical segmentation."""
+    from .textops.clean import with_page
+    from .textops.quality import sentence_stats
+
+    return sentence_stats(with_page(tp(spark, sf_dir, "documents")))
+
+
 def q_revalidation_plan(spark, sf_dir):
     """Conditional-GET planning (frontier/freshness.py
     revalidation_plan): skip / revalidate / fetch from the same
@@ -5136,6 +5147,7 @@ QUERIES.update(
         "host_reciprocity": q_host_reciprocity,
         "shard_loads": q_shard_loads,
         "revalidation_plan": q_revalidation_plan,
+        "sentence_stats": q_sentence_stats,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5504,6 +5516,28 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "sentence_stats": rf"""
+        WITH {_PAGE_SQL},
+        s AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(page, '[.!?]+'),
+                             x -> trim(x) <> '') AS segs
+          FROM pages
+        ),
+        t AS (
+          SELECT doc_id, len(segs) AS n_sentences,
+                 list_transform(segs,
+                   x -> len(string_split_regex(trim(x), '\s+'))) AS tc
+          FROM s
+        )
+        SELECT doc_id, CAST(n_sentences AS INT) AS n_sentences,
+               CASE WHEN n_sentences > 0
+                    THEN ROUND(CAST(list_sum(tc) AS DOUBLE)
+                               / CAST(n_sentences AS DOUBLE), 4)
+               END AS avg_sent_tokens,
+               CAST(list_max(tc) AS INT) AS max_sent_tokens
+        FROM t
     """,
         "revalidation_plan": r"""
         WITH h AS (

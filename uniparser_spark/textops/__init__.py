@@ -41,6 +41,7 @@ from .quality import (
     langid,
     length_distribution,
     quality_scores,
+    sentence_stats,
     token_stats,
     winnow_fingerprints,
 )
@@ -84,6 +85,7 @@ __all__ = [
     "doc_fingerprints",
     "langid",
     "quality_scores",
+    "sentence_stats",
     "token_stats",
     "cosine_topk",
     "embedding_dup_pairs",

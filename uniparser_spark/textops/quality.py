@@ -50,6 +50,39 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def sentence_stats(
+    df: DataFrame, text_col: str = "page", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence segmentation stats: sequence packers and
+    quality filters read these (a doc whose 'sentences' average 3
+    tokens is a menu, not prose; one 4,000-token 'sentence' is
+    minified junk).  Sentences = non-empty segments between terminal
+    punctuation runs ``[.!?]+`` — deliberately lookbehind-free so the
+    DuckDB twin (RE2, no lookbehind) computes the identical split.
+
+    Output: (id, n_sentences, avg_sent_tokens 4-dp, max_sent_tokens).
+    Pure array expressions in the scan projection — no shuffle; the
+    integer token-count fold is order-independent by construction.
+    """
+    segs = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    tok_counts = F.transform(
+        segs, lambda s: F.size(F.split(F.trim(s), r"\s+"))
+    )
+    n = F.size(segs)
+    total = F.aggregate(tok_counts, F.lit(0), lambda a, x: a + x)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_sentences"),
+        F.when(
+            n > 0, F.round(total.cast("double") / n.cast("double"), 4)
+        ).alias("avg_sent_tokens"),
+        F.array_max(tok_counts).alias("max_sent_tokens"),
+    )
+
+
 def quality_expr(text_col: str = "text") -> Column:
     """The 0-1 quality score as a single reusable Column expression."""
     toks = tokens(F.col(text_col))
