@@ -563,3 +563,20 @@ def test_temperature_mix_flattens(spark):
     for s in ("big", "small"):
         assert abs(ident[s]["q"] - ident[s]["p"]) < 1e-3
         assert abs(ident[s]["multiplier"] - 1.0) < 1e-3
+
+
+def test_corpus_mix_report_shares(spark):
+    """Per-(lang, bucket) rollup: 9 docs per lang -> 3 buckets x 3 docs
+    each, and frac_tokens sums to 1 across the whole report."""
+    from uniparser_spark.textops.mix import corpus_mix_report
+
+    rows = []
+    for i in range(9):
+        rows.append((i, " ".join(["common"] * (9 - i) + [f"rare{i}"] * i), "A"))
+    for i in range(9):
+        rows.append((100 + i, " ".join(["common"] * (9 - i) + [f"xr{i}"] * (i + 3)), "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus_mix_report(df, vocab_size=4).collect()
+    assert len(out) == 6  # 2 langs x 3 buckets
+    assert all(r["n_docs"] == 3 for r in out)
+    assert abs(sum(r["frac_tokens"] for r in out) - 1.0) < 1e-2

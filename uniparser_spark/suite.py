@@ -4921,6 +4921,16 @@ def q_shard_plan(spark, sf_dir):
     return rendezvous_shards(hosts, n_shards=16)
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Corpus composition report (textops/mix.py corpus_mix_report):
+    docs/tokens/token-share per (language, quality bucket) — the data
+    card a training run ships.  Composes quality_buckets; one narrow
+    rollup + broadcast total."""
+    from .textops.mix import corpus_mix_report
+
+    return corpus_mix_report(tp(spark, sf_dir, "documents"))
+
+
 def q_sentence_stats(spark, sf_dir):
     """Sentence segmentation stats (textops/quality.py sentence_stats)
     over the synthesized page column — packing/quality signal;
@@ -5148,6 +5158,7 @@ QUERIES.update(
         "shard_loads": q_shard_loads,
         "revalidation_plan": q_revalidation_plan,
         "sentence_stats": q_sentence_stats,
+        "corpus_mix": q_corpus_mix,
         "bm25_index": q_bm25_index,
         "fetch_sessions": q_fetch_sessions,
         "registrable_domains": q_registrable_domains,
@@ -5516,6 +5527,46 @@ ORACLES.update(
                        >= 0.5 * CAST(greatest(n_tokens, 1) AS DOUBLE))
                  AS INT) AS soft404
         FROM scored
+    """,
+        "corpus_mix": rf"""
+        WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY 1),
+        v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 16),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        per AS (
+          SELECT tk.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS mass
+          FROM tk LEFT JOIN v USING (tok) GROUP BY 1
+        ),
+        j AS (
+          SELECT per.doc_id, d.lang, per.n_tokens,
+                 ROUND(CAST(mass AS DOUBLE)
+                       / CAST(per.n_tokens * total AS DOUBLE), 10)
+                   AS avg_tok_prob
+          FROM per, tot JOIN documents d ON per.doc_id = d.doc_id
+        ),
+        thr AS (
+          SELECT lang, quantile_cont(avg_tok_prob, 1.0/3) AS t1,
+                 quantile_cont(avg_tok_prob, 2.0/3) AS t2
+          FROM j GROUP BY lang
+        ),
+        b AS (
+          SELECT j.doc_id, j.lang, j.n_tokens,
+                 CASE WHEN avg_tok_prob <= t1 THEN 'tail'
+                      WHEN avg_tok_prob <= t2 THEN 'middle'
+                      ELSE 'head' END AS bucket
+          FROM j JOIN thr USING (lang)
+        ),
+        r AS (
+          SELECT lang, bucket, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+          FROM b GROUP BY lang, bucket
+        ),
+        g AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS gt FROM r)
+        SELECT lang, bucket, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / CAST(gt AS DOUBLE), 4)
+                 AS frac_tokens
+        FROM r, g
     """,
         "sentence_stats": rf"""
         WITH {_PAGE_SQL},

@@ -32,6 +32,7 @@ from .dedup import (
 from .index import bm25_index
 from .mix import (
     bpe_merge_pairs,
+    corpus_mix_report,
     ngram_lm_counts,
     quality_buckets,
     temperature_mix,
@@ -59,6 +60,7 @@ __all__ = [
     "bm25_index",
     "boilerplate_lines",
     "bpe_merge_pairs",
+    "corpus_mix_report",
     "ngram_lm_counts",
     "quality_buckets",
     "temperature_mix",

@@ -600,6 +600,52 @@ def temperature_mix(
     )
 
 
+def corpus_mix_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """The 'what did we build' table: corpus composition per
+    (language, quality bucket) — docs, tokens, and each cell's share
+    of total tokens.  This is the report a training run's data card
+    ships and the input a mixing decision (temperature_mix /
+    epoch_mix weights) is made against.
+
+    Composes :func:`quality_buckets`; the rollup is one
+    map-side-combined groupBy over O(docs) narrow (lang, bucket,
+    n_tokens) rows plus a broadcast 1-row total.  Token counts rejoin
+    from the scan projection by id — narrow columns only.
+    """
+    buckets = quality_buckets(
+        docs, id_col=id_col, text_col=text_col, lang_col=lang_col,
+        vocab_size=vocab_size,
+    ).select(id_col, lang_col, "bucket")
+    toks = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n")
+    )
+    per = (
+        buckets.join(toks, id_col)
+        .groupBy(lang_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").cast("long").alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        lang_col,
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total").cast("double"),
+            4,
+        ).alias("frac_tokens"),
+    )
+
+
 # ------------------------------------------------------------- epoch mixing
 def epoch_mix(
     df: DataFrame,
