@@ -1,0 +1,77 @@
+"""Page-metadata harvest (textops/metadata.py) unit + Spark tests."""
+
+from uniparser_spark.textops.metadata import (
+    harvest_metadata,
+    harvest_page_metadata,
+)
+
+FULL = (
+    '<html><head><title>  A   Title </title>'
+    '<meta name="Description" content="first desc">'
+    '<meta name="description" content="second desc">'
+    '<meta content="OG T" property="og:title">'
+    '<meta property="og:url" content="https://x.example/p">'
+    '<link rel="canonical nofollow" href="/canon">'
+    '<link rel="alternate" hreflang="en" href="/en">'
+    '<link rel="alternate" hreflang="de" href="/de">'
+    '<link rel="alternate" type="application/rss+xml" href="/feed">'
+    '<script type="application/ld+json">'
+    '{"@graph":[{"@type":"WebPage"},{"@type":["Article","NewsArticle"]}]}'
+    "</script>"
+    '<script type="application/ld+json">{broken</script>'
+    '<meta property="article:published_time" content="2026-02-03T04:05:06Z">'
+    "</head><body><title>late title</title></body></html>"
+)
+
+
+def test_full_page_first_wins_and_token_rel():
+    row = harvest_page_metadata(FULL, base_url="https://h.example.com/a/b")
+    (title, desc, og_t, og_u, canon, n_hre, types, n_bad, pub) = row
+    assert title == "A Title"  # whitespace-normalized, first <title> wins
+    assert desc == "first desc"  # case-insensitive name, first wins
+    assert og_t == "OG T" and og_u == "https://x.example/p"
+    assert canon == "https://h.example.com/canon"  # resolved, token-matched rel
+    assert n_hre == 2  # the rss alternate has no hreflang
+    assert types == "Article,NewsArticle,WebPage"  # @graph + list @type, sorted
+    assert n_bad == 1
+    assert pub == "2026-02-03T04:05:06Z"
+
+
+def test_empty_page_all_null():
+    row = harvest_page_metadata("<html><body><p>hi</p></body></html>")
+    assert row == (None, None, None, None, None, 0, None, 0, None)
+
+
+def test_canonical_absolute_href_unchanged_and_no_base():
+    html = '<link rel="canonical" href="https://cdn.example.org/c/1">'
+    assert harvest_page_metadata(html, "https://a.example/x")[4] == (
+        "https://cdn.example.org/c/1"
+    )
+    # no base_url supplied: relative href passes through verbatim
+    assert harvest_page_metadata('<link rel="canonical" href="/c/2">')[4] == "/c/2"
+
+
+def test_jsonld_top_level_object_and_array():
+    one = '<script type="application/ld+json">{"@type":"FAQPage"}</script>'
+    arr = (
+        '<script type="application/ld+json">'
+        '[{"@type":"Recipe"},{"@type":"Recipe"},{"noType":1}]</script>'
+    )
+    assert harvest_page_metadata(one)[6] == "FAQPage"
+    assert harvest_page_metadata(arr)[6] == "Recipe"  # deduped
+    # non-ld script types are ignored entirely
+    assert harvest_page_metadata('<script>{"@type":"X"}</script>')[6] is None
+
+
+def test_spark_surface(spark):
+    df = spark.createDataFrame(
+        [(1, FULL, "https://h.example.com/a/b"), (2, "<p>bare</p>", None)],
+        "doc_id long, html string, base_url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in harvest_metadata(df, base_url_col="base_url").collect()
+    }
+    assert out[1]["canonical"] == "https://h.example.com/canon"
+    assert out[1]["n_hreflang"] == 2 and out[1]["n_jsonld_bad"] == 1
+    assert out[2]["title"] is None and out[2]["n_hreflang"] == 0

@@ -1390,6 +1390,126 @@ def q_content_extract(spark, sf_dir):
     return extract_main_content(pages)
 
 
+def q_page_metadata(spark, sf_dir):
+    """Page-metadata harvest (textops/metadata.py harvest_metadata):
+    <title> / meta description / OpenGraph / rel=canonical (resolved
+    against the page URL) / hreflang count / JSON-LD @type set /
+    article:published_time, all in ONE DOM parse per page.  Pages are
+    synthesized with doc_id-keyed metadata — attribute order and
+    quoting vary by parity, rel="canonical nofollow" exercises token
+    matching, a second <title> pins first-wins, and a malformed ld+json
+    script pins error-as-data — so the oracle predicts every field
+    analytically.  (Reference parity: the fields a hand-written
+    parsers.py CSS chain would target, e.g. test_parsers.py's title
+    rules, harvested rule-free.)"""
+    from .textops.metadata import harvest_metadata
+
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    tk = F.split(F.col("text"), " ")
+    title = F.concat(
+        F.lit("Doc "), ds, F.lit(" "), F.array_join(F.slice(tk, 1, 3), " ")
+    )
+    desc = F.array_join(F.slice(tk, 4, 6), " ")
+    base = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.com/p/"), ds, F.lit("/"),
+    )
+    meta_desc = F.when(
+        d % 3 != 0,
+        # attribute-order variation on odd ids; the harvest is order-blind
+        F.when(
+            d % 2 == 1,
+            F.concat(
+                F.lit('<meta content="'), desc, F.lit('" name="description">')
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<meta name="description" content="'), desc, F.lit('">')
+            )
+        ),
+    ).otherwise(F.lit(""))
+    og = F.when(
+        d % 2 == 0,
+        F.concat(F.lit('<meta property="og:title" content="OG Doc '), ds, F.lit('">')),
+    ).otherwise(F.lit(""))
+    ogu = F.when(
+        d % 10 == 0,
+        F.concat(F.lit('<meta property="og:url" content="'), base, F.lit('">')),
+    ).otherwise(F.lit(""))
+    m4 = d % 4
+    can = (
+        F.when(
+            m4 == 0,
+            F.when(
+                d % 8 == 0,
+                F.concat(
+                    F.lit('<link rel="canonical nofollow" href="/c/'), ds, F.lit('">')
+                ),
+            ).otherwise(
+                F.concat(F.lit('<link rel="canonical" href="/c/'), ds, F.lit('">'))
+            ),
+        )
+        .when(
+            m4.isin(1, 2),
+            F.concat(
+                F.lit('<link href="https://cdn.example.org/c/'),
+                ds,
+                F.lit('" rel="canonical">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    hre = (
+        F.when(d % 3 == 1, F.lit('<link rel="alternate" hreflang="en" href="/en">'))
+        .when(
+            d % 3 == 2,
+            F.lit(
+                '<link rel="alternate" hreflang="en" href="/en">'
+                '<link rel="alternate" hreflang="de" href="/de">'
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    ld1 = F.when(
+        d % 2 == 0,
+        F.lit(
+            '<script type="application/ld+json">'
+            '{"@type":"Article","headline":"h"}</script>'
+        ),
+    ).otherwise(F.lit(""))
+    ld2 = F.when(
+        d % 5 == 0,
+        F.lit(
+            '<script type="application/ld+json">'
+            '{"@graph":[{"@type":"WebPage"},{"@type":"Organization"}]}</script>'
+        ),
+    ).otherwise(F.lit(""))
+    ldbad = F.when(
+        d % 11 == 0,
+        F.lit('<script type="application/ld+json">{bad</script>'),
+    ).otherwise(F.lit(""))
+    pub = F.when(
+        d % 6 != 5,
+        F.concat(
+            F.lit('<meta property="article:published_time" content="2026-01-'),
+            F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    trail = F.when(
+        d % 9 == 0, F.lit("<title>WRONG second title</title>")
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title>"),
+        meta_desc, og, ogu, can, hre, ld1, ld2, ldbad, pub,
+        F.lit("</head><body><p>body</p>"), trail, F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"), base.alias("base_url"))
+    return harvest_metadata(pages, base_url_col="base_url")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """LSH candidate pairs → connected components → keep-one-per-cluster:
     the composed end-of-pipeline dedup output (transitive closure of the
@@ -2426,6 +2546,7 @@ QUERIES = {
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_clusters_hashmin": q_dedup_clusters_hashmin,
     "content_extract": q_content_extract,
+    "page_metadata": q_page_metadata,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -3598,6 +3719,40 @@ ORACLES = {
                CAST(3 AS INTEGER) AS n_paras,
                CAST(length(main_text) AS INTEGER) AS main_len
         FROM m
+    """,
+    "page_metadata": r"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                 array_to_string(t[1:3], ' ') AS title,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN array_to_string(t[4:9], ' ') END AS description,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'OG Doc ' || CAST(doc_id AS VARCHAR) END AS og_title,
+               CASE WHEN doc_id % 10 = 0
+                    THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                         '.example.com/p/' || CAST(doc_id AS VARCHAR) || '/'
+                    END AS og_url,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                         '.example.com/c/' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 4 IN (1, 2)
+                    THEN 'https://cdn.example.org/c/' || CAST(doc_id AS VARCHAR)
+                    END AS canonical,
+               CAST(CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+                    AS INTEGER) AS n_hreflang,
+               CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0
+                    THEN 'Article,Organization,WebPage'
+                    WHEN doc_id % 2 = 0 THEN 'Article'
+                    WHEN doc_id % 5 = 0 THEN 'Organization,WebPage'
+                    END AS jsonld_types,
+               CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS n_jsonld_bad,
+               CASE WHEN doc_id % 6 <> 5
+                    THEN '2026-01-' ||
+                         lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                    END AS published
+        FROM tk
     """,
     "simhash_groups": rf"""
         WITH s AS (

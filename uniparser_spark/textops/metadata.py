@@ -1,0 +1,189 @@
+"""Page-metadata harvest: title / description / OpenGraph / rel=canonical
+/ hreflang / JSON-LD over the page head.
+
+A webtext training pipeline records per-document provenance metadata the
+moment a page is parsed: the ``<title>``, the meta description, the
+OpenGraph card, the publisher-declared canonical URL (the strongest
+explicit duplicate signal on the open web), the hreflang alternate set
+(language-variant clusters), and any JSON-LD structured-data types.  The
+reference engine would need a hand-written rule chain per field
+(``parsers.py`` CSS chains, e.g. ``test_parsers.py``'s ``title`` rule);
+this operator is the rule-free batteries-included harvest every crawl
+writes alongside the extracted text.
+
+Contract (documented so the DuckDB oracle can predict it on synthesized
+pages):
+
+- ``title``: whitespace-normalized text of the FIRST ``<title>`` element
+  in document order; NULL when absent.
+- ``description``: ``content`` of the first ``<meta name="description">``
+  (name matched case-insensitively); NULL when absent.
+- ``og_title`` / ``og_url``: ``content`` of the first
+  ``<meta property="og:title">`` / ``og:url``; NULL when absent.
+- ``canonical``: ``href`` of the first ``<link rel="canonical">``,
+  resolved against ``base_url`` when one is supplied (RFC 3986 join, the
+  same stdlib resolution the crawl engine uses for anchors); NULL when
+  absent.  ``rel`` is matched as a whitespace-separated token list, so
+  ``rel="canonical nofollow"`` still counts.
+- ``n_hreflang``: count of ``<link rel="alternate" hreflang=...>``
+  elements (distinct-ness is the publisher's problem; the raw count is
+  the audit signal).
+- ``jsonld_types``: sorted-distinct ``@type`` strings found in
+  ``<script type="application/ld+json">`` payloads, comma-joined; arrays
+  of objects and ``@graph`` containers are walked one level deep; NULL
+  when no type was found.
+- ``n_jsonld_bad``: number of ld+json scripts that failed to parse —
+  error-as-data, never an exception (the reference's ``__schema__``
+  philosophy; chains.py keeps malformed input as inspectable rows).
+- ``published``: ``content`` of the first
+  ``<meta property="article:published_time">``, verbatim (timestamp
+  parsing is ``operators.py``'s time operator, composable downstream).
+
+Spark shape: ONE ``mapInPandas`` crossing over (id[, base_url], html) —
+the DOM is parsed once per page with the same in-repo tokenizer the rule
+engine uses, all eight fields are collected in a single pre-order walk,
+and the output rows are narrow strings/ints.  At 10^10-page scale this
+is the cheapest possible plan: no shuffle, no second DOM build (pair it
+with the fused rule pass via ``engine/extract.py`` when rules also run),
+and Arrow batches amortize the Python crossing.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Optional, Tuple
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..dom.html import parse_html
+from ..dom.nodes import Element
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+def _rel_tokens(el: Element) -> frozenset:
+    # the DOM's Element.get returns list attrs (rel/class) pre-split
+    rel = el.get("rel") or []
+    if isinstance(rel, str):  # defensive: plain-string attr maps
+        rel = rel.split()
+    return frozenset(t.lower() for t in rel)
+
+
+def _jsonld_types(payload: str) -> Tuple[List[str], int]:
+    """(@type strings found, 1 if the payload failed to parse else 0)."""
+    try:
+        data = json.loads(payload)
+    except (ValueError, TypeError):
+        return [], 1
+    out: List[str] = []
+    items = data if isinstance(data, list) else [data]
+    for item in items:
+        if not isinstance(item, dict):
+            continue
+        graph = item.get("@graph")
+        nodes = [item] + (graph if isinstance(graph, list) else [])
+        for node in nodes:
+            if isinstance(node, dict):
+                t = node.get("@type")
+                if isinstance(t, str):
+                    out.append(t)
+                elif isinstance(t, list):
+                    out.extend(x for x in t if isinstance(x, str))
+    return out, 0
+
+
+def harvest_page_metadata(
+    html: str, base_url: Optional[str] = None
+) -> Tuple[
+    Optional[str], Optional[str], Optional[str], Optional[str],
+    Optional[str], int, Optional[str], int, Optional[str],
+]:
+    """Single-page harvest; one DOM parse, one pre-order walk."""
+    doc = parse_html(html)
+    title = description = og_title = og_url = canonical = published = None
+    n_hreflang = n_bad = 0
+    types: List[str] = []
+    for el in doc.iter_elements():
+        tag = el.tag
+        if tag == "title":
+            if title is None:
+                title = _norm(el.text)
+        elif tag == "meta":
+            name = (el.get("name") or "").lower()
+            prop = (el.get("property") or "").lower()
+            content = el.get("content")
+            if content is None:
+                continue
+            if description is None and name == "description":
+                description = content
+            elif og_title is None and prop == "og:title":
+                og_title = content
+            elif og_url is None and prop == "og:url":
+                og_url = content
+            elif published is None and prop == "article:published_time":
+                published = content
+        elif tag == "link":
+            rel = _rel_tokens(el)
+            if "canonical" in rel:
+                href = el.get("href")
+                if canonical is None and href is not None:
+                    canonical = urljoin(base_url, href) if base_url else href
+            elif "alternate" in rel and el.get("hreflang") is not None:
+                n_hreflang += 1
+        elif tag == "script" and (el.get("type") or "").lower() == "application/ld+json":
+            ts, bad = _jsonld_types(el.text)
+            types.extend(ts)
+            n_bad += bad
+    jsonld = ",".join(sorted(set(types))) if types else None
+    return (
+        title, description, og_title, og_url, canonical,
+        n_hreflang, jsonld, n_bad, published,
+    )
+
+
+def harvest_metadata(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    base_url_col: Optional[str] = None,
+) -> DataFrame:
+    """Page-metadata harvest as one Arrow crossing.
+
+    Returns (id, title, description, og_title, og_url, canonical,
+    n_hreflang, jsonld_types, n_jsonld_bad, published) per page.
+    """
+    schema = (
+        f"{id_col} long, title string, description string, "
+        "og_title string, og_url string, canonical string, "
+        "n_hreflang int, jsonld_types string, n_jsonld_bad int, "
+        "published string"
+    )
+    cols = [id_col, html_col] + ([base_url_col] if base_url_col else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bases = pdf[base_url_col] if base_url_col else [None] * len(pdf)
+            rows = [
+                harvest_page_metadata(h, b)
+                for h, b in zip(pdf[html_col], bases)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "title": [r[0] for r in rows],
+                    "description": [r[1] for r in rows],
+                    "og_title": [r[2] for r in rows],
+                    "og_url": [r[3] for r in rows],
+                    "canonical": [r[4] for r in rows],
+                    "n_hreflang": pd.array([r[5] for r in rows], dtype="int32"),
+                    "jsonld_types": [r[6] for r in rows],
+                    "n_jsonld_bad": pd.array([r[7] for r in rows], dtype="int32"),
+                    "published": [r[8] for r in rows],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(run, schema=schema)
