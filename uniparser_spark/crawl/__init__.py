@@ -1,4 +1,5 @@
 from .engine import CrawlEngine
+from .equivalence import url_equivalence
 from .redirects import resolve_redirects, soft404_scores
 from .simulator import simulate_crawl
 
@@ -7,4 +8,5 @@ __all__ = [
     "resolve_redirects",
     "simulate_crawl",
     "soft404_scores",
+    "url_equivalence",
 ]

@@ -1510,6 +1510,58 @@ def q_page_metadata(spark, sf_dir):
     return harvest_metadata(pages, base_url_col="base_url")
 
 
+def _equiv_url(x):
+    """url(x) for the equivalence fixture: host by x%7, utm-tracked
+    query on every third id (the DUST-ruled param)."""
+    return F.concat(
+        F.lit("https://h"),
+        (x % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        x.cast("string"),
+        F.when(
+            x % 3 == 0,
+            F.concat(F.lit("?utm="), x.cast("string"), F.lit("&x=1")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_url_equivalence(spark, sf_dir):
+    """Unified URL-equivalence view (crawl/equivalence.py
+    url_equivalence): HTTP redirects + rel=canonical + DUST rules
+    folded into one url -> canonical_url mapping with redirect >
+    rel_canonical > dust > self precedence and a one-step `chained`
+    residue flag.  Fixture: every 5th id 301-redirects to url(d+1)
+    (incl. a dangling tail target), every id%4==1 declares
+    rel=canonical to url(d-1), every 3rd id carries a ruled utm param;
+    the overlaps (d%20==5, d%15==0, d%12==9) pin the precedence
+    order."""
+    from .crawl.equivalence import url_equivalence
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    u = _equiv_url(d)
+    pages = docs.select(
+        u.alias("url"),
+        F.when(d % 4 == 1, _equiv_url(d - 1)).alias("canonical"),
+    )
+    log = docs.select(
+        u.alias("url"),
+        F.when(d % 5 == 0, F.lit(301)).otherwise(F.lit(200)).alias("status"),
+        F.when(d % 5 == 0, _equiv_url(d + 1)).alias("location"),
+    )
+    rules = (
+        docs.select((d % 7).alias("i"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("h"), F.col("i").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.lit("utm").alias("param"),
+        )
+    )
+    return url_equivalence(pages, log, rules)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """LSH candidate pairs → connected components → keep-one-per-cluster:
     the composed end-of-pipeline dedup output (transitive closure of the
@@ -2547,6 +2599,7 @@ QUERIES = {
     "dedup_clusters_hashmin": q_dedup_clusters_hashmin,
     "content_extract": q_content_extract,
     "page_metadata": q_page_metadata,
+    "url_equivalence": q_url_equivalence,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -3753,6 +3806,47 @@ ORACLES = {
                          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
                     END AS published
         FROM tk
+    """,
+    "url_equivalence": r"""
+        WITH ids AS (SELECT doc_id AS d FROM documents),
+        m AS (
+          SELECT
+            'https://h' || CAST(d % 7 AS VARCHAR) || '.example.com/p/' ||
+              CAST(d AS VARCHAR) ||
+              CASE WHEN d % 3 = 0
+                   THEN '?utm=' || CAST(d AS VARCHAR) || '&x=1'
+                   ELSE '' END AS url,
+            CASE
+              WHEN d % 5 = 0 THEN
+                'https://h' || CAST((d + 1) % 7 AS VARCHAR) ||
+                '.example.com/p/' || CAST(d + 1 AS VARCHAR) ||
+                CASE WHEN (d + 1) % 3 = 0
+                     THEN '?utm=' || CAST(d + 1 AS VARCHAR) || '&x=1'
+                     ELSE '' END
+              WHEN d % 4 = 1 THEN
+                'https://h' || CAST((d - 1) % 7 AS VARCHAR) ||
+                '.example.com/p/' || CAST(d - 1 AS VARCHAR) ||
+                CASE WHEN (d - 1) % 3 = 0
+                     THEN '?utm=' || CAST(d - 1 AS VARCHAR) || '&x=1'
+                     ELSE '' END
+              WHEN d % 3 = 0 THEN
+                'https://h' || CAST(d % 7 AS VARCHAR) || '.example.com/p/' ||
+                CAST(d AS VARCHAR) || '?x=1'
+              ELSE
+                'https://h' || CAST(d % 7 AS VARCHAR) || '.example.com/p/' ||
+                CAST(d AS VARCHAR)
+            END AS canonical_url,
+            CASE WHEN d % 5 = 0 THEN 'redirect'
+                 WHEN d % 4 = 1 THEN 'rel_canonical'
+                 WHEN d % 3 = 0 THEN 'dust'
+                 ELSE 'self' END AS source
+          FROM ids
+        )
+        SELECT m.url, m.canonical_url, m.source,
+               (m.source <> 'self' AND t.url IS NOT NULL) AS chained
+        FROM m LEFT JOIN (
+          SELECT DISTINCT url FROM m WHERE source <> 'self'
+        ) t ON m.canonical_url = t.url
     """,
     "simhash_groups": rf"""
         WITH s AS (
