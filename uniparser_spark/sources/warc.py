@@ -138,6 +138,91 @@ def records_to_pages(data: bytes) -> Iterator[Dict[str, Any]]:
         }
 
 
+def records_index(data: bytes) -> Iterator[Dict[str, Any]]:
+    """WARC stream → record-level index rows (the CDX-maker's view).
+
+    Unlike :func:`records_to_pages` this keeps ``revisit`` records —
+    Common Crawl's identical-payload-digest markers for re-fetches whose
+    content matched an earlier capture.  Yields
+    ``(url, warc_ts, warc_type, digest, n_bytes)`` per content-bearing
+    record; ``digest`` comes from the WARC-Payload-Digest header when
+    present, else is computed as ``md5:<hex>`` over the payload body
+    (the repo's portable hash family — real CC uses sha1:B32, which the
+    header path passes through verbatim).  A revisit with no digest
+    header yields NULL digest (resolution marks it an orphan)."""
+    import hashlib
+
+    for headers, payload in iter_warc_records(data):
+        rtype = headers.get("warc-type", "")
+        if rtype not in ("response", "resource", "conversion", "revisit"):
+            continue
+        digest = headers.get("warc-payload-digest")
+        if digest is None and rtype != "revisit":
+            body = split_http_payload(payload)[1]
+            digest = "md5:" + hashlib.md5(body).hexdigest()
+        yield {
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "warc_type": rtype,
+            "digest": digest,
+            "n_bytes": len(payload),
+        }
+
+
+def revisit_resolution(records) -> "Any":
+    """Digest-level dedup over a WARC record index: one verdict per
+    record.
+
+    Input: DataFrame ``(url, epoch long, warc_type, digest)`` (extra
+    columns pass through untouched is NOT promised — output is the four
+    plus verdict/original_url).  Per digest the canonical copy is the
+    earliest non-revisit capture (min epoch, then min url — total
+    order, engine-independent).  Verdicts:
+
+    - ``original`` — the canonical capture of its digest;
+    - ``duplicate`` — a later non-revisit capture of the same payload
+      (same-content re-fetch stored in full: the bytes dedup target);
+    - ``revisit_resolved`` — a revisit record whose digest matches a
+      stored capture (``original_url`` names it);
+    - ``revisit_orphan`` — a revisit whose digest matches nothing in
+      this index (cross-segment reference or missing header).
+
+    Scale shape: two narrow groupBys on the digest key and one left
+    join — payload bytes never enter the plan.  At Common-Crawl scale
+    this is the pass that turns ~25% revisit/duplicate records into
+    storage and recrawl savings."""
+    from pyspark.sql import functions as F
+
+    resp = records.filter(F.col("warc_type") != "revisit")
+    earliest = resp.groupBy("digest").agg(F.min("epoch").alias("_me"))
+    canon = (
+        resp.join(earliest, "digest")
+        .filter(F.col("epoch") == F.col("_me"))
+        .groupBy("digest")
+        .agg(F.min("url").alias("_curl"), F.min("epoch").alias("_cep"))
+    )
+    out = records.join(canon, "digest", "left")
+    verdict = (
+        F.when(
+            (F.col("warc_type") != "revisit")
+            & (F.col("url") == F.col("_curl"))
+            & (F.col("epoch") == F.col("_cep")),
+            F.lit("original"),
+        )
+        .when(F.col("warc_type") != "revisit", F.lit("duplicate"))
+        .when(F.col("_curl").isNotNull(), F.lit("revisit_resolved"))
+        .otherwise(F.lit("revisit_orphan"))
+    )
+    return out.select(
+        "url",
+        "epoch",
+        "warc_type",
+        "digest",
+        verdict.alias("verdict"),
+        F.col("_curl").alias("original_url"),
+    )
+
+
 def read_warc(spark, path: str, path_glob: str = "*.warc*"):
     """Directory of WARC segments → pages DataFrame.
 
@@ -239,6 +324,43 @@ def build_wet(
             ]
         )
         record = head + _CRLF + _CRLF + body + _CRLF + _CRLF
+        if gzip_per_record:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(record)
+            out.write(buf.getvalue())
+        else:
+            out.write(record)
+    return out.getvalue()
+
+
+def build_warc_revisits(
+    records: Iterable[Tuple[str, datetime, Optional[str]]],
+    gzip_per_record: bool = True,
+) -> bytes:
+    """Deterministic revisit-record writer: ``(url, ts, digest)`` →
+    WARC 1.0 ``revisit`` records on the identical-payload-digest
+    profile — response headers only, no body (the whole point of a
+    revisit is NOT storing the payload again).  ``digest=None`` omits
+    the WARC-Payload-Digest header (the orphan path)."""
+    out = io.BytesIO()
+    for url, ts, digest in records:
+        http = _CRLF.join([b"HTTP/1.1 200 OK", b"Content-Length: 0"]) + _CRLF + _CRLF
+        head_lines = [
+            b"WARC/1.0",
+            b"WARC-Type: revisit",
+            f"WARC-Target-URI: {url}".encode(),
+            f"WARC-Date: {ts.astimezone(timezone.utc):%Y-%m-%dT%H:%M:%SZ}".encode(),
+            b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+            b"identical-payload-digest",
+        ]
+        if digest is not None:
+            head_lines.append(f"WARC-Payload-Digest: {digest}".encode())
+        head_lines += [
+            b"Content-Type: application/http; msgtype=response",
+            f"Content-Length: {len(http)}".encode(),
+        ]
+        record = _CRLF.join(head_lines) + _CRLF + _CRLF + http + _CRLF + _CRLF
         if gzip_per_record:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:

@@ -622,6 +622,75 @@ def q_warc_scan(spark, sf_dir):
     )
 
 
+def q_warc_revisits(spark, sf_dir):
+    """WARC revisit-record resolution (sources/warc.py records_index +
+    revisit_resolution): responses plus identical-payload-digest
+    revisit records round-trip through the writer/parser, then one
+    digest-keyed canonical election assigns
+    original/duplicate/revisit_resolved/revisit_orphan verdicts.  The
+    corpus's exact-duplicate texts make `duplicate` rows real (two
+    responses sharing a digest elect the earlier capture); every 4th
+    doc gets a matching revisit, and docs ≡7 (mod 10) get an orphan
+    revisit whose digest matches nothing."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from .sources.warc import (
+        build_warc,
+        build_warc_revisits,
+        records_index,
+        revisit_resolution,
+    )
+
+    base = 1_700_000_000
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def roundtrip(batches):
+        for b in batches:
+            resp = [
+                (
+                    f"https://warc.example.org/d/{int(i)}",
+                    datetime.fromtimestamp(base + int(i), tz=timezone.utc),
+                    t.encode("utf-8"),
+                )
+                for i, t in zip(b["doc_id"], b["text"])
+            ]
+            rev = []
+            for i, t in zip(b["doc_id"], b["text"]):
+                i = int(i)
+                ts = datetime.fromtimestamp(base + i + 100000, tz=timezone.utc)
+                if i % 4 == 0:
+                    rev.append(
+                        (
+                            f"https://warc.example.org/r/{i}",
+                            ts,
+                            "md5:" + hashlib.md5(t.encode("utf-8")).hexdigest(),
+                        )
+                    )
+                elif i % 10 == 7:
+                    rev.append(
+                        (f"https://warc.example.org/r/{i}", ts, "md5:" + "0" * 32)
+                    )
+            data = build_warc(resp) + build_warc_revisits(rev)
+            rows = list(records_index(data))
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "epoch": [int(r["warc_ts"].timestamp()) for r in rows],
+                    "warc_type": [r["warc_type"] for r in rows],
+                    "digest": [r["digest"] for r in rows],
+                }
+            )
+
+    recs = docs.mapInPandas(
+        roundtrip,
+        schema="url string, epoch long, warc_type string, digest string",
+    )
+    return revisit_resolution(recs)
+
+
 def q_wet_scan(spark, sf_dir):
     """WET (Common Crawl extracted-text) round-trip: conversion records
     with plain-text payloads, same one-crossing shape as warc_scan; the
@@ -2600,6 +2669,7 @@ QUERIES = {
     "content_extract": q_content_extract,
     "page_metadata": q_page_metadata,
     "url_equivalence": q_url_equivalence,
+    "warc_revisits": q_warc_revisits,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -3806,6 +3876,38 @@ ORACLES = {
                          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
                     END AS published
         FROM tk
+    """,
+    "warc_revisits": r"""
+        WITH resp AS (
+          SELECT 'https://warc.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 1700000000 + doc_id AS epoch,
+                 'response' AS warc_type,
+                 'md5:' || md5(text) AS digest
+          FROM documents
+        ),
+        rev AS (
+          SELECT 'https://warc.example.org/r/' || CAST(doc_id AS VARCHAR) AS url,
+                 1700000000 + doc_id + 100000 AS epoch,
+                 'revisit' AS warc_type,
+                 CASE WHEN doc_id % 4 = 0 THEN 'md5:' || md5(text)
+                      ELSE 'md5:' || repeat('0', 32) END AS digest
+          FROM documents WHERE doc_id % 4 = 0 OR doc_id % 10 = 7
+        ),
+        allr AS (SELECT * FROM resp UNION ALL SELECT * FROM rev),
+        e AS (SELECT digest, min(epoch) AS me FROM resp GROUP BY digest),
+        c AS (
+          SELECT r.digest, min(r.url) AS curl, min(r.epoch) AS cep
+          FROM resp r JOIN e ON r.digest = e.digest AND r.epoch = e.me
+          GROUP BY r.digest
+        )
+        SELECT a.url, a.epoch, a.warc_type, a.digest,
+               CASE WHEN a.warc_type <> 'revisit' AND a.url = c.curl
+                         AND a.epoch = c.cep THEN 'original'
+                    WHEN a.warc_type <> 'revisit' THEN 'duplicate'
+                    WHEN c.curl IS NOT NULL THEN 'revisit_resolved'
+                    ELSE 'revisit_orphan' END AS verdict,
+               c.curl AS original_url
+        FROM allr a LEFT JOIN c ON a.digest = c.digest
     """,
     "url_equivalence": r"""
         WITH ids AS (SELECT doc_id AS d FROM documents),
