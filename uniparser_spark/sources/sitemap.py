@@ -345,6 +345,58 @@ def sitemap_refresh(
     )
 
 
+def sitemap_coverage(
+    sitemap_urls: DataFrame, crawled: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-host sitemap-vs-crawl coverage diff.
+
+    The two discovery channels disagree in both directions: URLs the
+    publisher declares that the crawl never reached (frontier/politeness
+    gap — schedule them) and URLs the crawl found that no sitemap
+    declares (link-only discovery — the sitemap undersells the site).
+    One full outer join on the URL key, one host rollup:
+
+    ``(host, n_sitemap, n_crawled, n_both, n_undiscovered,
+    n_undeclared, coverage)`` where ``coverage`` =
+    round(n_both / n_sitemap, 4), NULL for hosts with no sitemap URLs
+    (crawl-only hosts).
+
+    Scale shape: both inputs project to the bare URL string before the
+    join (narrow shuffle), the rollup is a map-side-combinable count
+    aggregation on the host key, and skewed hosts are AQE's problem —
+    no row ever carries page content."""
+    s = (
+        sitemap_urls.select(F.col(url_col).alias("url"))
+        .distinct()
+        .withColumn("_s", F.lit(1))
+    )
+    c = (
+        crawled.select(F.col(url_col).alias("url"))
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    j = s.join(c, "url", "full")
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/?#:]+)", 1)
+    both = F.col("_s").isNotNull() & F.col("_c").isNotNull()
+    agg = j.groupBy(host.alias("host")).agg(
+        F.count("_s").alias("n_sitemap"),
+        F.count("_c").alias("n_crawled"),
+        F.count(F.when(both, 1)).alias("n_both"),
+    )
+    return agg.select(
+        "host",
+        "n_sitemap",
+        "n_crawled",
+        "n_both",
+        (F.col("n_sitemap") - F.col("n_both")).alias("n_undiscovered"),
+        (F.col("n_crawled") - F.col("n_both")).alias("n_undeclared"),
+        F.when(
+            F.col("n_sitemap") > 0,
+            F.round(F.col("n_both") / F.col("n_sitemap"), 4),
+        ).alias("coverage"),
+    )
+
+
 def seeds_from_entries(entries: DataFrame) -> DataFrame:
     """Entry table → frontier-ready ``(url, priority)``.
 

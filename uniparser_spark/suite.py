@@ -1631,6 +1631,47 @@ def q_url_equivalence(spark, sf_dir):
     return url_equivalence(pages, log, rules)
 
 
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage diff (sources/sitemap.py
+    sitemap_coverage): per-host declared/crawled/both counts plus the
+    two gap directions and a 4-dp coverage ratio.  Fixture: sitemaps
+    declare ids%3!=2, the crawl reached ids%2==0 plus an undeclared
+    /x/ path for ids%9==0, so both gap classes are non-empty on every
+    host."""
+    from .sources.sitemap import sitemap_coverage
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    u = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.com/s/"), d.cast("string"),
+    )
+    ux = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.com/x/"), d.cast("string"),
+    )
+    smap = docs.filter(d % 3 != 2).select(u.alias("url"))
+    crawl = docs.filter(d % 2 == 0).select(u.alias("url")).unionAll(
+        docs.filter(d % 9 == 0).select(ux.alias("url"))
+    )
+    return sitemap_coverage(smap, crawl)
+
+
+def q_host_lang_profile(spark, sf_dir):
+    """Per-host language composition (textops/mix.py
+    host_language_profile): doc counts, distinct languages, majority
+    language (count desc / lang asc total order), majority share and
+    natural-log entropy at the suite's 4-dp float contract.  Hosts are
+    keyed by doc_id%7 so every host serves a genuine language mix."""
+    from .textops.mix import host_language_profile
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "lang")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com")
+    )
+    return host_language_profile(docs.select(host.alias("host"), "lang"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """LSH candidate pairs → connected components → keep-one-per-cluster:
     the composed end-of-pipeline dedup output (transitive closure of the
@@ -2670,6 +2711,8 @@ QUERIES = {
     "page_metadata": q_page_metadata,
     "url_equivalence": q_url_equivalence,
     "warc_revisits": q_warc_revisits,
+    "sitemap_coverage": q_sitemap_coverage,
+    "host_lang_profile": q_host_lang_profile,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -3876,6 +3919,68 @@ ORACLES = {
                          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
                     END AS published
         FROM tk
+    """,
+    "sitemap_coverage": r"""
+        WITH ids AS (SELECT doc_id AS d FROM documents),
+        s AS (
+          SELECT DISTINCT 'https://h' || CAST(d % 7 AS VARCHAR) ||
+                 '.example.com/s/' || CAST(d AS VARCHAR) AS url
+          FROM ids WHERE d % 3 <> 2
+        ),
+        c AS (
+          SELECT DISTINCT url FROM (
+            SELECT 'https://h' || CAST(d % 7 AS VARCHAR) ||
+                   '.example.com/s/' || CAST(d AS VARCHAR) AS url
+            FROM ids WHERE d % 2 = 0
+            UNION ALL
+            SELECT 'https://h' || CAST(d % 7 AS VARCHAR) ||
+                   '.example.com/x/' || CAST(d AS VARCHAR) AS url
+            FROM ids WHERE d % 9 = 0
+          )
+        ),
+        j AS (
+          SELECT coalesce(s.url, c.url) AS url,
+                 CASE WHEN s.url IS NOT NULL THEN 1 ELSE 0 END AS in_s,
+                 CASE WHEN c.url IS NOT NULL THEN 1 ELSE 0 END AS in_c
+          FROM s FULL JOIN c ON s.url = c.url
+        ),
+        a AS (
+          SELECT regexp_extract(url, '^https?://([^/?#:]+)', 1) AS host,
+                 CAST(sum(in_s) AS BIGINT) AS n_sitemap,
+                 CAST(sum(in_c) AS BIGINT) AS n_crawled,
+                 CAST(sum(in_s * in_c) AS BIGINT) AS n_both
+          FROM j GROUP BY 1
+        )
+        SELECT host, n_sitemap, n_crawled, n_both,
+               n_sitemap - n_both AS n_undiscovered,
+               n_crawled - n_both AS n_undeclared,
+               CASE WHEN n_sitemap > 0
+                    THEN round(n_both / n_sitemap, 4) END AS coverage
+        FROM a
+    """,
+    "host_lang_profile": r"""
+        WITH hl AS (
+          SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+                 lang, count(*) AS n
+          FROM documents GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT host, lang, n,
+                 row_number() OVER (
+                   PARTITION BY host ORDER BY n DESC, lang ASC
+                 ) AS rk
+          FROM hl
+        ),
+        t AS (
+          SELECT host, CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_langs,
+                 sum(n * ln(n)) AS nlogn
+          FROM hl GROUP BY host
+        )
+        SELECT t.host, t.n_docs, t.n_langs, m.lang AS majority_lang,
+               round(m.n / t.n_docs, 4) AS majority_share,
+               round(ln(t.n_docs) - t.nlogn / t.n_docs, 4) AS lang_entropy
+        FROM t JOIN m ON m.host = t.host AND m.rk = 1
     """,
     "warc_revisits": r"""
         WITH resp AS (

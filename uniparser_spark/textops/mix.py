@@ -647,6 +647,50 @@ def corpus_mix_report(
 
 
 # ------------------------------------------------------------- epoch mixing
+def host_language_profile(
+    docs: DataFrame, host_col: str = "host", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-host language composition — the crawl-steering signal that
+    decides which hosts feed which language buckets (CCNet keeps
+    per-snapshot language stats at exactly this granularity).
+
+    ``(host, n_docs, n_langs, majority_lang, majority_share,
+    lang_entropy)``: majority = most-document language (ties broken by
+    lang ascending — total order, engine-independent), share and
+    natural-log entropy rounded to 4 dp (the suite's float contract).
+
+    Scale shape: one map-side-combinable (host, lang) count, one host
+    rollup — two narrow shuffles, no text columns.  A host serving one
+    language has entropy 0; mixed CDN/aggregator hosts rank high and
+    get language-ID'd per page instead of per host."""
+    hl = docs.groupBy(
+        F.col(host_col).alias("host"), F.col(lang_col).alias("lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hl.groupBy("host").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        # max_by with a (count desc, lang asc) total order: encode as
+        # struct(n, negated-lexicographic is unavailable) -> use min_by
+        # over (-n, lang)
+        F.min_by("lang", F.struct((-F.col("n")).alias("a"), F.col("lang"))).alias(
+            "majority_lang"
+        ),
+        F.max("n").alias("_maxn"),
+        F.sum(F.col("n") * F.log("n")).alias("_nlogn"),
+    )
+    p = F.col("_maxn") / F.col("n_docs")
+    # H = ln(N) - (1/N) * sum(n_i ln n_i): one pass, no per-row p columns
+    ent = F.log(F.col("n_docs")) - F.col("_nlogn") / F.col("n_docs")
+    return tot.select(
+        "host",
+        "n_docs",
+        "n_langs",
+        "majority_lang",
+        F.round(p, 4).alias("majority_share"),
+        F.round(ent, 4).alias("lang_entropy"),
+    )
+
+
 def epoch_mix(
     df: DataFrame,
     weights: Mapping[str, int],
