@@ -1,0 +1,55 @@
+"""DOM structural fingerprinting (textops/structure.py) tests."""
+
+import hashlib
+
+from uniparser_spark.textops.structure import (
+    dom_structure,
+    page_structure,
+    template_stats,
+)
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_page_structure_shape_only():
+    fp1 = page_structure("<html><body><h1>AAA</h1><p>x</p></body></html>")
+    fp2 = page_structure("<html><body><h1>totally different</h1><p></p></body></html>")
+    assert fp1[0] == fp2[0] == _md5("html,body,h1,p")  # text never changes shape
+    assert fp1[1:] == (4, 3, "h1", 1)
+
+
+def test_page_structure_depth_outline_and_empty():
+    fp, n, depth, heads, nh = page_structure(
+        "<div><div><div><h2>a</h2></div></div><h3>b</h3></div>"
+    )
+    assert (n, depth) == (5, 4)
+    assert (heads, nh) == ("h2,h3", 2)  # document order, not depth order
+    assert page_structure("just text, no tags") == (_md5(""), 0, 0, None, 0)
+
+
+def test_deep_nesting_no_recursion_limit():
+    html = "<div>" * 2000 + "x" + "</div>" * 2000
+    fp, n, depth, heads, nh = page_structure(html)
+    assert (n, depth) == (2000, 2000)
+    assert fp == _md5(",".join(["div"] * 2000))
+
+
+def test_template_stats_rollup(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "a.ex", "<html><body><p>x</p></body></html>"),
+            (2, "a.ex", "<html><body><p>y</p></body></html>"),
+            (3, "a.ex", "<html><body><h1>z</h1></body></html>"),
+            (4, "b.ex", "<html><body><h1>w</h1></body></html>"),
+        ],
+        "doc_id long, host string, html string",
+    )
+    s = dom_structure(pages).join(pages.select("doc_id", "host"), "doc_id")
+    out = {r["host"]: r for r in template_stats(s).collect()}
+    a = out["a.ex"]
+    assert (a["n_pages"], a["n_templates"]) == (3, 2)
+    assert a["top_fp"] == _md5("html,body,p")
+    assert a["top_share"] == 0.6667
+    assert out["b.ex"]["top_share"] == 1.0

@@ -1672,6 +1672,77 @@ def q_host_lang_profile(spark, sf_dir):
     return host_language_profile(docs.select(host.alias("host"), "lang"))
 
 
+def _structure_html(d):
+    """Three-template fixture for the DOM-structure queries: the p-count
+    in template 1 varies with d%4 so fingerprints differ within one
+    template family."""
+    w = F.lit("x")
+    return (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<html><body><h1>"), w, F.lit("</h1><p>"), w,
+                F.lit("</p></body></html>"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("<html><body><div>"),
+                F.array_join(
+                    F.array_repeat(
+                        F.lit("<p>x</p>"), (d % 4 + 1).cast("int")
+                    ),
+                    "",
+                ),
+                F.lit("</div></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "<html><body><h1>a</h1><h2>b</h2>"
+                "<ul><li>i</li><li>j</li></ul></body></html>"
+            )
+        )
+    )
+
+
+def q_dom_structure(spark, sf_dir):
+    """DOM structural fingerprint (textops/structure.py dom_structure):
+    md5 over the pre-order element-tag walk, node/depth counts, and the
+    h1-h6 outline sequence per page.  The oracle computes the same md5
+    from the fixture's KNOWN tag shape, so any walk-order, implied-tag,
+    or depth-accounting bug breaks parity."""
+    from .textops.structure import dom_structure
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pages = docs.select("doc_id", _structure_html(d).alias("html"))
+    return dom_structure(pages)
+
+
+def q_template_stats(spark, sf_dir):
+    """Per-host template census (textops/structure.py template_stats)
+    over the same fixture, hosts keyed by doc_id%7: page/template
+    counts and the dominant template (count desc, fp asc) with its
+    4-dp share."""
+    from .textops.structure import dom_structure, template_stats
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pages = docs.select("doc_id", _structure_html(d).alias("html"))
+    s = dom_structure(pages).join(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (d % 7).cast("string"), F.lit(".example.com")
+            ).alias("host"),
+        ),
+        "doc_id",
+    )
+    return template_stats(s)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """LSH candidate pairs → connected components → keep-one-per-cluster:
     the composed end-of-pipeline dedup output (transitive closure of the
@@ -2713,6 +2784,8 @@ QUERIES = {
     "warc_revisits": q_warc_revisits,
     "sitemap_coverage": q_sitemap_coverage,
     "host_lang_profile": q_host_lang_profile,
+    "dom_structure": q_dom_structure,
+    "template_stats": q_template_stats,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -3919,6 +3992,53 @@ ORACLES = {
                          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
                     END AS published
         FROM tk
+    """,
+    "dom_structure": r"""
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN md5('html,body,h1,p')
+                 WHEN 1 THEN md5('html,body,div' ||
+                                 repeat(',p', CAST(doc_id % 4 AS INTEGER) + 1))
+                 ELSE md5('html,body,h1,h2,ul,li,li') END AS template_fp,
+               CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 4 WHEN 1 THEN 4 + doc_id % 4 ELSE 7 END
+                 AS INTEGER) AS n_nodes,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END
+                 AS INTEGER) AS max_depth,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'h1' WHEN 2 THEN 'h1,h2' END AS heading_seq,
+               CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+                 AS INTEGER) AS n_headings
+        FROM documents
+    """,
+    "template_stats": r"""
+        WITH fp AS (
+          SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN md5('html,body,h1,p')
+                   WHEN 1 THEN md5('html,body,div' ||
+                                   repeat(',p', CAST(doc_id % 4 AS INTEGER) + 1))
+                   ELSE md5('html,body,h1,h2,ul,li,li') END AS fp
+          FROM documents
+        ),
+        per AS (SELECT host, fp, count(*) AS n FROM fp GROUP BY 1, 2),
+        rk AS (
+          SELECT host, fp, n,
+                 row_number() OVER (
+                   PARTITION BY host ORDER BY n DESC, fp ASC
+                 ) AS r
+          FROM per
+        ),
+        t AS (
+          SELECT host, CAST(sum(n) AS BIGINT) AS n_pages,
+                 CAST(count(*) AS BIGINT) AS n_templates,
+                 CAST(max(n) AS BIGINT) AS top_n
+          FROM per GROUP BY host
+        )
+        SELECT t.host, t.n_pages, t.n_templates, rk.fp AS top_fp,
+               round(t.top_n / t.n_pages, 4) AS top_share
+        FROM t JOIN rk ON rk.host = t.host AND rk.r = 1
     """,
     "sitemap_coverage": r"""
         WITH ids AS (SELECT doc_id AS d FROM documents),
