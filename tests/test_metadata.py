@@ -75,3 +75,58 @@ def test_spark_surface(spark):
     assert out[1]["canonical"] == "https://h.example.com/canon"
     assert out[1]["n_hreflang"] == 2 and out[1]["n_jsonld_bad"] == 1
     assert out[2]["title"] is None and out[2]["n_hreflang"] == 0
+
+
+def test_harvest_hreflang_edges(spark):
+    html = (
+        '<link rel="alternate" hreflang="en" href="/en">'
+        '<link rel="alternate" hreflang="de" href="https://b.ex/de">'
+        '<link rel="alternate" href="/no-lang">'  # no hreflang: skipped
+        '<link rel="stylesheet" hreflang="fr" href="/css">'  # wrong rel
+    )
+    df = spark.createDataFrame(
+        [("https://a.ex/p/1", html)], "url string, html string"
+    )
+    from uniparser_spark.textops.metadata import harvest_hreflang
+
+    rows = harvest_hreflang(df).collect()
+    assert [(r["hreflang"], r["href"]) for r in rows] == [
+        ("en", "https://a.ex/en"),
+        ("de", "https://b.ex/de"),
+    ]
+
+
+def test_hreflang_audit_verdicts(spark):
+    from uniparser_spark.textops.metadata import hreflang_audit
+
+    edges = spark.createDataFrame(
+        [
+            # A: reciprocal pair incl. self links -> ok
+            ("A", "en", "A"), ("A", "de", "B"),
+            ("B", "de", "B"), ("B", "en", "A"),
+            # C: links B but B never links back -> broken
+            ("C", "en", "C"), ("C", "de", "B"),
+            # D: reciprocal with A? no — D lists only itself, minus self
+            ("D", "en", "D"),
+        ],
+        "url string, hreflang string, href string",
+    )
+    out = {r["url"]: r for r in hreflang_audit(edges).collect()}
+    assert out["A"]["verdict"] == "ok" and out["A"]["n_reciprocal"] == 2
+    assert out["B"]["verdict"] == "ok"
+    assert out["C"]["verdict"] == "broken"
+    assert out["C"]["n_reciprocal"] == 1  # the self edge
+    assert out["D"]["verdict"] == "ok" and out["D"]["has_self"]
+
+
+def test_hreflang_audit_missing_self(spark):
+    from uniparser_spark.textops.metadata import hreflang_audit
+
+    edges = spark.createDataFrame(
+        [("A", "de", "B"), ("B", "en", "A"), ("B", "de", "B")],
+        "url string, hreflang string, href string",
+    )
+    out = {r["url"]: r for r in hreflang_audit(edges).collect()}
+    assert out["A"]["verdict"] == "missing_self"
+    assert not out["A"]["has_self"]
+    assert out["B"]["verdict"] == "ok"

@@ -1672,6 +1672,54 @@ def q_host_lang_profile(spark, sf_dir):
     return host_language_profile(docs.select(host.alias("host"), "lang"))
 
 
+def q_hreflang_audit(spark, sf_dir):
+    """hreflang cluster audit (textops/metadata.py harvest_hreflang +
+    hreflang_audit): pages form 3-id language clusters {r, r+1, r+2}
+    each listing all three variants; ids%5==0 omit their self link
+    (missing_self), ids%7==3 add an alternate nobody reciprocates
+    (broken), and clusters straddling the id range leave dangling
+    targets (also broken).  Edges are harvested from real synthesized
+    <link> markup, then audited with one distinct-edge self-join."""
+    from .textops.metadata import harvest_hreflang, hreflang_audit
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def u(x):
+        return F.concat(
+            F.lit("https://h"), (x % 7).cast("string"),
+            F.lit(".example.com/p/"), x.cast("string"),
+        )
+
+    langs = ["en", "de", "fr"]
+    slots = []
+    for o in range(3):
+        t = d - d % 3 + o
+        slots.append(
+            F.when((d % 3 == o) & (d % 5 == 0), F.lit("")).otherwise(
+                F.concat(
+                    F.lit(f'<link rel="alternate" hreflang="{langs[o]}" href="'),
+                    u(t),
+                    F.lit('">'),
+                )
+            )
+        )
+    extra = F.when(
+        d % 7 == 3,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default" href="'),
+            u(d),
+            F.lit('?x">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), slots[0], slots[1], slots[2], extra,
+        F.lit("</head><body></body></html>"),
+    )
+    pages = docs.select(u(d).alias("url"), html.alias("html"))
+    return hreflang_audit(harvest_hreflang(pages))
+
+
 def _structure_html(d):
     """Three-template fixture for the DOM-structure queries: the p-count
     in template 1 varies with d%4 so fingerprints differ within one
@@ -2786,6 +2834,7 @@ QUERIES = {
     "host_lang_profile": q_host_lang_profile,
     "dom_structure": q_dom_structure,
     "template_stats": q_template_stats,
+    "hreflang_audit": q_hreflang_audit,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -3992,6 +4041,40 @@ ORACLES = {
                          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
                     END AS published
         FROM tk
+    """,
+    "hreflang_audit": r"""
+        WITH ids AS (SELECT doc_id AS d FROM documents),
+        e AS (
+          SELECT
+            'https://h' || CAST(d % 7 AS VARCHAR) || '.example.com/p/' ||
+              CAST(d AS VARCHAR) AS url,
+            'https://h' || CAST(((d - d % 3) + o) % 7 AS VARCHAR) ||
+              '.example.com/p/' || CAST((d - d % 3) + o AS VARCHAR) AS href
+          FROM ids CROSS JOIN (VALUES (0), (1), (2)) offs(o)
+          WHERE NOT (d % 3 = o AND d % 5 = 0)
+          UNION ALL
+          SELECT
+            'https://h' || CAST(d % 7 AS VARCHAR) || '.example.com/p/' ||
+              CAST(d AS VARCHAR),
+            'https://h' || CAST(d % 7 AS VARCHAR) || '.example.com/p/' ||
+              CAST(d AS VARCHAR) || '?x'
+          FROM ids WHERE d % 7 = 3
+        ),
+        a AS (
+          SELECT x.url,
+                 CAST(count(*) AS BIGINT) AS n_alternates,
+                 CAST(sum(CASE WHEN r.url IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_reciprocal,
+                 max(CASE WHEN x.href = x.url THEN 1 ELSE 0 END) AS s
+          FROM e x LEFT JOIN (SELECT DISTINCT url, href FROM e) r
+            ON r.url = x.href AND r.href = x.url
+          GROUP BY x.url
+        )
+        SELECT url, n_alternates, n_reciprocal, s = 1 AS has_self,
+               CASE WHEN n_reciprocal < n_alternates THEN 'broken'
+                    WHEN s = 0 THEN 'missing_self'
+                    ELSE 'ok' END AS verdict
+        FROM a
     """,
     "dom_structure": r"""
         SELECT doc_id,

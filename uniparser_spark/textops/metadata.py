@@ -55,7 +55,7 @@ from typing import Iterator, List, Optional, Tuple
 from urllib.parse import urljoin
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..dom.html import parse_html
 from ..dom.nodes import Element
@@ -142,6 +142,90 @@ def harvest_page_metadata(
     return (
         title, description, og_title, og_url, canonical,
         n_hreflang, jsonld, n_bad, published,
+    )
+
+
+def harvest_hreflang(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Explode every ``<link rel="alternate" hreflang=...>`` into an edge
+    table ``(url, hreflang, href)`` — href resolved against the page URL
+    — one DOM parse per page, one Arrow crossing, edges in document
+    order.  Pages with no alternates contribute no rows."""
+    schema = "url string, hreflang string, href string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: List[str] = []
+            langs: List[str] = []
+            hrefs: List[str] = []
+            for base, html in zip(pdf[url_col], pdf[html_col]):
+                doc = parse_html(html)
+                for el in doc.iter_elements():
+                    if el.tag != "link":
+                        continue
+                    lang = el.get("hreflang")
+                    href = el.get("href")
+                    if (
+                        lang is None
+                        or href is None
+                        or "alternate" not in _rel_tokens(el)
+                    ):
+                        continue
+                    urls.append(base)
+                    langs.append(lang)
+                    hrefs.append(urljoin(base, href) if base else href)
+            yield pd.DataFrame(
+                {"url": urls, "hreflang": langs, "href": hrefs}
+            )
+
+    return df.select(url_col, html_col).mapInPandas(run, schema=schema)
+
+
+def hreflang_audit(edges: DataFrame) -> DataFrame:
+    """Per-page hreflang consistency audit over a
+    :func:`harvest_hreflang` edge table.
+
+    Search engines honor hreflang clusters only when they are
+    *reciprocal* (every target page links back) and *self-inclusive*
+    (the page lists its own URL).  Output per declaring page:
+    ``(url, n_alternates, n_reciprocal, has_self, verdict)`` with
+    verdict ``broken`` (≥1 non-reciprocal edge) > ``missing_self`` >
+    ``ok``.  One distinct-edge self-join on (href, url) string keys —
+    narrow rows, no page bytes; at web scale the join key is the URL
+    pair, uniform unless one page declares millions of alternates
+    (a trap the n_alternates count itself exposes)."""
+    e = edges.select("url", "href")
+    rev = (
+        e.select(F.col("href").alias("_u"), F.col("url").alias("_t"))
+        .distinct()
+        .withColumn("_rec", F.lit(1))
+    )
+    j = e.join(
+        rev,
+        (e["url"] == rev["_u"]) & (e["href"] == rev["_t"]),
+        "left",
+    )
+    agg = j.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_alternates"),
+        F.sum(F.coalesce(F.col("_rec"), F.lit(0))).alias("n_reciprocal"),
+        F.max(
+            F.when(F.col("href") == F.col("url"), 1).otherwise(0)
+        ).alias("_self"),
+    )
+    return agg.select(
+        "url",
+        "n_alternates",
+        "n_reciprocal",
+        (F.col("_self") == 1).alias("has_self"),
+        F.when(
+            F.col("n_reciprocal") < F.col("n_alternates"), F.lit("broken")
+        )
+        .when(F.col("_self") == 0, F.lit("missing_self"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
     )
 
 
