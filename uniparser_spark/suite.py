@@ -1672,6 +1672,26 @@ def q_host_lang_profile(spark, sf_dir):
     return host_language_profile(docs.select(host.alias("host"), "lang"))
 
 
+def q_gopher_signals(spark, sf_dir):
+    """Gopher symbol/layout filters (textops/clean.py gopher_signals):
+    '#'/'...'-to-word ratio, bullet-line and ellipsis-line fractions,
+    alpha-word fraction, first-violation verdict.  Fixture appends a
+    bullet line (ids%3==0), an ellipsis line (ids%4==0) and a
+    symbol-heavy line (ids%5==0) to each doc's single-line body, so the
+    oracle predicts every counter analytically."""
+    from .textops.clean import gopher_signals
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    page = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\n- item one")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("\nwait for it...")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\n# # # tag")).otherwise(F.lit("")),
+    )
+    return gopher_signals(docs.select("doc_id", page.alias("page")))
+
+
 def q_hreflang_audit(spark, sf_dir):
     """hreflang cluster audit (textops/metadata.py harvest_hreflang +
     hreflang_audit): pages form 3-id language clusters {r, r+1, r+2}
@@ -2835,6 +2855,7 @@ QUERIES = {
     "dom_structure": q_dom_structure,
     "template_stats": q_template_stats,
     "hreflang_audit": q_hreflang_audit,
+    "gopher_signals": q_gopher_signals,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -4041,6 +4062,38 @@ ORACLES = {
                          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
                     END AS published
         FROM tk
+    """,
+    "gopher_signals": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS nb,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS b3,
+                 CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS b4,
+                 CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS b5
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST(1 + b3 + b4 + b5 AS INTEGER) AS n_lines,
+                 CAST(nb + 3*b3 + 3*b4 + 4*b5 AS INTEGER) AS n_words,
+                 3.0*b5 + 1.0*b4 AS sym_n,
+                 nb + 2*b3 + 3*b4 + 1*b5 AS alpha_n,
+                 b3, b4
+          FROM t
+        )
+        SELECT doc_id, n_lines, n_words,
+               round(sym_n / n_words, 4) AS symbol_word_ratio,
+               round(CAST(b3 AS DOUBLE) / n_lines, 4) AS bullet_line_frac,
+               round(CAST(b4 AS DOUBLE) / n_lines, 4) AS ellipsis_line_frac,
+               round(alpha_n / CAST(n_words AS DOUBLE), 4) AS alpha_word_frac,
+               CASE WHEN sym_n / n_words > 0.1 THEN 'symbol_ratio'
+                    WHEN CAST(b3 AS DOUBLE) / n_lines > 0.9 THEN 'bullet_lines'
+                    WHEN CAST(b4 AS DOUBLE) / n_lines > 0.3
+                         THEN 'ellipsis_lines'
+                    WHEN alpha_n / CAST(n_words AS DOUBLE) < 0.8
+                         THEN 'alpha_words'
+                    ELSE 'keep' END AS verdict
+        FROM c
     """,
     "hreflang_audit": r"""
         WITH ids AS (SELECT doc_id AS d FROM documents),

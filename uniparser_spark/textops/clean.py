@@ -450,6 +450,70 @@ def doc_filter(
 
 
 # -------------------------------------------------------------- corpus vocab
+def gopher_signals(
+    df: DataFrame,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-style symbol/layout quality signals (Rae et al. 2021
+    §A1.1) not covered by :func:`doc_filter`'s length/repetition rules:
+
+    - ``symbol_word_ratio``: ('#' chars + '...' sequences) / words;
+    - ``bullet_line_frac``: lines starting with '-', '*' or '•';
+    - ``ellipsis_line_frac``: lines ending with '...' or '…';
+    - ``alpha_word_frac``: words containing at least one ASCII letter;
+    - ``verdict``: ``keep`` or the FIRST violated rule
+      (symbol_ratio > bullet_lines > ellipsis_lines > alpha_words).
+
+    All ratios 4 dp.  Pure string/array expressions — one scan, zero
+    shuffles, whole plan inside codegen (the 100 TB-shaped way to run a
+    per-document filter)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    words = F.filter(F.split(text, "[ \n]+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / 3
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+        )
+    )
+    ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    sym_r = (n_hash + n_ell) / n_words
+    bul_f = bullet / n_lines
+    ell_f = ell_lines / n_lines
+    alp_f = alpha / n_words
+    verdict = (
+        F.when(sym_r > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(bul_f > max_bullet_frac, F.lit("bullet_lines"))
+        .when(ell_f > max_ellipsis_frac, F.lit("ellipsis_lines"))
+        .when(alp_f < min_alpha_frac, F.lit("alpha_words"))
+        .otherwise(F.lit("keep"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_words.alias("n_words"),
+        F.round(sym_r, 4).alias("symbol_word_ratio"),
+        F.round(bul_f, 4).alias("bullet_line_frac"),
+        F.round(ell_f, 4).alias("ellipsis_line_frac"),
+        F.round(alp_f, 4).alias("alpha_word_frac"),
+        verdict.alias("verdict"),
+    )
+
+
 def top_tokens(
     df: DataFrame,
     text_col: str = "text",
