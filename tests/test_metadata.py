@@ -130,3 +130,30 @@ def test_hreflang_audit_missing_self(spark):
     assert out["A"]["verdict"] == "missing_self"
     assert not out["A"]["has_self"]
     assert out["B"]["verdict"] == "ok"
+
+
+def test_harvest_microdata(spark):
+    from uniparser_spark.textops.metadata import harvest_microdata
+
+    nested = (
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">n</span>'
+        '<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+        '<span itemprop="price">1</span></div></div>'
+    )
+    df = spark.createDataFrame(
+        [
+            (1, nested),
+            (2, "<div itemscope><b itemprop='x'>y</b></div>"),  # untyped scope
+            (3, "<p>no microdata</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in harvest_microdata(df).collect()}
+    assert out[1]["n_scopes"] == 2 and out[1]["n_props"] == 3
+    assert (
+        out[1]["itemtypes"]
+        == "https://schema.org/Offer,https://schema.org/Product"
+    )
+    assert out[2]["n_scopes"] == 1 and out[2]["itemtypes"] is None
+    assert out[3]["n_scopes"] == 0 and out[3]["n_props"] == 0

@@ -1672,6 +1672,48 @@ def q_host_lang_profile(spark, sf_dir):
     return host_language_profile(docs.select(host.alias("host"), "lang"))
 
 
+def q_microdata(spark, sf_dir):
+    """schema.org microdata census (textops/metadata.py
+    harvest_microdata): itemscope/itemtype/itemprop counts from real
+    markup — Article pages (ids%3==0), nested Product/Offer pages
+    (ids%3==1), an untyped scope (ids%6==5), bare pages otherwise.
+    Exercises boolean attributes (bare itemscope) and elements carrying
+    both itemscope and itemprop."""
+    from .textops.metadata import harvest_microdata
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    html = (
+        F.when(
+            d % 3 == 0,
+            F.lit(
+                '<html><body><div itemscope itemtype="https://schema.org/Article">'
+                '<span itemprop="headline">h</span>'
+                '<span itemprop="author">a</span></div></body></html>'
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.lit(
+                '<html><body><div itemscope itemtype="https://schema.org/Product">'
+                '<span itemprop="name">n</span>'
+                '<div itemprop="offers" itemscope '
+                'itemtype="https://schema.org/Offer">'
+                '<span itemprop="price">1</span></div></div></body></html>'
+            ),
+        )
+        .when(
+            d % 6 == 5,
+            F.lit(
+                '<html><body><div itemscope><b itemprop="x">y</b></div>'
+                "</body></html>"
+            ),
+        )
+        .otherwise(F.lit("<html><body><p>plain</p></body></html>"))
+    )
+    return harvest_microdata(docs.select("doc_id", html.alias("html")))
+
+
 def q_gopher_signals(spark, sf_dir):
     """Gopher symbol/layout filters (textops/clean.py gopher_signals):
     '#'/'...'-to-word ratio, bullet-line and ellipsis-line fractions,
@@ -2856,6 +2898,7 @@ QUERIES = {
     "template_stats": q_template_stats,
     "hreflang_audit": q_hreflang_audit,
     "gopher_signals": q_gopher_signals,
+    "microdata": q_microdata,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -4062,6 +4105,22 @@ ORACLES = {
                          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
                     END AS published
         FROM tk
+    """,
+    "microdata": r"""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                         WHEN doc_id % 3 = 1 THEN 2
+                         WHEN doc_id % 6 = 5 THEN 1
+                         ELSE 0 END AS INTEGER) AS n_scopes,
+               CASE WHEN doc_id % 3 = 0 THEN 'https://schema.org/Article'
+                    WHEN doc_id % 3 = 1
+                    THEN 'https://schema.org/Offer,https://schema.org/Product'
+                    END AS itemtypes,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 2
+                         WHEN doc_id % 3 = 1 THEN 3
+                         WHEN doc_id % 6 = 5 THEN 1
+                         ELSE 0 END AS INTEGER) AS n_props
+        FROM documents
     """,
     "gopher_signals": r"""
         WITH t AS (

@@ -229,6 +229,56 @@ def hreflang_audit(edges: DataFrame) -> DataFrame:
     )
 
 
+def harvest_microdata(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """schema.org microdata census per page — the pre-JSON-LD
+    structured-data dialect still carried by a large share of the web.
+
+    Flat-count contract (scope nesting is deliberately NOT
+    reconstructed — this is the census that decides whether a page is
+    worth a full structured-data extraction pass):
+
+    - ``n_scopes``: elements carrying an ``itemscope`` attribute;
+    - ``itemtypes``: sorted-distinct ``itemtype`` values across scopes,
+      comma-joined; NULL when no scope declares a type;
+    - ``n_props``: elements carrying an ``itemprop`` attribute.
+
+    One DOM parse, one pre-order walk, one Arrow crossing."""
+    schema = f"{id_col} long, n_scopes int, itemtypes string, n_props int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scopes: List[int] = []
+            types: List[Optional[str]] = []
+            props: List[int] = []
+            for html in pdf[html_col]:
+                doc = parse_html(html)
+                n_s = n_p = 0
+                ts: List[str] = []
+                for el in doc.iter_elements():
+                    if el.get("itemscope") is not None:
+                        n_s += 1
+                        t = el.get("itemtype")
+                        if t:
+                            ts.append(t)
+                    if el.get("itemprop") is not None:
+                        n_p += 1
+                scopes.append(n_s)
+                types.append(",".join(sorted(set(ts))) if ts else None)
+                props.append(n_p)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_scopes": pd.array(scopes, dtype="int32"),
+                    "itemtypes": types,
+                    "n_props": pd.array(props, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)
+
+
 def harvest_metadata(
     df: DataFrame,
     html_col: str = "html",
