@@ -580,3 +580,69 @@ def test_corpus_mix_report_shares(spark):
     assert len(out) == 6  # 2 langs x 3 buckets
     assert all(r["n_docs"] == 3 for r in out)
     assert abs(sum(r["frac_tokens"] for r in out) - 1.0) < 1e-2
+
+
+# ---------------------------------------------------------- dsir_weights
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    from uniparser_spark.textops.mix import dsir_weights
+
+    # Target exemplars (doc_id % 5 == 0) speak "paris"; the raw pool
+    # speaks "random".  A raw doc echoing the target vocabulary must
+    # outweigh a raw doc speaking only raw vocabulary.
+    docs = _docs(
+        spark,
+        [
+            (0, "paris tower paris seine"),
+            (5, "paris metro paris cafe"),
+            (10, "paris river seine walk"),
+            (1, "random words about nothing"),
+            (2, "more random words here too"),
+            (3, "paris metro paris cafe"),    # raw doc echoing exemplar 5
+            (4, "random nothing words more"),  # raw doc, raw-like text
+            (6, ""),                           # empty: row kept, 0 feats
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_weights(
+            docs, target=(F.col("doc_id") % 5 == 0)
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6, 10}
+    assert got[0]["is_target"] == 1 and got[3]["is_target"] == 0
+    # 4 tokens -> 4 unigrams + 3 bigrams
+    assert got[3]["n_feats"] == 7
+    assert got[6]["n_feats"] == 0 and got[6]["dsir_weight"] == 0.0
+    assert got[6]["leans_target"] == 0
+    # the exemplar-echo raw doc outweighs the raw-vocabulary doc; on a
+    # micro-corpus the absolute sign is negative for everything (the
+    # raw pool CONTAINS the exemplars, so r >= t per bucket and the
+    # normalizer ln((R+dim)/(T+dim)) is ~0) — the contract is the
+    # ORDERING, which is what resampling consumes
+    assert got[3]["dsir_weight"] > got[4]["dsir_weight"]
+    assert got[4]["leans_target"] == 0
+    # exact pinned values from an offline replica of the md5/quantize
+    # chain (see the module docstring's determinism argument)
+    assert got[3]["llr_q"] == -2551869
+    assert got[4]["llr_q"] == -6998433
+    # weight is the quantized integer sum scaled down
+    assert got[3]["dsir_weight"] == round(got[3]["llr_q"] / 1e6, 4)
+
+
+def test_dsir_weights_partition_invariant(spark):
+    from uniparser_spark.textops.mix import dsir_weights
+
+    docs = _docs(
+        spark,
+        [(i, f"tok{i % 7} tok{i % 3} tok{i % 11} shared words") for i in range(40)],
+    )
+    t = F.col("doc_id") % 5 == 0
+    a = {
+        r["doc_id"]: r["llr_q"]
+        for r in dsir_weights(docs.coalesce(1), target=t).collect()
+    }
+    b = {
+        r["doc_id"]: r["llr_q"]
+        for r in dsir_weights(docs.repartition(13), target=t).collect()
+    }
+    assert a == b  # integer micro-nat sums: no float-order hazard

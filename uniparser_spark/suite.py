@@ -2354,6 +2354,18 @@ def q_lm_scores(spark, sf_dir):
     return unigram_scores(tp(spark, sf_dir, "documents"), vocab_size=16)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed importance weights (textops/mix.py dsir_weights):
+    log p_target/p_raw over hashed unigram+bigram features, bucket
+    log-ratios quantized to integer micro-nats so per-doc accumulation
+    is an order-independent BIGINT sum.  Target exemplars stand in as
+    doc_id%5==0 — the seam where a curated in-domain corpus plugs in."""
+    from .textops.mix import dsir_weights
+
+    docs = tp(spark, sf_dir, "documents")
+    return dsir_weights(docs, target=(F.col("doc_id") % 5 == 0))
+
+
 def q_crawl_budget(spark, sf_dir):
     """Explore/exploit crawl-budget allocation (frontier/budget.py
     allocate_budget): the doc corpus stands in for one round's fetch
@@ -2919,6 +2931,7 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "seq_pack": q_seq_pack,
     "lm_scores": q_lm_scores,
+    "dsir_weights": q_dsir_weights,
     "crawl_budget": q_crawl_budget,
     "page_directives": q_page_directives,
     "dup_spans": q_dup_spans,
@@ -3532,7 +3545,7 @@ ORACLES = {
                CAST(FLOOR(60000 / delay_ms) AS BIGINT) AS budget
         FROM d
     """,
-    "script_profile": """
+    "script_profile": r"""
         WITH m AS (
           SELECT doc_id,
                  text || CASE doc_id % 4
@@ -6636,6 +6649,48 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# DSIR importance weights: same feature chain as linear_scores, bucket
+# log-ratio quantized to micro-nats BEFORE the per-doc sum so the only
+# float op per bucket is one ln() on an identical exactly-rounded double.
+ORACLES["dsir_weights"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, (doc_id % 5 = 0) AS is_t,
+        CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split({_NORM}, ' ') END AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, is_t,
+        list_concat(t, list_transform(
+          range(greatest(len(t) - 1, 0)),
+          i -> t[i + 1] || ' ' || t[i + 2])) AS fs
+      FROM toks),
+    flat AS (
+      SELECT doc_id, is_t,
+        (('0x' || substr(md5(unnest(fs)), 1, 8))::BIGINT % 4096) AS b
+      FROM feats),
+    counts AS (
+      SELECT b, count(*) AS r, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM flat GROUP BY b),
+    tot AS (SELECT sum(r) AS rr, sum(tc) AS tt FROM counts),
+    w AS (
+      SELECT b,
+        CAST(ROUND(LN(
+          CAST((tc + 1) * (rr + 4096) AS DOUBLE)
+          / CAST((r + 1) * (tt + 4096) AS DOUBLE)
+        ) * 1000000.0, 0) AS BIGINT) AS wq
+      FROM counts CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id, count(*) AS n_feats, sum(wq) AS llr_q
+      FROM flat JOIN w USING (b) GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(d.doc_id % 5 = 0 AS INT) AS is_target,
+      coalesce(s.n_feats, 0) AS n_feats,
+      coalesce(s.llr_q, 0) AS llr_q,
+      ROUND(coalesce(s.llr_q, 0) / 1000000.0, 4) AS dsir_weight,
+      CAST(coalesce(s.llr_q, 0) > 0 AS INT) AS leans_target
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
 
 
 # ----------------------------------------------- driver-gate registration order

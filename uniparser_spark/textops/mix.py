@@ -15,7 +15,12 @@ final double division — no floating-point accumulation whose order
 could differ between engines, no transcendental functions (the unigram
 scorer emits mean token *probability* mass rather than log-probability:
 same ordering signal, exactly computable; log-space scoring is a
-monotone transform a production pipeline can apply downstream).
+monotone transform a production pipeline can apply downstream).  The
+one exception is :func:`dsir_weights`, whose importance LOG-ratio is
+inherently transcendental — there the ln() is contained to one call
+per bucket on an identical exactly-rounded double and quantized to
+integer micro-nats before any per-doc accumulation (rationale on the
+function).
 
 Scale notes per operator are on the functions; the common theme is
 that document text crosses the wire zero times — every shuffle carries
@@ -756,4 +761,112 @@ def epoch_mix(
         F.col(id_col),
         "stratum",
         n_copies.alias("n_copies"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    dim: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR hashed importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed n-gram features are
+    under the TARGET domain's feature distribution than under the raw
+    corpus's — log p_target(doc)/p_raw(doc) under bag-of-hashed-ngrams
+    models — so downstream selection can resample raw data toward the
+    target domain.  ``target`` is a boolean Column marking the in-domain
+    exemplar docs (in production: the curated corpus the training mix
+    should imitate; callers plug any predicate or a join-derived flag).
+
+    Features are unigrams + word bigrams hashed into ``dim`` buckets
+    (same md5 bucketing as the hashed linear classifier).  Both bucket
+    distributions get add-1 smoothing.  Per-bucket weight
+    w_b = ln( ((t_b+1)*(R+dim)) / ((r_b+1)*(T+dim)) ), where t/r are
+    target/raw bucket counts and T/R the totals.
+
+    Cross-engine determinism: this module's doctrine is integer
+    arithmetic until one final division, but an importance LOG-ratio is
+    inherently transcendental.  The design contains the hazard to one
+    ln() per BUCKET (<= dim calls on exact integer ratios — the two
+    products stay below 2^53 up to ~10^7 features a side, and the one
+    division is IEEE-exact-rounded, so both engines hand ln the
+    IDENTICAL double), quantized immediately to integer micro-nats
+    (round(w*1e6)); per-DOC accumulation is then an order-independent
+    BIGINT sum, never a float sum.  The only cross-engine risk left is
+    a 1-ulp ln() disagreement landing exactly on a .5 quantization
+    boundary — strictly narrower exposure than the float-SUM-then-round
+    the lang-entropy rows already use.
+
+    Scale: text is tokenized and exploded in the scan stage (crosses
+    the wire zero times); bucket counting is one map-side-combined
+    groupBy on <= dim keys; the dim-row weight table broadcasts back;
+    scoring shuffles only (id, long) partials.  The explode feeds both
+    the count and score aggregates from one projection.  At 100 TB the
+    weight table is still dim rows — the broadcast never grows.
+
+    Output: (id, is_target, n_feats, llr_q, dsir_weight, leans_target)
+    where llr_q is the exact integer micro-nat sum (the reproducible
+    ranking key), dsir_weight = llr_q/1e6 rounded to 4 dp, and
+    leans_target = llr_q > 0.  Empty docs keep a row with n_feats = 0.
+    Resampling itself is a hash gate downstream (sample_gate) with
+    acceptance monotone in llr_q — kept out of this operator so the
+    weights stay inspectable.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = tokens(norm)
+    feats = F.concat(toks, word_shingles(toks, 2))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    bf = docs.select(
+        F.col(id_col),
+        target.alias("_t"),
+        F.explode(
+            F.when(norm == "", F.array().cast("array<string>")).otherwise(feats)
+        ).alias("_f"),
+    ).select(F.col(id_col), "_t", bucket.alias("_b"))
+    counts = bf.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_r"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("_tc"),
+    )
+    # totals as an unpartitioned window over the <= dim count rows: a
+    # separate .agg() would re-run the whole explode+count lineage (a
+    # third pass over the corpus); the window moves only dim rows to
+    # one task.  Net: the canonical two DSIR passes — fit, then score.
+    wtot = Window.partitionBy()
+    rtot = F.sum("_r").over(wtot).cast("long")
+    ttot = F.sum("_tc").over(wtot).cast("long")
+    w_q = F.round(
+        F.log(
+            ((F.col("_tc") + 1) * (rtot + dim)).cast("double")
+            / ((F.col("_r") + 1) * (ttot + dim)).cast("double")
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    weights = counts.select("_b", w_q.alias("_wq"))
+    scored = (
+        bf.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("_wq").cast("long").alias("llr_q"),
+        )
+    )
+    base = docs.select(F.col(id_col), target.cast("int").alias("is_target"))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        "is_target",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("llr_q", F.lit(0)).cast("long").alias("llr_q"),
+        F.round(F.coalesce(F.col("llr_q"), F.lit(0)) / 1000000.0, 4).alias(
+            "dsir_weight"
+        ),
+        (F.coalesce(F.col("llr_q"), F.lit(0)) > 0).cast("int").alias(
+            "leans_target"
+        ),
     )
