@@ -53,3 +53,66 @@ def test_template_stats_rollup(spark):
     assert a["top_fp"] == _md5("html,body,p")
     assert a["top_share"] == 0.6667
     assert out["b.ex"]["top_share"] == 1.0
+
+
+# ------------------------------------------------------------ page_tables
+def test_page_tables_nested_table_ownership():
+    from uniparser_spark.textops.structure import page_tables
+
+    rows = page_tables(
+        "<html><body><table><tr><td>x "
+        "<table><tr><td>in</td></tr></table></td>"
+        "<td>y</td></tr></table></body></html>"
+    )
+    # outer row owns both cells; nested table gets its own index
+    assert rows == [
+        (0, 0, 0, 2, "x in|y"),
+        (1, 0, 0, 1, "in"),
+    ]
+
+
+def test_page_tables_section_wrappers_and_headers():
+    from uniparser_spark.textops.structure import page_tables
+
+    rows = page_tables(
+        "<table><thead><tr><th>H1</th><th>H2</th></tr></thead>"
+        "<tbody><tr><td>a</td><th>b</th></tr></tbody>"
+        "<tfoot><tr><td>f</td></tr></tfoot></table>"
+    )
+    # thead/tbody/tfoot transparent, row_idx document-ordered;
+    # mixed th+td row is NOT a header row
+    assert rows == [
+        (0, 0, 1, 2, "H1|H2"),
+        (0, 1, 0, 2, "a|b"),
+        (0, 2, 0, 1, "f"),
+    ]
+
+
+def test_page_tables_empty_row_and_whitespace_collapse():
+    from uniparser_spark.textops.structure import page_tables
+
+    rows = page_tables(
+        "<table><tr></tr><tr><td>  a \n  <b>bold</b>  text </td></tr></table>"
+    )
+    assert rows == [
+        (0, 0, 0, 0, ""),
+        (0, 1, 0, 1, "a bold text"),
+    ]
+    assert page_tables("<p>none</p>") == []
+
+
+def test_extract_tables_spark_surface(spark):
+    from uniparser_spark.textops.structure import extract_tables
+
+    pages = spark.createDataFrame(
+        [
+            (1, "<table><tr><th>k</th></tr><tr><td>v</td></tr></table>"),
+            (2, "<p>no table</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    got = sorted(
+        (r["doc_id"], r["table_idx"], r["row_idx"], r["is_header"], r["cells"])
+        for r in extract_tables(pages).collect()
+    )
+    assert got == [(1, 0, 0, 1, "k"), (1, 0, 1, 0, "v")]

@@ -1714,6 +1714,46 @@ def q_microdata(spark, sf_dir):
     return harvest_microdata(docs.select("doc_id", html.alias("html")))
 
 
+def q_html_tables(spark, sf_dir):
+    """HTML table extraction (textops/structure.py extract_tables):
+    one row per <tr>, nearest-ancestor-table ownership.  Fixture:
+    th-header 2x3 table (ids%4==0), nested-in-td table exercising row
+    ownership (ids%4==1), thead/tbody wrappers (ids%4==2), no table
+    otherwise — the oracle enumerates the expected rows analytically."""
+    from .textops.structure import extract_tables
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    html = (
+        F.when(
+            d % 4 == 0,
+            F.lit(
+                "<html><body><table><tr><th>A</th><th>B</th></tr>"
+                "<tr><td>1</td><td>2</td></tr>"
+                "<tr><td>3</td><td>4</td></tr></table></body></html>"
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.lit(
+                "<html><body><table><tr><td>x "
+                "<table><tr><td>in</td></tr></table></td>"
+                "<td>y</td></tr></table></body></html>"
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.lit(
+                "<html><body><table><thead><tr><th>H</th></tr></thead>"
+                "<tbody><tr><td>d1</td></tr><tr><td>d2</td></tr></tbody>"
+                "</table></body></html>"
+            ),
+        )
+        .otherwise(F.lit("<html><body><p>no tables</p></body></html>"))
+    )
+    return extract_tables(docs.select("doc_id", html.alias("html")))
+
+
 def q_gopher_signals(spark, sf_dir):
     """Gopher symbol/layout filters (textops/clean.py gopher_signals):
     '#'/'...'-to-word ratio, bullet-line and ellipsis-line fractions,
@@ -2911,6 +2951,7 @@ QUERIES = {
     "hreflang_audit": q_hreflang_audit,
     "gopher_signals": q_gopher_signals,
     "microdata": q_microdata,
+    "html_tables": q_html_tables,
     "recrawl_priority": q_recrawl_priority,
     "host_stats": q_host_stats,
     "url_aliases": q_url_aliases,
@@ -6649,6 +6690,30 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# HTML table extraction: the fixture's table shapes are fixed per
+# doc_id%4 class, so the oracle enumerates the expected (table_idx,
+# row_idx, is_header, n_cells, cells) rows as literals.
+ORACLES["html_tables"] = r"""
+    WITH exp(m, table_idx, row_idx, is_header, n_cells, cells) AS (
+      VALUES
+        (0, 0, 0, 1, 2, 'A|B'),
+        (0, 0, 1, 0, 2, '1|2'),
+        (0, 0, 2, 0, 2, '3|4'),
+        (1, 0, 0, 0, 2, 'x in|y'),
+        (1, 1, 0, 0, 1, 'in'),
+        (2, 0, 0, 1, 1, 'H'),
+        (2, 0, 1, 0, 1, 'd1'),
+        (2, 0, 2, 0, 1, 'd2')
+    )
+    SELECT d.doc_id,
+           CAST(e.table_idx AS INT) AS table_idx,
+           CAST(e.row_idx AS INT) AS row_idx,
+           CAST(e.is_header AS INT) AS is_header,
+           CAST(e.n_cells AS INT) AS n_cells,
+           e.cells
+    FROM documents d JOIN exp e ON (d.doc_id % 4) = e.m
+"""
 
 # DSIR importance weights: same feature chain as linear_scores, bucket
 # log-ratio quantized to micro-nats BEFORE the per-doc sum so the only

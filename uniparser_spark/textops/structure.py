@@ -129,3 +129,95 @@ def dom_structure(
             )
 
     return df.select(id_col, html_col).mapInPandas(run, schema=schema)
+
+
+def page_tables(html: str) -> list:
+    """Extract every ``<table>`` on a page as flat row records:
+    ``(table_idx, row_idx, is_header, n_cells, cells)``.
+
+    Semantics (documented so the oracle can predict them on synthesized
+    markup):
+
+    - tables are numbered in document (pre-order) order, 0-based;
+    - a ``<tr>`` belongs to its NEAREST ancestor table — rows of a
+      table nested inside a ``<td>`` never leak into the outer table
+      (the walk simply does not descend into nested ``<table>``
+      subtrees; the nested table gets its own ``table_idx`` when the
+      outer pre-order walk reaches it);
+    - ``<thead>``/``<tbody>``/``<tfoot>`` wrappers are transparent:
+      any ``tr`` in the subtree counts, in document order, 0-based
+      ``row_idx`` per table;
+    - cells are the ``th``/``td`` DIRECT element children of the row
+      (per the HTML content model); ``is_header`` = 1 when the row has
+      cells and every cell is a ``th``;
+    - cell text is the descendant text with whitespace collapsed to
+      single spaces and trimmed, ``|``-joined (a cell containing a
+      nested table therefore includes the inner table's text — the
+      flat-text contract of ``Element.text``).
+    """
+    doc = parse_html(html)
+    out = []
+    tables = [el for el in doc.iter_elements() if el.tag == "table"]
+    for t_idx, table in enumerate(tables):
+        rows = []
+        stack = table.children[::-1]
+        while stack:
+            node = stack.pop()
+            if not isinstance(node, Element):
+                continue
+            if node.tag == "table":
+                continue  # nested table: owns its rows
+            if node.tag == "tr":
+                rows.append(node)
+            if node.children:
+                stack.extend(node.children[::-1])
+        for r_idx, tr in enumerate(rows):
+            cells = [c for c in tr.element_children() if c.tag in ("th", "td")]
+            texts = [" ".join(c.text.split()) for c in cells]
+            is_header = int(bool(cells) and all(c.tag == "th" for c in cells))
+            out.append((t_idx, r_idx, is_header, len(cells), "|".join(texts)))
+    return out
+
+
+def extract_tables(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML table extraction: one output row per ``<tr>`` across every
+    page — the batch Spark form of the table-scraping rules users write
+    against the reference engine one CSS selector at a time.
+
+    Output: (id, table_idx, row_idx, is_header, n_cells, cells); pages
+    without tables emit nothing (explode semantics — pair with
+    dom_structure for a per-page census).  One DOM parse per page, one
+    Arrow crossing, narrow output rows; the downstream relational steps
+    (pivoting a header row onto data rows, filtering by table shape)
+    are ordinary DataFrame ops on this flat relation.
+    """
+    schema = (
+        f"{id_col} long, table_idx int, row_idx int, is_header int, "
+        "n_cells int, cells string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ti, ri, hdr, nc, cell = [], [], [], [], [], []
+            for i, html in zip(pdf[id_col], pdf[html_col]):
+                for t_idx, r_idx, is_h, n, cs in page_tables(html):
+                    ids.append(i)
+                    ti.append(t_idx)
+                    ri.append(r_idx)
+                    hdr.append(is_h)
+                    nc.append(n)
+                    cell.append(cs)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "table_idx": pd.array(ti, dtype="int32"),
+                    "row_idx": pd.array(ri, dtype="int32"),
+                    "is_header": pd.array(hdr, dtype="int32"),
+                    "n_cells": pd.array(nc, dtype="int32"),
+                    "cells": cell,
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)
