@@ -940,3 +940,31 @@ def test_sentence_stats_hand_case(spark):
     assert out[3]["n_sentences"] == 0 and out[3]["avg_sent_tokens"] is None
     # '...' is ONE terminator run
     assert out[4]["n_sentences"] == 3 and out[4]["max_sent_tokens"] == 1
+
+
+def test_quantize_audit_hand_values(spark):
+    from uniparser_spark.textops.similarity import quantize_audit
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.3, -0.6]),       # absmax 1.0 -> scale 1/127
+            (2, [127.0, -64.0, 3.0]),    # integer components: exact
+            (3, [0.0, 0.0, 0.0]),        # zero vector: defined branch
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r.asDict() for r in quantize_audit(emb).collect()}
+    assert got[1]["n_dims"] == 3
+    assert got[1]["scale"] == round(1.0 / 127.0, 10)
+    assert got[1]["max_abs_err"] == pytest.approx(0.0015748, abs=1e-7)
+    assert got[1]["mse"] == pytest.approx(1.0333e-06, rel=1e-3)
+    assert got[1]["cos_q"] == pytest.approx(0.999999, abs=2e-6)
+    # scale 1.0: every component is already an int8 level -> zero error
+    assert got[2]["scale"] == 1.0
+    assert got[2]["max_abs_err"] == 0.0
+    assert got[2]["mse"] == 0.0
+    assert got[2]["cos_q"] == 1.0
+    # zero vector: scale 0, no error, cosine pinned to 1
+    assert got[3]["scale"] == 0.0
+    assert got[3]["mse"] == 0.0
+    assert got[3]["cos_q"] == 1.0

@@ -2694,6 +2694,16 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(tp(spark, sf_dir, "embeddings"), n_queries=8, k=5)
 
 
+def q_quantize_audit(spark, sf_dir):
+    """Int8 symmetric-absmax quantization audit (textops/similarity.py
+    quantize_audit): per-vector scale, reconstruction error and
+    original-vs-dequantized cosine — the fidelity gate before an ANN
+    index swaps float32 for int8.  Pure per-row projection."""
+    from .textops.similarity import quantize_audit
+
+    return quantize_audit(tp(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs(
         tp(spark, sf_dir, "embeddings"), threshold=0.35, max_id=300
@@ -2919,6 +2929,7 @@ QUERIES = {
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
+    "quantize_audit": q_quantize_audit,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_topk": q_ann_multiprobe_topk,
@@ -6690,6 +6701,39 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# int8 quantization audit: every fold mirrors the similarity family's
+# sequential left-fold; round() agrees across engines on away-from-zero
+# halves, and the all-zero-vector branch pins cos_q = 1.
+ORACLES["quantize_audit"] = r"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM e),
+    d AS (
+      SELECT vec_id, v, sc,
+        CASE WHEN sc = 0 THEN v
+             ELSE list_transform(v, x -> ROUND(x / sc, 0) * sc) END AS dq
+      FROM s),
+    r AS (
+      SELECT vec_id, v, sc, dq,
+        list_transform(range(1, len(v) + 1), i -> v[i] - dq[i]) AS err
+      FROM d)
+    SELECT vec_id,
+      CAST(len(v) AS INT) AS n_dims,
+      ROUND(sc, 10) AS scale,
+      ROUND(list_max(list_transform(err, x -> abs(x))), 8) AS max_abs_err,
+      ROUND(list_sum(list_transform(err, x -> x * x)) / len(v), 10) AS mse,
+      CASE WHEN sc = 0 THEN 1.0 ELSE
+        ROUND(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * dq[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])))
+           * sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> dq[i] * dq[i])))), 6)
+      END AS cos_q
+    FROM r
+"""
 
 # HTML table extraction: the fixture's table shapes are fixed per
 # doc_id%4 class, so the oracle enumerates the expected (table_idx,

@@ -579,3 +579,66 @@ def centroid_assign(
         )
         .select(id_col, F.col("m.centroid_id").alias("centroid_id"), F.col("m.sim").alias("sim"))
     )
+
+
+def quantize_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric-absmax int8 quantization audit — the fidelity check run
+    before an ANN deployment swaps float32 vectors for int8 (4x smaller
+    index, SIMD int dot products).  Per vector: quantize with
+    scale = absmax/127, q_i = round(v_i/scale) (so |q_i| <= 127 by
+    construction), dequantize, and report the reconstruction error and
+    the cosine between the original and its dequantized self — the
+    number that predicts recall loss downstream.
+
+    Output: (id, n_dims, scale, max_abs_err, mse, cos_q) with scale/mse
+    at 10 dp, max_abs_err at 8 dp, cos_q at 6 dp (the similarity
+    family's tie-stable precision).  An all-zero vector quantizes to
+    itself: scale 0, errors 0, cos_q defined as 1.
+
+    Determinism/scale: a pure per-row projection — zero Exchange, zero
+    Python; every fold (absmax, error sums, cosine) is the sequential
+    left-fold the DuckDB oracle reproduces exactly (see .exprs.dot),
+    and round() on positives agrees across both engines.
+    """
+    v = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col), v.alias("v"))
+    absmax = F.array_max(F.transform(F.col("v"), F.abs))
+    scale = absmax / F.lit(127.0)
+    dq = F.transform(
+        F.col("v"), lambda x: F.round(x / F.col("_scale"), 0) * F.col("_scale")
+    )
+    staged = base.select(
+        F.col(id_col),
+        "v",
+        scale.alias("_scale"),
+    ).select(
+        F.col(id_col),
+        "v",
+        "_scale",
+        F.when(F.col("_scale") == 0.0, F.col("v")).otherwise(dq).alias("_dq"),
+    )
+    err = F.zip_with(F.col("v"), F.col("_dq"), lambda a, b: a - b)
+    sum_sq = F.aggregate(
+        err, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    from .exprs import dot as _dot
+
+    cos_q = F.when(F.col("_scale") == 0.0, F.lit(1.0)).otherwise(
+        _dot(F.col("v"), F.col("_dq"))
+        / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("_dq"), F.col("_dq")))
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("v").alias("n_dims"),
+        F.round("_scale", 10).alias("scale"),
+        F.round(F.array_max(F.transform(err, F.abs)), 8).alias("max_abs_err"),
+        F.round(sum_sq / F.size("v"), 10).alias("mse"),
+        F.round(cos_q, 6).alias("cos_q"),
+    )
