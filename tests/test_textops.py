@@ -968,3 +968,30 @@ def test_quantize_audit_hand_values(spark):
     assert got[3]["scale"] == 0.0
     assert got[3]["mse"] == 0.0
     assert got[3]["cos_q"] == 1.0
+
+
+def test_repair_mojibake_round_trip_and_safety(spark):
+    from uniparser_spark.textops.charset import repair_mojibake
+
+    docs = spark.createDataFrame(
+        [
+            (1, "menu: cafÃ© rÃ©sumÃ©"),        # classic 2-byte damage
+            (2, "quote: donâ€™t â€” fine"),     # cp1252 punctuation family
+            (3, "legit: SÃO PAULO"),            # marker but invalid utf-8:
+                                                 # round-trip fails, kept
+            (4, "plain ascii only"),             # no markers: short-circuit
+            (5, None),                           # null text: empty contract
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repair_mojibake(docs).collect()}
+    assert got[1]["repaired"] == 1 and got[1]["n_fixed"] == 3
+    assert got[1]["text_repaired"] == "menu: café résumé"
+    assert got[2]["repaired"] == 1 and got[2]["n_fixed"] == 2
+    assert got[2]["text_repaired"] == "quote: don’t — fine"
+    # the safety gate: legitimate 'Ã' never gets corrupted
+    assert got[3]["repaired"] == 0
+    assert got[3]["text_repaired"] == "legit: SÃO PAULO"
+    assert got[4]["repaired"] == 0
+    assert got[4]["text_repaired"] == "plain ascii only"
+    assert got[5]["repaired"] == 0 and got[5]["text_repaired"] == ""

@@ -5600,6 +5600,26 @@ def q_encoding_health(spark, sf_dir):
     return encoding_health(docs.select(d, text.alias("text")))
 
 
+def q_mojibake_repair(spark, sf_dir):
+    """ftfy-style mojibake repair (textops/charset.py repair_mojibake):
+    reverse a utf-8-read-as-cp1252 mis-decode via a strict codec
+    round-trip; the ASCII base corpus plus appended artifact strings
+    makes the repaired output analytically predictable.  ids%3==0 get
+    the two-byte-letter family, ids%3==1 the cp1252-punctuation family,
+    the rest pass through byte-identical."""
+    from .textops.charset import repair_mojibake
+
+    docs = tp(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 3
+    text = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" cafÃ© rÃ©sumÃ©")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" donâ€™t â€” ok")))
+        .otherwise(F.col("text"))
+    )
+    return repair_mojibake(docs.select(d, text.alias("text")))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint selection (textops/quality.py
     winnow_fingerprints): MOSS-style per-window rightmost-min k-gram
@@ -6000,6 +6020,7 @@ QUERIES.update(
         "registrable_domains": q_registrable_domains,
         "charset_sniff": q_charset_sniff,
         "encoding_health": q_encoding_health,
+        "mojibake_repair": q_mojibake_repair,
         "length_distribution": q_length_distribution,
         "hits_scores": q_hits_scores,
         "binary_extract": q_binary_extract,
@@ -6701,6 +6722,20 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# mojibake repair: the fixture's artifact strings and their repaired
+# forms are fixed per doc_id%3 class over an all-ASCII base corpus, so
+# the oracle emits the repaired text as literal concatenations.
+ORACLES["mojibake_repair"] = r"""
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS repaired,
+      CASE WHEN doc_id % 3 = 0 THEN 3
+           WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS n_fixed,
+      CASE WHEN doc_id % 3 = 0 THEN text || ' café résumé'
+           WHEN doc_id % 3 = 1 THEN text || ' don’t — ok'
+           ELSE text END AS text_repaired
+    FROM documents
+"""
 
 # int8 quantization audit: every fold mirrors the similarity family's
 # sequential left-fold; round() agrees across engines on away-from-zero
