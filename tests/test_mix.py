@@ -646,3 +646,31 @@ def test_dsir_weights_partition_invariant(spark):
         for r in dsir_weights(docs.repartition(13), target=t).collect()
     }
     assert a == b  # integer micro-nat sums: no float-order hazard
+
+
+# --------------------------------------------------------- training_order
+def test_training_order_reproducible_and_complete(spark):
+    from uniparser_spark.textops.mix import training_order
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = training_order(docs, n_shards=4).collect()
+    b = training_order(docs.repartition(7), n_shards=4).collect()
+    # same assignment under any partitioning
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every doc exactly once; within a shard pos is 1..n dense and
+    # ordered by order_key
+    assert len(a) == 200 and len({r["doc_id"] for r in a}) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [r["order_key"] for r in rows]
+        assert keys == sorted(keys)
+    # a different salt is a genuinely different permutation
+    c = training_order(docs, n_shards=4, salt="epoch2").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in c} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in a
+    }

@@ -2406,6 +2406,18 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, target=(F.col("doc_id") % 5 == 0))
 
 
+def q_training_order(spark, sf_dir):
+    """Deterministic global training-order shuffle (textops/mix.py
+    training_order): hash order key + independent hash shard, pos =
+    within-shard rank — the reproducible orderBy(rand()) replacement a
+    trainer's loader re-derives from (salt, n_shards) alone."""
+    from .textops.mix import training_order
+
+    return training_order(
+        tp(spark, sf_dir, "documents").select("doc_id"), n_shards=8
+    )
+
+
 def q_crawl_budget(spark, sf_dir):
     """Explore/exploit crawl-budget allocation (frontier/budget.py
     allocate_budget): the doc corpus stands in for one round's fetch
@@ -2984,6 +2996,7 @@ QUERIES = {
     "seq_pack": q_seq_pack,
     "lm_scores": q_lm_scores,
     "dsir_weights": q_dsir_weights,
+    "training_order": q_training_order,
     "crawl_budget": q_crawl_budget,
     "page_directives": q_page_directives,
     "dup_spans": q_dup_spans,
@@ -6722,6 +6735,20 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# training order: both hashes are the portable md5 family; pos is a
+# plain per-shard rank over the 16-hex order key.
+ORACLES["training_order"] = r"""
+    WITH s AS (
+      SELECT doc_id,
+        substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 16) AS order_key,
+        CAST(('0x' || substr(md5('order/shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+      CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY order_key) AS BIGINT) AS pos,
+      order_key
+    FROM s
+"""
 
 # mojibake repair: the fixture's artifact strings and their repaired
 # forms are fixed per doc_id%3 class over an all-ASCII base corpus, so

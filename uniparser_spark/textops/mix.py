@@ -870,3 +870,50 @@ def dsir_weights(
             "leans_target"
         ),
     )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 64,
+    salt: str = "order",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the step between a
+    packed corpus and the trainer's data loader.  ``df.orderBy(rand())``
+    re-draws under task retries and cannot be reproduced across reruns;
+    hashing gives the same uniform shuffle with a proof of order:
+    order_key = md5(salt:id), shard = leading-32-bit bucket of a
+    DIFFERENT salt (shard and order are independent draws, so shard
+    files are internally shuffled too), pos = rank of order_key within
+    the shard.  Any worker can re-derive its exact byte stream from
+    (salt, n_shards) alone; changing the salt is a fresh epoch-level
+    reshuffle.
+
+    Output: (id, shard, pos, order_key).  Scale: one hash projection,
+    then exactly the Exchange(shard)+sort the shard WRITE needs anyway
+    — the ordering costs nothing beyond materializing the files; no
+    global sort, no single-partition stage.
+    """
+    key = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 16
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}/shard:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("order_key")
+    return (
+        df.select(
+            F.col(id_col), shard.alias("shard"), key.alias("order_key")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos", "order_key")
+    )
