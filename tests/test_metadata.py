@@ -157,3 +157,46 @@ def test_harvest_microdata(spark):
     )
     assert out[2]["n_scopes"] == 1 and out[2]["itemtypes"] is None
     assert out[3]["n_scopes"] == 0 and out[3]["n_props"] == 0
+
+
+# -------------------------------------------------------- bitext_candidates
+def test_bitext_candidates_reciprocity_langs_and_score(spark):
+    from uniparser_spark.textops.metadata import bitext_candidates
+
+    edges = spark.createDataFrame(
+        [
+            # a <-> b reciprocal en/de pair
+            ("http://s/a", "de", "http://s/b"),
+            ("http://s/b", "en", "http://s/a"),
+            # a -> c unreciprocated: must not pair
+            ("http://s/a", "fr", "http://s/c"),
+            # d <-> e reciprocal but same primary subtag: filtered
+            ("http://s/d", "en-GB", "http://s/e"),
+            ("http://s/e", "en-US", "http://s/d"),
+        ],
+        "url string, hreflang string, href string",
+    )
+    feats = spark.createDataFrame(
+        [
+            ("http://s/a", 100, "fpX"),
+            ("http://s/b", 80, "fpX"),
+            ("http://s/c", 10, "fpY"),
+            ("http://s/d", 50, "fpZ"),
+            ("http://s/e", 50, "fpZ"),
+        ],
+        "url string, n_tokens long, template_fp string",
+    )
+    got = bitext_candidates(edges, feats).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["url_a"], r["url_b"]) == ("http://s/a", "http://s/b")
+    # lang of each page comes from the COUNTERPART's edge
+    assert (r["lang_a"], r["lang_b"]) == ("en", "de")
+    assert r["len_ratio"] == 0.8
+    assert r["same_template"] == 1
+    assert r["align_score"] == 0.9
+    # regional variants surface when cross_lang_only is off
+    both = bitext_candidates(edges, feats, cross_lang_only=False).collect()
+    assert len(both) == 2
+    dd = {(r["url_a"], r["url_b"]): r for r in both}
+    assert dd[("http://s/d", "http://s/e")]["align_score"] == 1.0

@@ -1774,25 +1774,21 @@ def q_gopher_signals(spark, sf_dir):
     return gopher_signals(docs.select("doc_id", page.alias("page")))
 
 
-def q_hreflang_audit(spark, sf_dir):
-    """hreflang cluster audit (textops/metadata.py harvest_hreflang +
-    hreflang_audit): pages form 3-id language clusters {r, r+1, r+2}
-    each listing all three variants; ids%5==0 omit their self link
-    (missing_self), ids%7==3 add an alternate nobody reciprocates
-    (broken), and clusters straddling the id range leave dangling
-    targets (also broken).  Edges are harvested from real synthesized
-    <link> markup, then audited with one distinct-edge self-join."""
-    from .textops.metadata import harvest_hreflang, hreflang_audit
+def _hreflang_url(x):
+    return F.concat(
+        F.lit("https://h"), (x % 7).cast("string"),
+        F.lit(".example.com/p/"), x.cast("string"),
+    )
 
-    docs = tp(spark, sf_dir, "documents").select("doc_id")
+
+def _hreflang_pages(docs):
+    """Shared fixture for the hreflang queries: 3-id language clusters
+    {r, r+1, r+2} (en/de/fr by id%3), each page listing all three
+    variants; ids%5==0 omit their self link, ids%7==3 add a phantom
+    alternate nobody reciprocates, and clusters straddling the id range
+    leave dangling targets."""
     d = F.col("doc_id")
-
-    def u(x):
-        return F.concat(
-            F.lit("https://h"), (x % 7).cast("string"),
-            F.lit(".example.com/p/"), x.cast("string"),
-        )
-
+    u = _hreflang_url
     langs = ["en", "de", "fr"]
     slots = []
     for o in range(3):
@@ -1818,8 +1814,37 @@ def q_hreflang_audit(spark, sf_dir):
         F.lit("<html><head>"), slots[0], slots[1], slots[2], extra,
         F.lit("</head><body></body></html>"),
     )
-    pages = docs.select(u(d).alias("url"), html.alias("html"))
-    return hreflang_audit(harvest_hreflang(pages))
+    return docs.select(u(d).alias("url"), html.alias("html"))
+
+
+def q_hreflang_audit(spark, sf_dir):
+    """hreflang cluster audit (textops/metadata.py harvest_hreflang +
+    hreflang_audit) over the shared _hreflang_pages fixture: edges are
+    harvested from real synthesized <link> markup, then audited with
+    one distinct-edge self-join (broken > missing_self > ok)."""
+    from .textops.metadata import harvest_hreflang, hreflang_audit
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    return hreflang_audit(harvest_hreflang(_hreflang_pages(docs)))
+
+
+def q_bitext_candidates(spark, sf_dir):
+    """Bitext candidate mining (textops/metadata.py bitext_candidates)
+    over the shared _hreflang_pages fixture: reciprocal cross-language
+    hreflang pairs scored by template equality + token-length ratio.
+    Features are synthesized per url (n_tokens = id%50+10, template_fp
+    = 'fp'||id%2, so within-cluster pairs mix both template verdicts);
+    phantom and dangling alternates self-eliminate in the join."""
+    from .textops.metadata import bitext_candidates, harvest_hreflang
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    feats = docs.select(
+        _hreflang_url(d).alias("url"),
+        (d % 50 + 10).cast("long").alias("n_tokens"),
+        F.concat(F.lit("fp"), (d % 2).cast("string")).alias("template_fp"),
+    )
+    return bitext_candidates(harvest_hreflang(_hreflang_pages(docs)), feats)
 
 
 def _structure_html(d):
@@ -2972,6 +2997,7 @@ QUERIES = {
     "dom_structure": q_dom_structure,
     "template_stats": q_template_stats,
     "hreflang_audit": q_hreflang_audit,
+    "bitext_candidates": q_bitext_candidates,
     "gopher_signals": q_gopher_signals,
     "microdata": q_microdata,
     "html_tables": q_html_tables,
@@ -6735,6 +6761,47 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# bitext candidates: the oracle re-derives the reciprocal cross-lang
+# pair set relationally from the SAME fixture arithmetic the audit
+# oracle uses (phantom edges omitted — they have no reverse edge and
+# drop in the join; including them changes nothing).
+ORACLES["bitext_candidates"] = r"""
+    WITH ids AS (SELECT doc_id AS d FROM documents),
+    e AS (
+      SELECT
+        'https://h' || CAST(d % 7 AS VARCHAR) || '.example.com/p/' ||
+          CAST(d AS VARCHAR) AS url,
+        'https://h' || CAST(((d - d % 3) + o) % 7 AS VARCHAR) ||
+          '.example.com/p/' || CAST((d - d % 3) + o AS VARCHAR) AS href,
+        CASE ((d - d % 3) + o) % 3
+          WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang
+      FROM ids CROSS JOIN (VALUES (0), (1), (2)) offs(o)
+      WHERE NOT (d % 3 = o AND d % 5 = 0)
+    ),
+    fwd AS (SELECT url AS url_a, href AS url_b, lang AS lang_b
+            FROM e WHERE url < href),
+    rev AS (SELECT href AS url_a, url AS url_b, lang AS lang_a
+            FROM e WHERE href < url),
+    p AS (SELECT DISTINCT url_a, url_b, lang_a, lang_b
+          FROM fwd JOIN rev USING (url_a, url_b)
+          WHERE split_part(lang_a, '-', 1) <> split_part(lang_b, '-', 1)),
+    f AS (SELECT
+        'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' ||
+          CAST(doc_id AS VARCHAR) AS url,
+        CAST(doc_id % 50 + 10 AS BIGINT) AS n_tokens,
+        'fp' || CAST(doc_id % 2 AS VARCHAR) AS template_fp
+      FROM documents)
+    SELECT p.url_a, p.url_b, p.lang_a, p.lang_b,
+      ROUND(CAST(least(fa.n_tokens, fb.n_tokens) AS DOUBLE)
+          / CAST(greatest(fa.n_tokens, fb.n_tokens) AS DOUBLE), 4) AS len_ratio,
+      CAST(fa.template_fp = fb.template_fp AS INT) AS same_template,
+      ROUND(CAST(fa.template_fp = fb.template_fp AS INT) * 0.5
+          + (CAST(least(fa.n_tokens, fb.n_tokens) AS DOUBLE)
+           / CAST(greatest(fa.n_tokens, fb.n_tokens) AS DOUBLE)) * 0.5, 4
+      ) AS align_score
+    FROM p JOIN f fa ON fa.url = p.url_a JOIN f fb ON fb.url = p.url_b
+"""
 
 # training order: both hashes are the portable md5 family; pos is a
 # plain per-shard rank over the 16-hex order key.

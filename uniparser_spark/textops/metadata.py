@@ -321,3 +321,88 @@ def harvest_metadata(
             )
 
     return df.select(*cols).mapInPandas(run, schema=schema)
+
+
+def bitext_candidates(
+    edges: DataFrame,
+    features: DataFrame,
+    cross_lang_only: bool = True,
+) -> DataFrame:
+    """Parallel-document (bitext) candidate mining from hreflang
+    clusters — the highest-precision alignment signal a crawl has:
+    sites DECLARE their own translations, so mining starts from the
+    reciprocal hreflang pairs instead of embedding-similarity over the
+    whole corpus (the CCAligned observation: URL/annotation pairing
+    beats content matching where it exists).
+
+    Inputs: a :func:`harvest_hreflang` edge table ``(url, hreflang,
+    href)`` and a per-url feature table ``(url, n_tokens,
+    template_fp)`` (dom_structure + token counts joined upstream).
+
+    A candidate is an unordered page pair with BOTH directed edges
+    present (reciprocity — the same bar search engines apply; dangling
+    and phantom alternates self-eliminate in the join).  lang_a/lang_b
+    are the hreflang values the COUNTERPART edge declares for each
+    page.  ``cross_lang_only`` keeps pairs whose primary language
+    subtags differ (en-US/en-GB regional variants are duplicates, not
+    bitext).  Alignment confidence, the downstream mining prior:
+    ``align_score = 0.5*same_template + 0.5*len_ratio`` — translated
+    pages on one site almost always share a template and have
+    comparable token counts.
+
+    Output: (url_a, url_b, lang_a, lang_b, len_ratio 4-dp,
+    same_template, align_score 4-dp), url_a < url_b.
+
+    Scale: one self-join on (url_a, url_b) string keys over the
+    distinct edge relation (narrow, uniform unless one page declares
+    millions of alternates — the audit's n_alternates exposes that
+    trap), then two feature joins keyed by url.  No page bytes move;
+    clusters never materialize — reciprocity is pairwise.
+    """
+    e = edges.select("url", "href", "hreflang").distinct()
+    fwd = e.filter(F.col("url") < F.col("href")).select(
+        F.col("url").alias("url_a"),
+        F.col("href").alias("url_b"),
+        F.col("hreflang").alias("lang_b"),
+    )
+    rev = e.filter(F.col("href") < F.col("url")).select(
+        F.col("href").alias("url_a"),
+        F.col("url").alias("url_b"),
+        F.col("hreflang").alias("lang_a"),
+    )
+    pairs = fwd.join(rev, ["url_a", "url_b"]).select(
+        "url_a", "url_b", "lang_a", "lang_b"
+    ).distinct()
+    if cross_lang_only:
+        pairs = pairs.filter(
+            F.split(F.col("lang_a"), "-")[0] != F.split(F.col("lang_b"), "-")[0]
+        )
+    fa = features.select(
+        F.col("url").alias("url_a"),
+        F.col("n_tokens").alias("_na"),
+        F.col("template_fp").alias("_fa"),
+    )
+    fb = features.select(
+        F.col("url").alias("url_b"),
+        F.col("n_tokens").alias("_nb"),
+        F.col("template_fp").alias("_fb"),
+    )
+    j = pairs.join(fa, "url_a").join(fb, "url_b")
+    ratio = F.when(
+        F.greatest("_na", "_nb") == 0, F.lit(1.0)
+    ).otherwise(
+        F.least("_na", "_nb").cast("double")
+        / F.greatest("_na", "_nb").cast("double")
+    )
+    same = (F.col("_fa") == F.col("_fb")).cast("int")
+    return j.select(
+        "url_a",
+        "url_b",
+        "lang_a",
+        "lang_b",
+        F.round(ratio, 4).alias("len_ratio"),
+        same.alias("same_template"),
+        F.round(same * F.lit(0.5) + ratio * F.lit(0.5), 4).alias(
+            "align_score"
+        ),
+    )
