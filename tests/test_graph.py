@@ -298,3 +298,53 @@ def test_hits_hand_computed(spark):
     assert out[1]["auth_score"] == 0
     assert out[4]["auth_norm"] == 1.0 and out[1]["hub_norm"] == 1.0
     assert out[3]["auth_norm"] == round(10 / 13, 6)
+
+
+# ---------------------------------------------------------------- opic
+def test_opic_round_conserves_cash_and_accumulates_history(spark):
+    from uniparser_spark.graph import opic_round
+
+    links = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    cash = spark.createDataFrame(
+        [("a", 1000001, 0), ("b", 500000, 7), ("c", 200000, 0)],
+        "url string, cash long, history long",
+    )
+    got = {r["url"]: r.asDict() for r in opic_round(links, cash).collect()}
+    # a: cash 1000001 over 2 links -> share 500000, residual 1 (DIV
+    # remainder stays), given 1000000 to history
+    assert got["a"]["cash"] == 1
+    assert got["a"]["history"] == 1000000
+    # b: gives 500000 to c, receives a's 500000
+    assert got["b"]["cash"] == 500000
+    assert got["b"]["history"] == 7 + 500000
+    # c: no outlinks -> keeps its cash, plus receives from a and b
+    assert got["c"]["cash"] == 200000 + 500000 + 500000
+    assert got["c"]["history"] == 0
+    # d links out but holds no cash: absent from the state
+    assert "d" not in got
+    # cash conservation: total cash unchanged
+    assert sum(r["cash"] for r in got.values()) == 1000001 + 500000 + 200000
+    assert all(
+        r["importance"] == r["cash"] + r["history"] for r in got.values()
+    )
+
+
+def test_opic_two_rounds_compose(spark):
+    from uniparser_spark.graph import opic_round
+
+    links = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    cash = spark.createDataFrame(
+        [("a", 1000000, 0), ("b", 0, 0)], "url string, cash long, history long"
+    )
+    r1 = opic_round(links, cash)
+    r2 = {r["url"]: r.asDict() for r in opic_round(links, r1).collect()}
+    # the million bounced a->b->a; history counts both hops
+    assert r2["a"]["cash"] == 1000000
+    assert r2["a"]["history"] == 1000000
+    assert r2["b"]["cash"] == 0
+    assert r2["b"]["history"] == 1000000

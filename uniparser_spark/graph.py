@@ -513,3 +513,84 @@ def hits(edges: DataFrame, nodes: DataFrame, iters: int = 2) -> DataFrame:
             "auth_norm"
         ),
     )
+
+
+def opic_round(
+    links: DataFrame,
+    cash: DataFrame,
+    url_col: str = "url",
+    cash_col: str = "cash",
+    history_col: str = "history",
+) -> DataFrame:
+    """One OPIC round (Abiteboul/Preda/Cobena 2003, "Adaptive On-Line
+    Page Importance Computation") — the frontier-time importance signal
+    a crawler can maintain INCREMENTALLY, before any PageRank-style
+    convergence is affordable: each page distributes its accumulated
+    cash equally over its outlinks when processed; a page's importance
+    estimate is the cash it has received plus everything it has ever
+    distributed (its history).
+
+    Inputs: ``links(src, dst)`` (the round's outlink edges) and
+    ``cash(url, cash, history)`` as BIGINT micro-cash units.  Integer
+    arithmetic end-to-end: per-link share = cash DIV outdeg; the DIV
+    remainder stays with the source (cash is conserved exactly, and the
+    whole round is bit-reproducible — no doubles anywhere).  Pages with
+    no outlinks keep their cash (the virtual-root refinement is a
+    caller-side policy); pages receiving cash without a prior row enter
+    with history 0.
+
+    Output: (url, cash, history, importance = cash + history).
+
+    Scale: one map-side-combined groupBy(src) for outdegrees, one
+    broadcast-or-shuffle join to compute shares, one groupBy(dst) of
+    narrow (dst, bigint) rows, one full outer merge onto the cash
+    state — the same shape as a frontier-state update, compatible with
+    running every crawl round.
+    """
+    deg = links.groupBy(F.col("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("_deg")
+    )
+    c = cash.select(
+        F.col(url_col).alias("_u"),
+        F.col(cash_col).cast("long").alias("_c"),
+        F.col(history_col).cast("long").alias("_h"),
+    )
+    giving = c.join(deg, c["_u"] == deg["src"], "left").select(
+        "_u",
+        "_c",
+        "_h",
+        F.coalesce("_deg", F.lit(0)).alias("_deg"),
+    )
+    share = F.when(
+        F.col("_deg") > 0, F.expr("_c DIV _deg")
+    ).otherwise(F.lit(0)).cast("long")
+    staged = giving.select(
+        "_u",
+        "_h",
+        share.alias("_share"),
+        (F.col("_c") - share * F.col("_deg")).alias("_residual"),
+        (share * F.col("_deg")).alias("_given"),
+    )
+    recv = (
+        links.join(
+            staged.select(F.col("_u").alias("src"), "_share"), "src"
+        )
+        .groupBy(F.col("dst").alias("_u"))
+        .agg(F.sum("_share").cast("long").alias("_recv"))
+    )
+    merged = staged.join(recv, "_u", "full_outer")
+    return merged.select(
+        F.col("_u").alias(url_col),
+        (
+            F.coalesce("_residual", F.lit(0)) + F.coalesce("_recv", F.lit(0))
+        ).cast("long").alias(cash_col),
+        (
+            F.coalesce("_h", F.lit(0)) + F.coalesce("_given", F.lit(0))
+        ).cast("long").alias(history_col),
+        (
+            F.coalesce("_residual", F.lit(0))
+            + F.coalesce("_recv", F.lit(0))
+            + F.coalesce("_h", F.lit(0))
+            + F.coalesce("_given", F.lit(0))
+        ).cast("long").alias("importance"),
+    )

@@ -1398,6 +1398,22 @@ def q_pagerank3(spark, sf_dir):
     return pagerank(edges, nodes, n, iters=3)
 
 
+def q_opic(spark, sf_dir):
+    """One OPIC round (graph.py opic_round): integer micro-cash
+    distribution over the circulant graph — the incremental importance
+    estimate a frontier maintains per crawl round, vs pagerank3's
+    converged batch signal.  Uniform 1e6 initial cash, empty history."""
+    from .graph import opic_round
+
+    edges, nodes, _ = _graph_inputs(spark, sf_dir)
+    cash = nodes.select(
+        F.col("node").alias("url"),
+        F.lit(1000000).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+    return opic_round(edges, cash)
+
+
 def q_recrawl_priority(spark, sf_dir):
     """Change-rate-driven recrawl ranking (Cho & Garcia-Molina refresh
     policy) over a fetch history synthesized from doc_id; the rational
@@ -2984,6 +3000,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "link_degrees": q_link_degrees,
     "pagerank3": q_pagerank3,
+    "opic": q_opic,
     "dedup_clusters": q_dedup_clusters,
     "canonical_docs": q_canonical_docs,
     "dedup_clusters_star": q_dedup_clusters_star,
@@ -6761,6 +6778,34 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# OPIC: same circulant edge synthesis as the pagerank family; integer
+# micro-cash end-to-end (DIV share, remainder stays with the source),
+# so the round is exactly reproducible with no doubles anywhere.
+ORACLES["opic"] = (
+    _GRAPH_SQL
+    + r""",
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    c AS (SELECT doc_id AS u, CAST(1000000 AS BIGINT) AS cash,
+                 CAST(0 AS BIGINT) AS hist FROM documents),
+    g AS (SELECT c.u, c.cash, c.hist,
+            CASE WHEN coalesce(deg.d, 0) > 0 THEN c.cash // deg.d
+                 ELSE 0 END AS share,
+            coalesce(deg.d, 0) AS d
+          FROM c LEFT JOIN deg ON deg.src = c.u),
+    staged AS (SELECT u, hist, share,
+                 cash - share * d AS residual, share * d AS given
+               FROM g),
+    recv AS (SELECT e.dst AS u, sum(s.share) AS r
+             FROM edges e JOIN staged s ON s.u = e.src GROUP BY e.dst)
+    SELECT coalesce(s.u, r.u) AS url,
+      CAST(coalesce(s.residual, 0) + coalesce(r.r, 0) AS BIGINT) AS cash,
+      CAST(coalesce(s.hist, 0) + coalesce(s.given, 0) AS BIGINT) AS history,
+      CAST(coalesce(s.residual, 0) + coalesce(r.r, 0)
+         + coalesce(s.hist, 0) + coalesce(s.given, 0) AS BIGINT) AS importance
+    FROM staged s FULL OUTER JOIN recv r ON r.u = s.u
+"""
+)
 
 # bitext candidates: the oracle re-derives the reciprocal cross-lang
 # pair set relationally from the SAME fixture arithmetic the audit
