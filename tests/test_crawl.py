@@ -571,3 +571,34 @@ def test_sessionize_gaps_and_ties(spark):
     c = out[(2, 1)]
     assert c["n_events"] == 2 and c["first_event"] == 20
     assert out[(2, 2)]["first_event"] == 22
+
+
+# ------------------------------------------------------------ classify_urls
+def test_classify_urls_rule_per_class(spark):
+    from uniparser_spark.crawl.classify import classify_urls
+
+    cases = [
+        # (url, page_type, priority, depth, has_query)
+        ("https://s.ex/2026/08/my-post", "article", 1, 3, 0),
+        ("https://s.ex/some-very-long-slug-here.html", "article", 1, 1, 0),
+        ("https://s.ex/product/widget-9", "product", 2, 2, 0),
+        ("https://s.ex/dp/B0123", "product", 2, 2, 0),
+        ("https://s.ex/blog/page/12", "pagination", 5, 3, 0),
+        ("https://s.ex/list?page=3", "pagination", 5, 1, 1),
+        ("https://s.ex/search/books", "search", 8, 2, 0),
+        ("https://s.ex/find?q=x", "search", 8, 1, 1),
+        ("https://s.ex/logo.svg", "asset", 9, 1, 0),
+        ("https://s.ex/feed", "feed", 4, 1, 0),
+        ("https://s.ex/news/", "section", 3, 1, 0),
+        ("https://s.ex/news/tech", "section", 3, 2, 0),
+        ("https://s.ex/a/b/c/d", "other", 6, 4, 0),
+        ("https://s.ex/", "other", 6, 0, 0),
+        # asset wins over everything (first match)
+        ("https://s.ex/2026/08/chart.png", "asset", 9, 3, 0),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    got = {r["url"]: r.asDict() for r in classify_urls(df).collect()}
+    for u, ptype, prio, depth, q in cases:
+        r = got[u]
+        assert (r["page_type"], r["type_priority"]) == (ptype, prio), u
+        assert (r["path_depth"], r["has_query"]) == (depth, q), u

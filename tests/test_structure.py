@@ -116,3 +116,37 @@ def test_extract_tables_spark_surface(spark):
         for r in extract_tables(pages).collect()
     )
     assert got == [(1, 0, 0, 1, "k"), (1, 0, 1, 0, "v")]
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _tableish = st.lists(
+        st.one_of(
+            st.sampled_from(
+                ["<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+                 "<th>", "</th>", "<thead>", "</thead>", "<tbody>",
+                 "</tbody>", "<tfoot>", "<div>", "<!--", "-->", "<",
+                 ">", "&", "]]>", "<![CDATA[", '<td colspan="2">']
+            ),
+            st.text(max_size=8),
+        ),
+        max_size=30,
+    ).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(_tableish)
+    def test_fuzz_page_tables_total(markup):
+        """page_tables is total over arbitrary markup: every emitted row
+        is well-typed and internally consistent — never an exception."""
+        from uniparser_spark.textops.structure import page_tables
+
+        for t_idx, r_idx, is_h, n, cells in page_tables(markup):
+            assert t_idx >= 0 and r_idx >= 0
+            assert is_h in (0, 1)
+            assert n >= 0
+            assert isinstance(cells, str)
+            assert (n == 0) == (cells == "") or n > 0
+
+except ImportError:  # pragma: no cover
+    pass

@@ -1398,6 +1398,33 @@ def q_pagerank3(spark, sf_dir):
     return pagerank(edges, nodes, n, iters=3)
 
 
+def q_url_classes(spark, sf_dir):
+    """URL page-type classification (crawl/classify.py classify_urls):
+    first-match-wins shape rules → scheduling priority bands.  Fixture
+    synthesizes one URL per class (dated article, product, pagination,
+    search query, asset, feed, section, unmatched deep path) so the
+    oracle enumerates the verdicts analytically."""
+    from .crawl.classify import classify_urls
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"), F.lit(".example.org")
+    )
+    m = d % 8
+    tail = (
+        F.when(m == 0, F.concat(F.lit("/2026/08/post-"), d.cast("string")))
+        .when(m == 1, F.concat(F.lit("/product/sku-"), d.cast("string")))
+        .when(m == 2, F.concat(F.lit("/blog/page/"), (d % 9 + 1).cast("string")))
+        .when(m == 3, F.concat(F.lit("/find?q=term"), d.cast("string")))
+        .when(m == 4, F.concat(F.lit("/static/img-"), d.cast("string"), F.lit(".png")))
+        .when(m == 5, F.lit("/feed"))
+        .when(m == 6, F.lit("/news/"))
+        .otherwise(F.concat(F.lit("/a/b/c/d-"), d.cast("string")))
+    )
+    return classify_urls(docs.select(F.concat(base, tail).alias("url")))
+
+
 def q_opic(spark, sf_dir):
     """One OPIC round (graph.py opic_round): integer micro-cash
     distribution over the circulant graph — the incremental importance
@@ -3001,6 +3028,7 @@ QUERIES = {
     "link_degrees": q_link_degrees,
     "pagerank3": q_pagerank3,
     "opic": q_opic,
+    "url_classes": q_url_classes,
     "dedup_clusters": q_dedup_clusters,
     "canonical_docs": q_canonical_docs,
     "dedup_clusters_star": q_dedup_clusters_star,
@@ -6778,6 +6806,40 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# URL classification: fixture classes are fixed per doc_id%8, so the
+# oracle enumerates verdict/priority/depth/query analytically (the
+# regex logic itself is pytest-pinned per rule).
+ORACLES["url_classes"] = r"""
+    WITH exp(m, tail_type, path_depth, has_query, page_type, type_priority) AS (
+      VALUES
+        (0, 'a', 3, 0, 'article', 1),
+        (1, 'b', 2, 0, 'product', 2),
+        (2, 'c', 3, 0, 'pagination', 5),
+        (3, 'd', 1, 1, 'search', 8),
+        (4, 'e', 2, 0, 'asset', 9),
+        (5, 'f', 1, 0, 'feed', 4),
+        (6, 'g', 1, 0, 'section', 3),
+        (7, 'h', 4, 0, 'other', 6)
+    )
+    SELECT
+      'https://h' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.org' ||
+      CASE d.doc_id % 8
+        WHEN 0 THEN '/2026/08/post-' || CAST(d.doc_id AS VARCHAR)
+        WHEN 1 THEN '/product/sku-' || CAST(d.doc_id AS VARCHAR)
+        WHEN 2 THEN '/blog/page/' || CAST(d.doc_id % 9 + 1 AS VARCHAR)
+        WHEN 3 THEN '/find?q=term' || CAST(d.doc_id AS VARCHAR)
+        WHEN 4 THEN '/static/img-' || CAST(d.doc_id AS VARCHAR) || '.png'
+        WHEN 5 THEN '/feed'
+        WHEN 6 THEN '/news/'
+        ELSE '/a/b/c/d-' || CAST(d.doc_id AS VARCHAR)
+      END AS url,
+      CAST(e.path_depth AS INT) AS path_depth,
+      CAST(e.has_query AS INT) AS has_query,
+      e.page_type,
+      CAST(e.type_priority AS INT) AS type_priority
+    FROM documents d JOIN exp e ON (d.doc_id % 8) = e.m
+"""
 
 # OPIC: same circulant edge synthesis as the pagerank family; integer
 # micro-cash end-to-end (DIV share, remainder stays with the source),
