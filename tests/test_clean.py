@@ -169,3 +169,32 @@ def test_doc_filter_reasons_in_order(spark):
     assert out[2]["reason"] == "too_short"
     assert out[3]["reason"] == "repetition" and out[3]["admit"] is False
     assert out[4]["reason"] == "boilerplate"
+
+
+# ------------------------------------------------------------ wordlist_filter
+def test_wordlist_filter_exact_token_matching(spark):
+    from uniparser_spark.textops.clean import wordlist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Glass is half full"),     # 'glass' blocked (case-fold)
+            (2, "a classroom has classes"),    # substring only: admitted
+            (3, "clean text entirely"),
+            (4, ""),                            # empty: admitted, 0 tokens
+            (5, "glass glass glass"),           # repeated hits counted
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in wordlist_filter(docs, words=["GLASS", "ass"]).collect()
+    }
+    assert got[1]["n_flagged"] == 1 and got[1]["admitted"] == 0
+    # the C4 word-boundary contract: 'classroom'/'classes' never match
+    assert got[2]["n_flagged"] == 0 and got[2]["admitted"] == 1
+    assert got[3]["admitted"] == 1
+    assert got[4] == {
+        "doc_id": 4, "n_tokens": 0, "n_flagged": 0,
+        "flagged_frac": 0.0, "admitted": 1,
+    }
+    assert got[5]["n_flagged"] == 3 and got[5]["flagged_frac"] == 1.0

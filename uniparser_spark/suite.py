@@ -5684,6 +5684,18 @@ def q_encoding_health(spark, sf_dir):
     return encoding_health(docs.select(d, text.alias("text")))
 
 
+def q_wordlist_filter(spark, sf_dir):
+    """C4-style wordlist admission gate (textops/clean.py
+    wordlist_filter): exact lowercase-token blocklist matching —
+    benign corpus words stand in for the policy list."""
+    from .textops.clean import wordlist_filter
+
+    return wordlist_filter(
+        tp(spark, sf_dir, "documents"),
+        words=["filter", "vector", "window"],
+    )
+
+
 def q_mojibake_repair(spark, sf_dir):
     """ftfy-style mojibake repair (textops/charset.py repair_mojibake):
     reverse a utf-8-read-as-cp1252 mis-decode via a strict codec
@@ -6105,6 +6117,7 @@ QUERIES.update(
         "charset_sniff": q_charset_sniff,
         "encoding_health": q_encoding_health,
         "mojibake_repair": q_mojibake_repair,
+        "wordlist_filter": q_wordlist_filter,
         "length_distribution": q_length_distribution,
         "hits_scores": q_hits_scores,
         "binary_extract": q_binary_extract,
@@ -6806,6 +6819,29 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# wordlist filter: the same normalize/tokenize chain as linear_scores,
+# list literal in place of the broadcast table.
+ORACLES["wordlist_filter"] = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+        CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split({_NORM}, ' ') END AS t
+      FROM documents),
+    flat AS (SELECT doc_id, unnest(t) AS f FROM toks),
+    per AS (
+      SELECT doc_id, count(*) AS n,
+        sum(CASE WHEN f IN ('filter', 'vector', 'window')
+                 THEN 1 ELSE 0 END) AS h
+      FROM flat GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(p.n, 0) AS n_tokens,
+      coalesce(p.h, 0) AS n_flagged,
+      ROUND(CAST(coalesce(p.h, 0) AS DOUBLE)
+          / CAST(greatest(coalesce(p.n, 0), 1) AS DOUBLE), 4) AS flagged_frac,
+      CAST(coalesce(p.h, 0) = 0 AS INT) AS admitted
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
 
 # URL classification: fixture classes are fixed per doc_id%8, so the
 # oracle enumerates verdict/priority/depth/query analytically (the

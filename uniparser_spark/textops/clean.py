@@ -538,3 +538,69 @@ def top_tokens(
         .limit(k)
         .select("token", "n_occurrences", "n_docs")
     )
+
+
+def wordlist_filter(
+    df: DataFrame,
+    words: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style wordlist admission filter: flag documents containing any
+    token from a blocklist (C4 drops pages hitting the public
+    "dirty/naughty/obscene" list; the same operator serves allowlists,
+    compliance terms, or leak canaries — the list is caller-supplied
+    policy, not code).
+
+    Matching is EXACT lowercase-token equality after the module's
+    whitespace normalization — the C4 word-boundary contract (substring
+    matching flags "class" for "ass"; token equality does not).
+
+    Output: (id, n_tokens, n_flagged, flagged_frac 4-dp, admitted) —
+    one row per input doc, admitted = 1 iff no hit; empty docs admit.
+
+    Scale: the list broadcasts (wordlists are KBs); tokens explode in
+    the scan stage and die at the broadcast join; the one shuffle is
+    the map-side-combined groupBy(id) of narrow count partials.  For
+    lists small enough, Catalyst would also accept an isin()/array
+    literal — the join form keeps the plan identical when the list
+    grows to millions of terms (then it shuffles instead of
+    broadcasting, same operator).
+    """
+    spark = df.sparkSession
+    wl = F.broadcast(
+        spark.createDataFrame(
+            [(w.lower(),) for w in sorted(set(words))], "_w string"
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = tokens(norm)
+    base = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(norm == "", F.array().cast("array<string>")).otherwise(toks)
+        ).alias("_t"),
+    )
+    hits = base.join(wl, base["_t"] == wl["_w"], "left")
+    per = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_w").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+    out = df.select(F.col(id_col)).join(per, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+        F.round(
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(1)).cast(
+                "double"
+            ),
+            4,
+        ).alias("flagged_frac"),
+        (F.coalesce(F.col("n_flagged"), F.lit(0)) == 0).cast("int").alias(
+            "admitted"
+        ),
+    )
