@@ -995,3 +995,31 @@ def test_repair_mojibake_round_trip_and_safety(spark):
     assert got[4]["repaired"] == 0
     assert got[4]["text_repaired"] == "plain ascii only"
     assert got[5]["repaired"] == 0 and got[5]["text_repaired"] == ""
+
+
+def test_phrase_positions_offsets_and_nulls(spark):
+    from uniparser_spark.textops.index import phrase_positions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is new york"),     # offsets 0 and 3
+            (2, "york new"),                 # reversed: no match
+            (3, "brand New  York city"),     # case/whitespace normalize
+            (4, "new"),                      # shorter than the phrase
+            (5, ""),                         # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in phrase_positions(docs, "New York").collect()
+    }
+    assert got[1] == {
+        "doc_id": 1, "n_occurrences": 2, "first_pos": 0, "last_pos": 3
+    }
+    assert got[2]["n_occurrences"] == 0 and got[2]["first_pos"] is None
+    assert got[3] == {
+        "doc_id": 3, "n_occurrences": 1, "first_pos": 1, "last_pos": 1
+    }
+    assert got[4]["n_occurrences"] == 0
+    assert got[5]["n_occurrences"] == 0 and got[5]["last_pos"] is None

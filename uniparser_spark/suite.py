@@ -5684,6 +5684,16 @@ def q_encoding_health(spark, sf_dir):
     return encoding_health(docs.select(d, text.alias("text")))
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase positional search (textops/index.py
+    phrase_positions) for the bigram 'row the' over the corpus — the
+    oracle re-derives every offset with the same windowed comparison
+    over DuckDB list ops (cross-engine derivation, not enumeration)."""
+    from .textops.index import phrase_positions
+
+    return phrase_positions(tp(spark, sf_dir, "documents"), "row the")
+
+
 def q_wordlist_filter(spark, sf_dir):
     """C4-style wordlist admission gate (textops/clean.py
     wordlist_filter): exact lowercase-token blocklist matching —
@@ -6118,6 +6128,7 @@ QUERIES.update(
         "encoding_health": q_encoding_health,
         "mojibake_repair": q_mojibake_repair,
         "wordlist_filter": q_wordlist_filter,
+        "phrase_search": q_phrase_search,
         "length_distribution": q_length_distribution,
         "hits_scores": q_hits_scores,
         "binary_extract": q_binary_extract,
@@ -6819,6 +6830,29 @@ ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 ORACLES["dedup_clusters_hashmin"] = ORACLES["dedup_clusters"]
 # streaming link extraction drains to the same rows as the batch op
 ORACLES["stream_links"] = ORACLES["links_extract"]
+
+# phrase search: the same windowed comparison over DuckDB list ops —
+# t[i+1:i+k] is 1-based INCLUSIVE slicing, so offset i's k-token window
+# is t[i+1 : i+2-1+k] = t[i+1 : i+k+1-1]; range() is end-exclusive.
+ORACLES["phrase_search"] = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+        CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split({_NORM}, ' ') END AS t
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 2 THEN
+          list_filter(range(0, len(t) - 1),
+                      i -> array_to_string(t[i + 1 : i + 2], ' ') = 'row the')
+        ELSE CAST([] AS BIGINT[]) END AS starts
+      FROM toks)
+    SELECT doc_id,
+      CAST(len(starts) AS BIGINT) AS n_occurrences,
+      CAST(starts[1] AS BIGINT) AS first_pos,
+      CAST(starts[-1] AS BIGINT) AS last_pos
+    FROM hits
+"""
 
 # wordlist filter: the same normalize/tokenize chain as linear_scores,
 # list literal in place of the broadcast table.

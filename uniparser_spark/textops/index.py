@@ -107,3 +107,47 @@ def bm25_index(
             "|",
         ).alias("postings"),
     )
+
+
+def phrase_positions(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase search — the positional twin of :func:`bm25_index`
+    (bag-of-words ranking cannot distinguish "new york" from "york
+    new"; deduplication forensics and quote-tracking need the exact
+    sequence).  Token-level matching after lowercase/whitespace
+    normalization: occurrence = a token offset where the next k tokens
+    equal the phrase's k tokens.
+
+    Output: one row per input doc — (id, n_occurrences, first_pos,
+    last_pos), positions 0-based token offsets, NULL when absent.
+    Keeping non-matching rows makes the operator a scoring projection
+    (filter n_occurrences > 0 for retrieval semantics).
+
+    Scale: zero Exchange, zero Python — the window comparison is an
+    array-lambda filter over token offsets inside the scan stage,
+    whole-stage codegen; a multi-phrase variant is a literal-array
+    cross-explode over the same projection.
+    """
+    p = phrase.lower().split()
+    k = len(p)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = tokens(norm)
+    window_eq = lambda i: (
+        F.concat_ws(" ", F.slice(toks, i + 1, k)) == F.lit(" ".join(p))
+    )
+    starts = F.when(
+        (norm != "") & (F.size(toks) >= k),
+        F.filter(F.sequence(F.lit(0), F.size(toks) - k), window_eq),
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        F.col(id_col),
+        F.size(starts).cast("long").alias("n_occurrences"),
+        # try_element_at: ANSI mode errors on out-of-bounds element_at,
+        # and the empty (no-match) array must yield NULL positions
+        F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
+        F.try_element_at(starts, F.lit(-1)).cast("long").alias("last_pos"),
+    )
