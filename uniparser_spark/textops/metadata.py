@@ -359,20 +359,36 @@ def bitext_candidates(
     trap), then two feature joins keyed by url.  No page bytes move;
     clusters never materialize — reciprocity is pairwise.
     """
-    e = edges.select("url", "href", "hreflang").distinct()
-    fwd = e.filter(F.col("url") < F.col("href")).select(
-        F.col("url").alias("url_a"),
-        F.col("href").alias("url_b"),
-        F.col("hreflang").alias("lang_b"),
+    # Symmetrize-then-aggregate instead of a fwd/rev self-join: a join
+    # would re-execute the upstream lineage for BOTH branches (the DOM
+    # harvest would run twice — confirmed in the formatted plan), and
+    # reciprocity is just "both directions present" on the unordered
+    # key, which ONE map-side-combinable groupBy answers.  If a page
+    # declares several hreflangs for the same directed pair (invalid
+    # per spec but seen in the wild), the lexicographically smallest
+    # wins — deterministic, documented.
+    sym = edges.filter(F.col("url") != F.col("href")).select(
+        F.least("url", "href").alias("url_a"),
+        F.greatest("url", "href").alias("url_b"),
+        F.when(F.col("url") < F.col("href"), F.lit("f"))
+        .otherwise(F.lit("r"))
+        .alias("_dir"),
+        "hreflang",
     )
-    rev = e.filter(F.col("href") < F.col("url")).select(
-        F.col("href").alias("url_a"),
-        F.col("url").alias("url_b"),
-        F.col("hreflang").alias("lang_a"),
+    pairs = (
+        sym.groupBy("url_a", "url_b")
+        .agg(
+            F.min(
+                F.when(F.col("_dir") == "f", F.col("hreflang"))
+            ).alias("lang_b"),
+            F.min(
+                F.when(F.col("_dir") == "r", F.col("hreflang"))
+            ).alias("lang_a"),
+            F.countDistinct("_dir").alias("_nd"),
+        )
+        .filter(F.col("_nd") == 2)
+        .select("url_a", "url_b", "lang_a", "lang_b")
     )
-    pairs = fwd.join(rev, ["url_a", "url_b"]).select(
-        "url_a", "url_b", "lang_a", "lang_b"
-    ).distinct()
     if cross_lang_only:
         pairs = pairs.filter(
             F.split(F.col("lang_a"), "-")[0] != F.split(F.col("lang_b"), "-")[0]
