@@ -7162,6 +7162,12 @@ _GATE_PRIORITY = [
     #    shard_plan, ngram_lm, quality_buckets, temperature_mix,
     #    feed_scan, extraction_health, host_reciprocity) queue behind
     #    these — all green in the local sweep, none yet driver-rowed
+    #  - session-8 additions (dsir_weights, html_tables, quantize_audit,
+    #    mojibake_repair, training_order, bitext_candidates, opic,
+    #    url_classes, wordlist_filter, phrase_search) likewise queue for
+    #    the round-5 rotation: once CORRECTNESS_r04 certifies the 50
+    #    in-window rows, rotate them out and these (+ the session-6/7
+    #    queue) in
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
