@@ -353,11 +353,13 @@ def bitext_candidates(
     Output: (url_a, url_b, lang_a, lang_b, len_ratio 4-dp,
     same_template, align_score 4-dp), url_a < url_b.
 
-    Scale: one self-join on (url_a, url_b) string keys over the
-    distinct edge relation (narrow, uniform unless one page declares
-    millions of alternates — the audit's n_alternates exposes that
-    trap), then two feature joins keyed by url.  No page bytes move;
-    clusters never materialize — reciprocity is pairwise.
+    Scale: ONE map-side-combinable groupBy on the unordered (url_a,
+    url_b) key over the symmetrized edge relation (narrow, uniform
+    unless one page declares millions of alternates — the audit's
+    n_alternates exposes that trap), then two feature joins keyed by
+    url.  No page bytes move; clusters never materialize — reciprocity
+    is pairwise, and the single pass means the upstream DOM harvest
+    runs once (a fwd/rev self-join would re-execute it per branch).
     """
     # Symmetrize-then-aggregate instead of a fwd/rev self-join: a join
     # would re-execute the upstream lineage for BOTH branches (the DOM
