@@ -266,3 +266,77 @@ def revalidation_plan(
         .otherwise(F.lit("fetch"))
         .alias("action"),
     )
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    url_col: str = "url_canon",
+    round_col: str = "round",
+    fp_col: str = "content_fp",
+) -> DataFrame:
+    """Fold per-round fetch snapshots into SCD-2 validity intervals.
+
+    A recrawl pipeline observes (url, round, content_fp) every time it
+    fetches; the corpus wants page VERSIONS — "this content was live
+    from round a through round b" — so that training sets, diffs and
+    freshness models can ask for the page as-of any round without
+    storing every snapshot.  Classic slowly-changing-dimension type 2,
+    built as gaps-and-islands: a version starts wherever the
+    fingerprint differs from the previous round's (lag), the island id
+    is the running count of starts, and each island aggregates to one
+    interval row.
+
+    Output per (url, island): (url, content_fp, valid_from, valid_to,
+    n_rounds, is_current) — is_current marks the interval containing
+    the url's latest observed round.
+
+    Scale: one shuffle on url; both windows and the final groupBy reuse
+    that partitioning (Exchange-once, verified via .explain), and rows
+    are (url, round, fp) — the page text stays in the store.  Re-fetch
+    gaps are fine: islands are keyed by change points, not round
+    adjacency, so a url fetched at rounds {0,1,5} still folds correctly
+    (the interval's valid_to is the last round the version was SEEN).
+    """
+    url, rnd, fp = F.col(url_col), F.col(round_col), F.col(fp_col)
+    w = Window.partitionBy(url_col).orderBy(round_col)
+    chg = F.when(
+        F.lag(fp_col, 1).over(w).isNull()
+        | (F.lag(fp_col, 1).over(w) != fp),
+        1,
+    ).otherwise(0)
+    # two selects: Spark forbids a window function (the running sum)
+    # over an expression that itself contains one (the lag)
+    flagged = snapshots.select(
+        url.alias("url"),
+        rnd.cast("int").alias("round"),
+        fp.alias("content_fp"),
+        chg.alias("chg"),
+    ).select(
+        "url",
+        "round",
+        "content_fp",
+        F.sum("chg")
+        .over(
+            Window.partitionBy("url")
+            .orderBy("round")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island"),
+    )
+    iv = flagged.groupBy("url", "island").agg(
+        F.first("content_fp").alias("content_fp"),
+        F.min("round").alias("valid_from"),
+        F.max("round").alias("valid_to"),
+        F.count(F.lit(1)).cast("int").alias("n_rounds"),
+    )
+    w_url = Window.partitionBy("url")
+    return iv.select(
+        "url",
+        "content_fp",
+        "valid_from",
+        "valid_to",
+        "n_rounds",
+        (F.col("valid_to") == F.max("valid_to").over(w_url))
+        .cast("int")
+        .alias("is_current"),
+    )

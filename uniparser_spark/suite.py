@@ -7108,6 +7108,249 @@ ORACLES["dsir_weights"] = rf"""
 """
 
 
+# ----------------------------------------------------- session-9 additions
+def _synth_hosts(spark, sf_dir):
+    """499 deterministic hosts derived from the documents table — the
+    shared fixture for the IP-network queries."""
+    return (
+        tp(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("h"),
+                (F.col("doc_id") % 499).cast("string"),
+                F.lit(".example.org"),
+            ).alias("host")
+        )
+        .distinct()
+    )
+
+
+def q_asn_tag(spark, sf_dir):
+    """IP -> ASN range join, bucketed (crawl/ipnet.py
+    tag_hosts_with_asn): hosts resolve to deterministic md5-derived
+    ip24 addresses (shared-hosting model: most hosts land on 24
+    provider IPs), a 64-boundary non-uniform range table partitions the
+    address space, and each host is tagged via prefix-bucket equi-join
+    + residual range filter — the scale shape for a range join (the
+    naive BETWEEN theta-join Catalyst would run as a nested loop).  The
+    oracle IS that naive BETWEEN join, so the bucketed plan is proven
+    equivalent to the textbook semantics."""
+    from .crawl.ipnet import asn_ranges, assign_hosting_ips, tag_hosts_with_asn
+
+    hosts = assign_hosting_ips(_synth_hosts(spark, sf_dir))
+    return tag_hosts_with_asn(hosts, asn_ranges(spark, 64))
+
+
+def q_ip_politeness(spark, sf_dir):
+    """Shared-IP politeness split (crawl/ipnet.py shared_ip_budget):
+    hosts co-located on one server IP share its 60-fetch window budget
+    exactly — integer quotient per host, remainder to the first hosts
+    in host order, so the cohort sum is exactly the server budget."""
+    from .crawl.ipnet import assign_hosting_ips, shared_ip_budget
+
+    hosts = assign_hosting_ips(_synth_hosts(spark, sf_dir))
+    return shared_ip_budget(hosts.drop("shared"), ip_budget=60)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Exact weighted sampling without replacement (textops/mix.py
+    weighted_sample): 20 docs per language with odds proportional to an
+    integer weight (doc_id%4+1), via the integer Efraimidis-Spirakis
+    scheme — w md5 draws per doc, min draw is the doc's key, k smallest
+    keys per stratum win.  All-integer: the kept set is identical from
+    any engine or partitioning."""
+    from .textops.mix import weighted_sample
+
+    return weighted_sample(tp(spark, sf_dir, "documents"), k=20)
+
+
+def q_scd2_pages(spark, sf_dir):
+    """Page-version SCD-2 fold (frontier/freshness.py scd2_history):
+    127 urls x 8 fetch rounds with md5-gated content changes (~37%/
+    round, round 0 always a version start) fold into validity
+    intervals via gaps-and-islands — the recrawl corpus' "page as-of
+    round r" index."""
+    from .frontier.freshness import scd2_history
+
+    docs = tp(spark, sf_dir, "documents")
+    u = docs.select((F.col("doc_id") % 127).alias("uid")).distinct()
+    s = u.select("uid", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r"))
+    chg_h = F.md5(
+        F.concat(
+            F.lit("chg:"),
+            F.col("uid").cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        )
+    )
+    chg = (F.col("r") == 0) | (
+        F.conv(F.substring(chg_h, 1, 2), 16, 10).cast("int") < 96
+    )
+    run = Window.partitionBy("uid").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("uid") % 7).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("uid").cast("string"),
+    )
+    snap = (
+        s.select(
+            "uid",
+            "r",
+            url.alias("url"),
+            F.max(F.when(chg, F.col("r"))).over(run).alias("last_change"),
+        )
+        .select(
+            F.col("url"),
+            F.col("r").cast("int").alias("round"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("url"),
+                        F.lit("#"),
+                        F.col("last_change").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ).alias("content_fp"),
+        )
+    )
+    return scd2_history(snap, url_col="url", round_col="round")
+
+
+QUERIES.update(
+    {
+        "asn_tag": q_asn_tag,
+        "ip_politeness": q_ip_politeness,
+        "weighted_sample": q_weighted_sample,
+        "scd2_pages": q_scd2_pages,
+    }
+)
+
+# shared oracle fragment: the deterministic resolver stand-in
+# (assign_hosting_ips) in DuckDB terms
+_IPS_SQL = r"""
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || CAST(doc_id % 499 AS VARCHAR) || '.example.org'
+             AS host
+      FROM documents),
+    hp AS (
+      SELECT host,
+             ('0x' || substr(md5('prov:' || host), 1, 2))::BIGINT AS p
+      FROM hosts),
+    ips AS (
+      SELECT host,
+        CASE WHEN p < 192 THEN
+          ('0x' || substr(md5('provip:' || CAST(p % 24 AS VARCHAR)), 1, 6))::BIGINT
+        ELSE
+          ('0x' || substr(md5('hostip:' || host), 1, 6))::BIGINT
+        END AS ip24,
+        CAST(p < 192 AS INT) AS shared
+      FROM hp)
+"""
+
+# asn_tag's oracle is the TEXTBOOK range join — plain BETWEEN theta
+# join — so the bucketed equi-join plan is proven value-equivalent.
+ORACLES["asn_tag"] = _IPS_SQL + r"""
+    , b AS (
+      SELECT ('0x' || substr(md5('asnb:' || CAST(i AS VARCHAR)), 1, 6))::BIGINT
+             AS ip_lo
+      FROM range(64) t(i)
+      UNION SELECT 0),
+    r AS (
+      SELECT CAST(row_number() OVER (ORDER BY ip_lo) AS INT) AS asn_id,
+             ip_lo,
+             lead(ip_lo, 1, 16777216) OVER (ORDER BY ip_lo) AS ip_hi
+      FROM (SELECT DISTINCT ip_lo FROM b))
+    SELECT host, ip24, shared, asn_id, ip_lo, ip_hi
+    FROM ips JOIN r ON ip24 >= ip_lo AND ip24 < ip_hi
+"""
+
+ORACLES["ip_politeness"] = _IPS_SQL + r"""
+    SELECT host, ip24,
+      CAST(count(*) OVER (PARTITION BY ip24) AS INT) AS n_cohosted,
+      CAST(60 // (count(*) OVER (PARTITION BY ip24))
+           + CASE WHEN row_number() OVER (PARTITION BY ip24 ORDER BY host)
+                       <= 60 % (count(*) OVER (PARTITION BY ip24))
+                  THEN 1 ELSE 0 END AS INT) AS host_rate
+    FROM ips
+"""
+
+ORACLES["weighted_sample"] = r"""
+    WITH reps AS (
+      SELECT doc_id, lang AS stratum,
+             CAST(doc_id % 4 + 1 AS INT) AS weight,
+             unnest(range(doc_id % 4 + 1)) AS r
+      FROM documents),
+    draws AS (
+      SELECT doc_id, stratum, weight,
+        ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(r AS VARCHAR)), 1, 6))::BIGINT AS draw
+      FROM reps),
+    keyed AS (
+      SELECT doc_id, stratum, weight, min(draw) AS draw_key
+      FROM draws GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT doc_id, stratum, weight, draw_key,
+        CAST(row_number() OVER (PARTITION BY stratum
+                                ORDER BY draw_key, doc_id) AS INT) AS rk
+      FROM keyed)
+    SELECT doc_id, stratum, weight, draw_key, rk FROM ranked WHERE rk <= 20
+"""
+
+ORACLES["scd2_pages"] = r"""
+    WITH u AS (SELECT DISTINCT doc_id % 127 AS uid FROM documents),
+    s AS (SELECT uid, unnest(range(8)) AS r FROM u),
+    c AS (
+      SELECT uid, r,
+        CASE WHEN r = 0
+               OR ('0x' || substr(md5('chg:' || CAST(uid AS VARCHAR) || ':'
+                                      || CAST(r AS VARCHAR)), 1, 2))::BIGINT
+                  < 96
+             THEN 1 ELSE 0 END AS chg
+      FROM s),
+    lc AS (
+      SELECT uid, r,
+        'https://h' || CAST(uid % 7 AS VARCHAR) || '.example.org/p/'
+          || CAST(uid AS VARCHAR) AS url,
+        max(CASE WHEN chg = 1 THEN r END) OVER (
+          PARTITION BY uid ORDER BY r
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_change
+      FROM c),
+    snap AS (
+      SELECT url, CAST(r AS INT) AS round,
+             substr(md5(url || '#' || CAST(last_change AS VARCHAR)), 1, 8)
+               AS content_fp
+      FROM lc),
+    flag AS (
+      SELECT url, round, content_fp,
+        CASE WHEN lag(content_fp) OVER (PARTITION BY url ORDER BY round)
+                  IS DISTINCT FROM content_fp
+             THEN 1 ELSE 0 END AS chg
+      FROM snap),
+    isl AS (
+      SELECT url, round, content_fp,
+        sum(chg) OVER (PARTITION BY url ORDER BY round
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS island
+      FROM flag),
+    iv AS (
+      SELECT url, island,
+             min(content_fp) AS content_fp,
+             CAST(min(round) AS INT) AS valid_from,
+             CAST(max(round) AS INT) AS valid_to,
+             CAST(count(*) AS INT) AS n_rounds
+      FROM isl GROUP BY url, island)
+    SELECT url, content_fp, valid_from, valid_to, n_rounds,
+           CAST(valid_to = max(valid_to) OVER (PARTITION BY url) AS INT)
+             AS is_current
+    FROM iv
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
@@ -7168,6 +7411,8 @@ _GATE_PRIORITY = [
     #    the round-5 rotation: once CORRECTNESS_r04 certifies the 50
     #    in-window rows, rotate them out and these (+ the session-6/7
     #    queue) in
+    #  - session-9 additions (asn_tag, ip_politeness, weighted_sample,
+    #    scd2_pages) join the same rotation queue
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]

@@ -917,3 +917,67 @@ def training_order(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos", "order_key")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Exact weighted sampling without replacement: k docs per stratum,
+    inclusion odds proportional to an integer weight — deterministic.
+
+    Scheme (integer Efraimidis–Spirakis): each doc casts `weight`
+    independent md5 draws and keeps the minimum; the k smallest keys
+    per stratum win.  For two docs the winner odds are exactly
+    w_i/(w_i+w_j) in the continuous limit, and because every draw is a
+    24-bit integer from md5(salt:id:replica), the kept set is identical
+    from any engine, partitioning or retry — unlike df.sample(), and
+    unlike float u^(1/w) keys whose ln/pow round-trips differ across
+    engines.  Integer weights are the corpus-quality contract upstream
+    (quality_buckets emits small-int buckets).
+
+    Scale: the explode fans each row out w times BUT carries only
+    (id, stratum) — text never replicates; the min-per-doc groupBy
+    combines map-side (each input partition emits one partial min per
+    doc), and the per-stratum top-k is a rank window over |docs|
+    narrow rows.  Two shuffles total, both on narrow keys.
+
+    Output: (doc_id, stratum, weight, draw_key, rk) for the winners.
+    """
+    w_col = (weight if weight is not None else (F.col(id_col) % 4 + 1)).cast(
+        "int"
+    )
+    replicas = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        w_col.alias("weight"),
+        F.explode(F.sequence(F.lit(0), w_col - 1)).alias("r"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        )
+    )
+    draws = replicas.select(
+        id_col,
+        "stratum",
+        "weight",
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long").alias("draw"),
+    )
+    keyed = draws.groupBy(id_col, "stratum", "weight").agg(
+        F.min("draw").alias("draw_key")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("stratum").orderBy("draw_key", id_col)
+    )
+    return keyed.select(
+        id_col, "stratum", "weight", "draw_key", rk.alias("rk")
+    ).filter(F.col("rk") <= k)
