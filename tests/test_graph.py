@@ -348,3 +348,42 @@ def test_opic_two_rounds_compose(spark):
     assert r2["a"]["history"] == 1000000
     assert r2["b"]["cash"] == 0
     assert r2["b"]["history"] == 1000000
+
+
+# ----------------------------------------------------------- spam mass
+def test_spam_mass_composes_published_signals(spark):
+    """spam_mass must equal 1 - trust/rank over the PUBLISHED
+    (rounded) pagerank/trustrank columns, clamped to [0,1]; a node
+    unreachable from the seed set carries mass exactly 1."""
+    from uniparser_spark.graph import pagerank, spam_mass, trustrank
+
+    # 1 <-> 2 form a trusted core (seed = 1); 3 links into 2 but
+    # nothing links to 3, so no trust can ever reach it.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r.asDict()
+        for r in spam_mass(edges, nodes, 3, seeds, iters=3).collect()
+    }
+    assert got[1]["is_seed"] == 1
+    assert got[2]["is_seed"] == 0 and got[3]["is_seed"] == 0
+    # node 3 receives teleport rank but zero trust -> mass 1
+    assert got[3]["trust"] == 0.0
+    assert got[3]["spam_mass"] == 1.0
+    # the ratio recomputes exactly from the two published signals
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, nodes, 3).collect()}
+    tr = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges, nodes, seeds).collect()
+    }
+    for n, row in got.items():
+        assert row["rank"] == pr[n] and row["trust"] == tr[n]
+        expect = round(max(0.0, 1.0 - tr[n] / pr[n]), 6)
+        assert row["spam_mass"] == expect
+        assert 0.0 <= row["spam_mass"] <= 1.0
+    # seed-adjacent trust-rich nodes carry less mass than the orphan
+    assert got[1]["spam_mass"] < got[3]["spam_mass"]
+    assert got[2]["spam_mass"] < got[3]["spam_mass"]

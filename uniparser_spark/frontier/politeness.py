@@ -187,3 +187,59 @@ def politeness_audit(
         F.min("gap_us").alias("min_gap_us"),
         F.max(delay_col).alias(delay_col),
     )
+
+
+def aimd_rates(
+    outcomes: DataFrame,
+    base_rate: int = 8,
+    cap: int = 32,
+    host_col: str = "host",
+    round_col: str = "round",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """AIMD per-host crawl-rate control: fold each host's per-round
+    fetch outcomes (ok/error) through additive-increase /
+    multiplicative-decrease — ok rounds add 1 up to ``cap``, error
+    rounds halve down to 1 (TCP congestion control transplanted to
+    politeness, which is where crawlers got it from).
+
+    The fold is a genuine non-linear recurrence (a window can't
+    express the halving), so it runs as ``F.aggregate`` over the
+    host's round-ordered outcome array — all-integer, all-codegen,
+    and an engine running the same fold (DuckDB ``list_reduce``)
+    reproduces it bit-for-bit.  One shuffle on host; the array is
+    |rounds| ints per host (politeness windows are short — this is
+    per-scheduling-epoch state, not unbounded history).
+
+    Output: (host, n_rounds, n_errs, final_rate).
+    """
+    per_host = outcomes.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_rounds"),
+        F.sum(
+            F.when(F.col(ok_col).cast("int") == 1, 0).otherwise(1)
+        ).cast("int").alias("n_errs"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(round_col).cast("int").alias("r"),
+                        F.col(ok_col).cast("int").alias("ok"),
+                    )
+                )
+            ),
+            lambda x: x["ok"],
+        ).alias("moves"),
+    )
+    folded = F.aggregate(
+        F.col("moves"),
+        F.lit(base_rate),
+        lambda acc, ok: F.when(
+            ok == 1, F.least(F.lit(cap), acc + 1)
+        ).otherwise(F.greatest(F.lit(1), F.shiftright(acc, 1))),
+    )
+    return per_host.select(
+        "host",
+        "n_rounds",
+        "n_errs",
+        folded.cast("int").alias("final_rate"),
+    )

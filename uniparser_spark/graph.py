@@ -594,3 +594,51 @@ def opic_round(
             + F.coalesce("_given", F.lit(0))
         ).cast("long").alias("importance"),
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Spam mass (Gyongyi et al., 'Link Spam Detection Based on Mass
+    Estimation', VLDB'06, simplified): the fraction of a page's
+    PageRank NOT backed by trusted-seed-reachable mass —
+    ``1 - trust/rank``, clamped to [0, 1].  Link farms inflate raw
+    PageRank but receive almost no TrustRank, so their mass -> 1;
+    seed-adjacent pages -> 0.  Frontiers demote high-mass hosts.
+
+    Composes :func:`pagerank` and :func:`trustrank` (same edge set,
+    same iteration count) with one final join on node.  The ratio is
+    computed from the PUBLISHED (rounded) rank and trust columns, so
+    the output is exactly reproducible from the two certified
+    upstream results — no float-order hazard beyond theirs.
+
+    Scale: both chains share the edges ⋈ outdeg build; state is
+    narrow (node, double) throughout; the final join is node-keyed.
+    """
+    pr = pagerank(edges, nodes, n_nodes, iters=iters, damping=damping)
+    tr = trustrank(edges, nodes, seeds, iters=iters, damping=damping)
+    seed_flag = F.broadcast(
+        seeds.select(F.col("node"), F.lit(1).alias("_s")).distinct()
+    )
+    return (
+        pr.join(tr, "node")
+        .join(seed_flag, "node", "left")
+        .select(
+            "node",
+            "rank",
+            "trust",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.col("trust") / F.col("rank"),
+                ),
+                6,
+            ).alias("spam_mass"),
+            F.coalesce(F.col("_s"), F.lit(0)).cast("int").alias("is_seed"),
+        )
+    )

@@ -7221,12 +7221,75 @@ def q_scd2_pages(spark, sf_dir):
     return scd2_history(snap, url_col="url", round_col="round")
 
 
+def q_spam_mass(spark, sf_dir):
+    """Spam mass (graph.py spam_mass): the fraction of a node's
+    PageRank not backed by TrustRank mass from the %97 seed set —
+    1 - trust/rank over the two PUBLISHED (rounded) signals, clamped
+    to [0,1].  Same 3-iteration edge set as pagerank3/trustrank, so
+    the oracle is both closed forms joined."""
+    from .graph import spam_mass
+
+    edges, nodes, n = _graph_inputs(spark, sf_dir)
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    return spam_mass(edges, nodes, n, seeds, iters=3)
+
+
+def q_aimd_rates(spark, sf_dir):
+    """AIMD politeness fold (frontier/politeness.py aimd_rates): 23
+    hosts x 8 rounds of md5-gated fetch outcomes (~78% ok) folded
+    through additive-increase (+1 to cap 8) / multiplicative-decrease
+    (halve to floor 1) from base rate 4 — a genuine non-linear
+    recurrence run as F.aggregate, mirrored by DuckDB list_reduce."""
+    from .frontier.politeness import aimd_rates
+
+    docs = tp(spark, sf_dir, "documents")
+    u = docs.select((F.col("doc_id") % 23).alias("uid")).distinct()
+    s = u.select("uid", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r"))
+    ok_h = F.md5(
+        F.concat(
+            F.lit("aimd:"),
+            F.col("uid").cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        )
+    )
+    outcomes = s.select(
+        F.concat(
+            F.lit("h"), F.col("uid").cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.col("r").alias("round"),
+        (F.conv(F.substring(ok_h, 1, 2), 16, 10).cast("int") < 200)
+        .cast("int")
+        .alias("ok"),
+    )
+    return aimd_rates(outcomes, base_rate=4, cap=8)
+
+
+def q_layout_pruning(spark, sf_dir):
+    """Write-layout pruning audit (sources/layout.py pruning_audit):
+    per-file lang min/max envelopes at 64 rows/file under a
+    lang-clustered vs a hash-ordered write, and whether a reader
+    scanning lang='en' can skip each file on footer stats alone."""
+    from .sources.layout import pruning_audit
+
+    return pruning_audit(
+        tp(spark, sf_dir, "documents"),
+        sort_cols=["lang"],
+        stat_col="lang",
+        predicate_value="en",
+        file_rows=64,
+    )
+
+
 QUERIES.update(
     {
         "asn_tag": q_asn_tag,
         "ip_politeness": q_ip_politeness,
         "weighted_sample": q_weighted_sample,
         "scd2_pages": q_scd2_pages,
+        "spam_mass": q_spam_mass,
+        "aimd_rates": q_aimd_rates,
+        "layout_pruning": q_layout_pruning,
     }
 )
 
@@ -7350,6 +7413,119 @@ ORACLES["scd2_pages"] = r"""
     FROM iv
 """
 
+# spam mass: the pagerank3 and trustrank closed forms side by side on
+# the shared edge set, joined; the ratio uses the PUBLISHED rounded
+# signals so cross-engine float behavior is exactly theirs.
+ORACLES["spam_mass"] = _GRAPH_SQL + r"""
+    , nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+    , deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+    , r0 AS (SELECT doc_id AS node, 1.0 / n AS rank FROM documents, nd)
+    , c1 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+             FROM edges e JOIN r0 r ON e.src = r.node
+                          JOIN deg d ON e.src = d.src GROUP BY e.dst)
+    , r1 AS (SELECT d.doc_id AS node,
+               (1 - CAST(0.85 AS DOUBLE)) / n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
+             FROM documents d LEFT JOIN c1 c ON d.doc_id = c.node, nd)
+    , c2 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+             FROM edges e JOIN r1 r ON e.src = r.node
+                          JOIN deg d ON e.src = d.src GROUP BY e.dst)
+    , r2 AS (SELECT d.doc_id AS node,
+               (1 - CAST(0.85 AS DOUBLE)) / n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
+             FROM documents d LEFT JOIN c2 c ON d.doc_id = c.node, nd)
+    , c3 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+             FROM edges e JOIN r2 r ON e.src = r.node
+                          JOIN deg d ON e.src = d.src GROUP BY e.dst)
+    , r3 AS (SELECT d.doc_id AS node,
+               (1 - CAST(0.85 AS DOUBLE)) / n
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS rank
+             FROM documents d LEFT JOIN c3 c ON d.doc_id = c.node, nd)
+    , sd AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0)
+    , ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sd)
+    , tb AS (SELECT d.doc_id AS node,
+               CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.k END AS d
+             FROM documents d LEFT JOIN sd s ON d.doc_id = s.node, ns)
+    , tc1 AS (SELECT e.dst AS node, sum(t.d / g.outdeg) AS c
+              FROM edges e JOIN tb t ON e.src = t.node
+                           JOIN deg g ON e.src = g.src GROUP BY e.dst)
+    , t1 AS (SELECT b.node,
+               (1 - CAST(0.85 AS DOUBLE)) * b.d
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS trust
+             FROM tb b LEFT JOIN tc1 c ON b.node = c.node)
+    , tc2 AS (SELECT e.dst AS node, sum(t.trust / g.outdeg) AS c
+              FROM edges e JOIN t1 t ON e.src = t.node
+                           JOIN deg g ON e.src = g.src GROUP BY e.dst)
+    , t2 AS (SELECT b.node,
+               (1 - CAST(0.85 AS DOUBLE)) * b.d
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS trust
+             FROM tb b LEFT JOIN tc2 c ON b.node = c.node)
+    , tc3 AS (SELECT e.dst AS node, sum(t.trust / g.outdeg) AS c
+              FROM edges e JOIN t2 t ON e.src = t.node
+                           JOIN deg g ON e.src = g.src GROUP BY e.dst)
+    , t3 AS (SELECT b.node,
+               (1 - CAST(0.85 AS DOUBLE)) * b.d
+               + CAST(0.85 AS DOUBLE) * coalesce(c.c, 0.0) AS trust
+             FROM tb b LEFT JOIN tc3 c ON b.node = c.node)
+    SELECT r3.node,
+           ROUND(r3.rank, 6) AS rank,
+           ROUND(t3.trust, 8) AS trust,
+           ROUND(greatest(0.0,
+                 1.0 - ROUND(t3.trust, 8) / ROUND(r3.rank, 6)), 6)
+             AS spam_mass,
+           CAST(r3.node % 97 = 0 AS INT) AS is_seed
+    FROM r3 JOIN t3 ON r3.node = t3.node
+"""
+
+ORACLES["aimd_rates"] = r"""
+    WITH u AS (SELECT DISTINCT doc_id % 23 AS uid FROM documents),
+    s AS (SELECT uid, unnest(range(8)) AS r FROM u),
+    o AS (
+      SELECT uid, r,
+        CASE WHEN ('0x' || substr(md5('aimd:' || CAST(uid AS VARCHAR) || ':'
+                                      || CAST(r AS VARCHAR)), 1, 2))::BIGINT
+                  < 200
+             THEN 1 ELSE 0 END AS ok
+      FROM s),
+    per AS (
+      SELECT uid, count(*) AS n_rounds, sum(1 - ok) AS n_errs,
+             list(ok ORDER BY r) AS moves
+      FROM o GROUP BY uid)
+    SELECT 'h' || CAST(uid AS VARCHAR) || '.example.org' AS host,
+      CAST(n_rounds AS INT) AS n_rounds,
+      CAST(n_errs AS INT) AS n_errs,
+      CAST(list_reduce(list_prepend(4, moves),
+           (acc, x) -> CASE WHEN x = 1 THEN least(8, acc + 1)
+                            ELSE greatest(1, acc // 2) END) AS INT)
+        AS final_rate
+    FROM per
+"""
+
+ORACLES["layout_pruning"] = r"""
+    WITH c AS (
+      SELECT lang AS v,
+        CAST((row_number() OVER (ORDER BY lang, doc_id) - 1) // 64 AS INT)
+          AS file_id
+      FROM documents),
+    h AS (
+      SELECT lang AS v,
+        CAST((row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 64
+             AS INT) AS file_id
+      FROM documents),
+    u AS (
+      SELECT 'clustered' AS layout, file_id, min(v) AS f_min,
+             max(v) AS f_max, CAST(count(*) AS INT) AS n_rows
+      FROM c GROUP BY file_id
+      UNION ALL
+      SELECT 'hashed' AS layout, file_id, min(v) AS f_min,
+             max(v) AS f_max, CAST(count(*) AS INT) AS n_rows
+      FROM h GROUP BY file_id)
+    SELECT layout, file_id, f_min, f_max, n_rows,
+           CAST(f_min <= 'en' AND 'en' <= f_max AS INT) AS contains
+    FROM u
+"""
+
 
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
@@ -7412,7 +7588,8 @@ _GATE_PRIORITY = [
     #    in-window rows, rotate them out and these (+ the session-6/7
     #    queue) in
     #  - session-9 additions (asn_tag, ip_politeness, weighted_sample,
-    #    scd2_pages) join the same rotation queue
+    #    scd2_pages, spam_mass, aimd_rates, layout_pruning) join the
+    #    same rotation queue
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
