@@ -242,3 +242,38 @@ def test_dust_rewrite_parity_fuzz(spark):
     }
     for u in urls:
         assert got[u] == strip_params_py(u, drop), repr(u)
+
+
+# ------------------------------------------------------ path prefixes
+def test_path_prefix_stats_localizes_trap_subtree(spark):
+    from uniparser_spark.crawl.dust import path_prefix_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/cal/1/2", "same"),
+            ("https://a.org/cal/1/3", "same"),
+            ("https://a.org/cal/2", "same"),
+            ("https://a.org/blog/x", "post x"),
+            ("https://a.org/blog/y", "post y"),
+            ("https://a.org/", "root"),
+        ],
+        "url string, text string",
+    )
+    out = {
+        (r["host"], r["prefix"]): r.asDict()
+        for r in path_prefix_stats(pages, min_urls=1).collect()
+    }
+    # root URL (zero segments) contributes no phantom '/' rows
+    assert ("a.org", "/") not in out
+    cal = out[("a.org", "/cal")]
+    assert cal["depth"] == 1 and cal["n_urls"] == 3
+    assert cal["n_content"] == 1 and cal["max_seen_depth"] == 3
+    assert cal["dup_frac"] == round(1 - 1 / 3, 6)
+    blog = out[("a.org", "/blog")]
+    assert blog["n_content"] == 2 and blog["dup_frac"] == 0.0
+    # depth-2 rows exist under both subtrees
+    assert out[("a.org", "/cal/1")]["depth"] == 2
+    assert out[("a.org", "/cal/1")]["n_urls"] == 2
+    # min_urls prunes singleton leaves
+    pruned = path_prefix_stats(pages, min_urls=2)
+    assert {r["prefix"] for r in pruned.collect()} == {"/cal", "/cal/1", "/blog"}

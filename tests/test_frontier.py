@@ -718,3 +718,40 @@ def test_aimd_rates_order_independence(spark):
     a = aimd_rates(fwd).collect()[0]["final_rate"]
     b = aimd_rates(rev).collect()[0]["final_rate"]
     assert a == b
+
+
+def test_refresh_policy_uniform_beats_proportional(spark):
+    """Cho & Garcia-Molina's theorem direction under the rational
+    freshness model: at equal budget, uniform allocation's corpus
+    average freshness >= proportional's, and proportional freshness
+    is the same constant for every page."""
+    from uniparser_spark.frontier.freshness import refresh_policy_freshness
+
+    hist = spark.createDataFrame(
+        [
+            ("https://a.org/1", 10, 9),
+            ("https://a.org/2", 10, 0),
+            ("https://b.org/1", 4, 4),
+            ("https://b.org/2", 4, 0),
+        ],
+        "url_canon string, fetch_count long, change_count long",
+    )
+    rows = refresh_policy_freshness(hist, budget=4).collect()
+    by_policy = {}
+    for r in rows:
+        by_policy.setdefault(r["policy"], []).append(r)
+    u = by_policy["uniform"]
+    p = by_policy["proportional"]
+    # proportional: constant freshness B/(B+S) everywhere
+    const = {(r["avg_freshness"], r["min_freshness"]) for r in p}
+    assert len(const) == 1
+    s_total = sum(r["sum_lam"] for r in p)
+    expect = round(4.0 / (4.0 + s_total), 6)
+    assert abs(next(iter(const))[0] - expect) < 1e-6
+    # uniform wins on the corpus average
+    n = sum(r["n_urls"] for r in u)
+    avg_u = sum(r["avg_freshness"] * r["n_urls"] for r in u) / n
+    avg_p = sum(r["avg_freshness"] * r["n_urls"] for r in p) / n
+    assert avg_u > avg_p
+    # per-page: uniform freshness varies (convex in lam)
+    assert any(r["min_freshness"] < r["avg_freshness"] for r in u)

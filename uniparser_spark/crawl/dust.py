@@ -282,3 +282,77 @@ def url_templates(
         )
         .filter(F.col("n_urls") >= min_urls)
     )
+
+
+def path_prefix_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_depth: int = 3,
+    min_urls: int = 2,
+) -> DataFrame:
+    """Browse-space rollup: aggregate URLs onto every path prefix up
+    to ``max_depth`` segments and measure, per (host, prefix), how
+    much DISTINCT content the subtree actually serves.
+
+    This is the hierarchical view the flat per-host trap score
+    (:func:`host_trap_stats`) can't give: a host may be 95% healthy
+    with one '/cal/' subtree minting infinite URLs over one page —
+    the prefix rows localize the trap to the subtree, so the
+    frontier blocks '/cal/%' instead of the whole host (and a seed
+    auditor reads the same rows top-down as a coverage map).
+
+    Per row: n_urls under the prefix, n_content distinct normalized
+    fingerprints, dup_frac = 1 - n_content/n_urls in [0, 1), and
+    max_seen_depth (deepest segment count observed below the prefix
+    — trap subtrees grow deep as well as wide).
+
+    Scale shape: prefixes explode in the scan stage (<= max_depth
+    narrow rows per URL — bounded fan-out, unlike per-segment
+    explosion), then ONE map-side-combinable groupBy; fingerprints
+    are 16-hex strings, page text never crosses the Exchange.
+    count(DISTINCT fp) within a group is exact (the trap decision
+    wants it); swap in approx_count_distinct at production scale
+    where the prefix population is huge.
+    """
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    path = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.least(F.lit(max_depth), F.size(segs))
+    # guard depth = 0 (root URL): sequence(1, 0) DESCENDS in Spark,
+    # which would mint two phantom '/' prefixes per root page —
+    # subtree rollups start at one segment, the host row belongs to
+    # host_trap_stats
+    prefixes = F.when(depth >= 1, F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda d: F.concat(
+            F.lit("/"), F.array_join(F.slice(segs, 1, d), "/")
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    rows = pages.select(
+        host.alias("host"),
+        F.size(segs).alias("n_segs"),
+        h16(_norm(text_col)).alias("fp"),
+        F.posexplode(prefixes).alias("d", "prefix"),
+    )
+    return (
+        rows.groupBy("host", "prefix")
+        .agg(
+            (F.min("d") + 1).cast("int").alias("depth"),
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("fp").alias("n_content"),
+            F.max("n_segs").cast("int").alias("max_seen_depth"),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+        .select(
+            "host",
+            "depth",
+            "prefix",
+            "n_urls",
+            "n_content",
+            F.round(
+                F.lit(1.0) - F.col("n_content") / F.col("n_urls"), 6
+            ).alias("dup_frac"),
+            "max_seen_depth",
+        )
+    )

@@ -340,3 +340,80 @@ def scd2_history(
         .cast("int")
         .alias("is_current"),
     )
+
+
+def refresh_policy_freshness(
+    history: DataFrame,
+    budget: int,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Price the epoch's recrawl budget under the two canonical
+    allocation policies (Cho & Garcia-Molina, "Effective Page Refresh
+    Policies for Web Crawlers", TODS'03): UNIFORM gives every page the
+    same refresh frequency f = B/N; PROPORTIONAL gives page i
+    f_i = B*lam_i / sum(lam) (chase the fast-changing pages).
+
+    Expected steady-state freshness per page uses the same RATIONAL
+    model as :func:`staleness_expr` — freshness = f/(f + lam), the
+    1/(1 + lam/f) analogue of the Poisson closed form, chosen so both
+    engines compute identical IEEE arithmetic (no exp()).  Under this
+    model the proportional policy's freshness is CONSTANT across pages
+    (f_i/(f_i + lam_i) = B/(B + S), independent of lam_i) while the
+    uniform policy's per-page freshness is convex in lam — which is
+    exactly Cho's counterintuitive theorem surfacing: uniform wins on
+    average, and these rows let a scheduler SEE the margin per host
+    before committing an epoch's budget.
+
+    Output, one row per (policy, host): n_urls, sum of lam (rounded),
+    avg/min expected freshness (rounded 6).
+
+    Scale shape: one pass for the two corpus scalars (N, S — a
+    broadcast of two doubles), one map-side-combined groupBy(host).
+    The history table is narrow; page bytes are never touched.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/?#:]+)", 1)
+    base = history.select(host.alias("host"), lam_expr().alias("lam"))
+    totals = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+        F.sum("lam").alias("s_total"),
+    )
+    b = F.lit(float(budget))
+    f_uniform = b / F.col("n_total")
+    fresh_u = f_uniform / (f_uniform + F.col("lam"))
+    # f_i = B*lam/S  =>  f_i/(f_i + lam) = B/(B + S) for every page
+    fresh_p = b / (b + F.col("s_total"))
+    per_host = (
+        base.crossJoin(F.broadcast(totals))
+        .select(
+            "host",
+            "lam",
+            fresh_u.alias("fresh_uniform"),
+            fresh_p.alias("fresh_proportional"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.round(F.sum("lam"), 6).alias("sum_lam"),
+            F.round(F.avg("fresh_uniform"), 6).alias("avg_u"),
+            F.round(F.min("fresh_uniform"), 6).alias("min_u"),
+            F.round(F.avg("fresh_proportional"), 6).alias("avg_p"),
+            F.round(F.min("fresh_proportional"), 6).alias("min_p"),
+        )
+    )
+    uniform = per_host.select(
+        F.lit("uniform").alias("policy"),
+        "host",
+        "n_urls",
+        "sum_lam",
+        F.col("avg_u").alias("avg_freshness"),
+        F.col("min_u").alias("min_freshness"),
+    )
+    proportional = per_host.select(
+        F.lit("proportional").alias("policy"),
+        "host",
+        "n_urls",
+        "sum_lam",
+        F.col("avg_p").alias("avg_freshness"),
+        F.col("min_p").alias("min_freshness"),
+    )
+    return uniform.unionByName(proportional)

@@ -7281,6 +7281,83 @@ def q_layout_pruning(spark, sf_dir):
     )
 
 
+def q_hll_hosts(spark, sf_dir):
+    """Mergeable HLL distinct sketch (frontier/sketches.py
+    hll_counts): per-host URL cardinality from 64 one-byte registers
+    (p=6) built on a 60-bit md5 hash, with the exact count and signed
+    relative error as audit columns.  The Z accumulator is an exact
+    scaled-integer sum, so est is bit-reproducible across engines and
+    partitionings; DuckDB reproduces the identical registers from the
+    same md5/bin primitives."""
+    from .frontier.sketches import hll_counts
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    vals = docs.select(
+        F.concat(
+            F.lit("h"), (d % 5).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://x.example.org/u/"),
+            ((d * 13) % 211).cast("string"),
+        ).alias("url"),
+    )
+    return hll_counts(vals, "host", "url", p=6)
+
+
+def q_path_prefixes(spark, sf_dir):
+    """Browse-space rollup (crawl/dust.py path_prefix_stats): URLs
+    aggregated onto every path prefix up to 3 segments with distinct-
+    content ratios — localizes a trap to its subtree ('/cal' mints
+    URLs over one fingerprint) instead of condemning the whole host."""
+    from .crawl.dust import path_prefix_stats
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    # host h0 carries a /cal trap (depth grows, one content blob);
+    # every host also serves honest /blog/<id> pages
+    pages = docs.select(
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://h"), (d % 3).cast("string"),
+                F.lit(".example.org/cal/"), (d % 7).cast("string"),
+                F.lit("/"), (d % 11).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://h"), (d % 3).cast("string"),
+                F.lit(".example.org/blog/"), d.cast("string"),
+            )
+        ).alias("url"),
+        F.when(d % 4 == 0, F.lit("the calendar page")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    return path_prefix_stats(pages, max_depth=3, min_urls=2)
+
+
+def q_refresh_policy(spark, sf_dir):
+    """Refresh-budget pricing (frontier/freshness.py
+    refresh_policy_freshness): uniform vs proportional allocation of
+    a 120-refresh epoch over synthesized per-URL change histories,
+    scored with the engine's rational freshness model — Cho &
+    Garcia-Molina's uniform-wins margin, per host."""
+    from .frontier.freshness import refresh_policy_freshness
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    history = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".example.org/d/"), d.cast("string"),
+        ).alias("url_canon"),
+        (d % 5 + 1).cast("long").alias("fetch_count"),
+        (d % 3).cast("long").alias("change_count"),
+    )
+    return refresh_policy_freshness(history, budget=120)
+
+
 QUERIES.update(
     {
         "asn_tag": q_asn_tag,
@@ -7290,6 +7367,9 @@ QUERIES.update(
         "spam_mass": q_spam_mass,
         "aimd_rates": q_aimd_rates,
         "layout_pruning": q_layout_pruning,
+        "hll_hosts": q_hll_hosts,
+        "path_prefixes": q_path_prefixes,
+        "refresh_policy": q_refresh_policy,
     }
 )
 
@@ -7526,6 +7606,105 @@ ORACLES["layout_pruning"] = r"""
     FROM u
 """
 
+# HLL: identical 60-bit md5 hash, register split via shift/modulo,
+# rho from minimal-width bin(), and the exact scaled-integer Z sum —
+# every published column is bit-reproducible, so this hash-matches.
+ORACLES["hll_hosts"] = r"""
+    WITH v AS (
+      SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS key,
+             'https://x.example.org/u/' || CAST((doc_id * 13) % 211 AS VARCHAR)
+               AS val
+      FROM documents),
+    hh AS (
+      SELECT key, val,
+             ('0x' || substr(md5(val), 1, 15))::BIGINT AS h
+      FROM v),
+    r AS (
+      SELECT key, val, CAST(h % 64 AS INT) AS reg,
+             CASE WHEN (h >> 6) = 0 THEN 55
+                  ELSE 55 - length(bin(h >> 6)) END AS rho
+      FROM hh),
+    regs AS (
+      SELECT key, reg, max(rho) AS mx, count(DISTINCT val) AS nd
+      FROM r GROUP BY key, reg),
+    per AS (
+      SELECT key, CAST(count(*) AS INT) AS n_present,
+             sum(CAST(pow(2.0, 55 - mx) AS BIGINT)) AS zs,
+             CAST(sum(nd) AS BIGINT) AS n_exact
+      FROM regs GROUP BY key),
+    e AS (
+      SELECT key, n_present, CAST(64 - n_present AS INT) AS n_zero,
+             ROUND((0.709 * 64 * 64 * pow(2.0, 55))
+                   / (zs + (64 - n_present) * 36028797018963968), 4) AS est,
+             n_exact
+      FROM per)
+    SELECT key, 64 AS m, n_present, n_zero, est, n_exact,
+           ROUND((est - n_exact) / n_exact, 4) AS err
+    FROM e
+"""
+
+ORACLES["path_prefixes"] = r"""
+    WITH pages AS (
+      SELECT CASE WHEN doc_id % 4 = 0
+               THEN 'https://h' || CAST(doc_id % 3 AS VARCHAR)
+                    || '.example.org/cal/' || CAST(doc_id % 7 AS VARCHAR)
+                    || '/' || CAST(doc_id % 11 AS VARCHAR)
+               ELSE 'https://h' || CAST(doc_id % 3 AS VARCHAR)
+                    || '.example.org/blog/' || CAST(doc_id AS VARCHAR)
+             END AS url,
+             CASE WHEN doc_id % 4 = 0 THEN 'the calendar page'
+                  ELSE text END AS text
+      FROM documents),
+    segs AS (
+      SELECT regexp_extract(url, '^https?://([^/?#:]+)', 1) AS host,
+             list_filter(
+               string_split(
+                 regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/'),
+               x -> x <> '') AS s,
+             substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                    1, 16) AS fp
+      FROM pages),
+    pref AS (
+      SELECT host, len(s) AS n_segs, fp, CAST(d AS INT) AS d,
+             '/' || array_to_string(s[1:d], '/') AS prefix
+      FROM segs, unnest(range(1, 1 + least(3, len(s)))) AS t(d))
+    SELECT host, CAST(min(d) AS INT) AS depth, prefix,
+           count(*) AS n_urls, count(DISTINCT fp) AS n_content,
+           ROUND(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_frac,
+           CAST(max(n_segs) AS INT) AS max_seen_depth
+    FROM pref GROUP BY host, prefix HAVING count(*) >= 2
+"""
+
+ORACLES["refresh_policy"] = r"""
+    WITH h AS (
+      SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id % 5 + 1 AS BIGINT) AS fetch_count,
+             CAST(doc_id % 3 AS BIGINT) AS change_count
+      FROM documents),
+    base AS (
+      SELECT regexp_extract(url, '^https?://([^/?#:]+)', 1) AS host,
+             (change_count + 0.5) / CAST(fetch_count + 1 AS DOUBLE) AS lam
+      FROM h),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n_total, sum(lam) AS s_total
+          FROM base),
+    r AS (
+      SELECT host, lam,
+             (120.0 / n_total) / (120.0 / n_total + lam) AS fu,
+             120.0 / (120.0 + s_total) AS fpr
+      FROM base, t),
+    per AS (
+      SELECT host, count(*) AS n_urls, ROUND(sum(lam), 6) AS sum_lam,
+             ROUND(avg(fu), 6) AS avg_u, ROUND(min(fu), 6) AS min_u,
+             ROUND(avg(fpr), 6) AS avg_p, ROUND(min(fpr), 6) AS min_p
+      FROM r GROUP BY host)
+    SELECT 'uniform' AS policy, host, n_urls, sum_lam,
+           avg_u AS avg_freshness, min_u AS min_freshness FROM per
+    UNION ALL
+    SELECT 'proportional' AS policy, host, n_urls, sum_lam,
+           avg_p AS avg_freshness, min_p AS min_freshness FROM per
+"""
+
 
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
@@ -7587,9 +7766,10 @@ _GATE_PRIORITY = [
     #    the round-5 rotation: once CORRECTNESS_r04 certifies the 50
     #    in-window rows, rotate them out and these (+ the session-6/7
     #    queue) in
-    #  - session-9 additions (asn_tag, ip_politeness, weighted_sample,
-    #    scd2_pages, spam_mass, aimd_rates, layout_pruning) join the
-    #    same rotation queue
+    #  - session-9/10 additions (asn_tag, ip_politeness,
+    #    weighted_sample, scd2_pages, spam_mass, aimd_rates,
+    #    layout_pruning, hll_hosts, path_prefixes, refresh_policy)
+    #    join the same rotation queue
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
