@@ -400,20 +400,28 @@ def refresh_policy_freshness(
             F.round(F.min("fresh_proportional"), 6).alias("min_p"),
         )
     )
-    uniform = per_host.select(
-        F.lit("uniform").alias("policy"),
+    # fan the two policies out of the SAME per-host rows (array
+    # explode), not a union of two selects over the same lineage —
+    # a union re-executes the whole aggregation tree per branch
+    fan = F.explode(
+        F.array(
+            F.struct(
+                F.lit("uniform").alias("policy"),
+                F.col("avg_u").alias("avg_freshness"),
+                F.col("min_u").alias("min_freshness"),
+            ),
+            F.struct(
+                F.lit("proportional").alias("policy"),
+                F.col("avg_p").alias("avg_freshness"),
+                F.col("min_p").alias("min_freshness"),
+            ),
+        )
+    )
+    return per_host.select("host", "n_urls", "sum_lam", fan.alias("_e")).select(
+        F.col("_e.policy").alias("policy"),
         "host",
         "n_urls",
         "sum_lam",
-        F.col("avg_u").alias("avg_freshness"),
-        F.col("min_u").alias("min_freshness"),
+        F.col("_e.avg_freshness").alias("avg_freshness"),
+        F.col("_e.min_freshness").alias("min_freshness"),
     )
-    proportional = per_host.select(
-        F.lit("proportional").alias("policy"),
-        "host",
-        "n_urls",
-        "sum_lam",
-        F.col("avg_p").alias("avg_freshness"),
-        F.col("min_p").alias("min_freshness"),
-    )
-    return uniform.unionByName(proportional)

@@ -617,11 +617,25 @@ def spam_mass(
     the output is exactly reproducible from the two certified
     upstream results — no float-order hazard beyond theirs.
 
-    Scale: both chains share the edges ⋈ outdeg build; state is
-    narrow (node, double) throughout; the final join is node-keyed.
+    Scale: lazily composed, the plan re-derives both chains (~2x the
+    single-chain Exchange count); a production pipeline publishes the
+    pagerank and trustrank tables anyway, so it feeds those into
+    :func:`spam_mass_from_signals` — two node-keyed joins, nothing
+    iterative — which this function delegates to.
     """
     pr = pagerank(edges, nodes, n_nodes, iters=iters, damping=damping)
     tr = trustrank(edges, nodes, seeds, iters=iters, damping=damping)
+    return spam_mass_from_signals(pr, tr, seeds)
+
+
+def spam_mass_from_signals(
+    pr: DataFrame, tr: DataFrame, seeds: DataFrame
+) -> DataFrame:
+    """Spam mass over ALREADY-MATERIALIZED (node, rank) and
+    (node, trust) tables — the production path: the two iterative
+    chains are published once per graph build, and the mass ratio is
+    two narrow node-keyed joins over them (the seed flag broadcasts).
+    """
     seed_flag = F.broadcast(
         seeds.select(F.col("node"), F.lit(1).alias("_s")).distinct()
     )
