@@ -387,3 +387,43 @@ def test_spam_mass_composes_published_signals(spark):
     # seed-adjacent trust-rich nodes carry less mass than the orphan
     assert got[1]["spam_mass"] < got[3]["spam_mass"]
     assert got[2]["spam_mass"] < got[3]["spam_mass"]
+
+
+# ------------------------------------------------ seed neighborhood
+def test_seed_neighborhood_hops_and_parents(spark):
+    """2-hop BFS: min distance wins, unreached nodes absent, and
+    n_parents counts distinct min-distance predecessors."""
+    import pytest
+
+    from uniparser_spark.graph import seed_neighborhood
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (2, 1), (3, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: (r["hops"], r["n_parents"])
+        for r in seed_neighborhood(edges, seeds, max_hops=2).collect()
+    }
+    # node 5 is 3 hops out -> absent; 4 is reached by BOTH 2 and 3
+    assert got == {1: (0, 0), 2: (1, 1), 3: (1, 1), 4: (2, 2)}
+    with pytest.raises(ValueError):
+        seed_neighborhood(edges, seeds, max_hops=0)
+
+
+def test_seed_neighborhood_min_distance_wins(spark):
+    """A node reachable at hop 1 AND hop 2 is assigned hop 1 only."""
+    from uniparser_spark.graph import seed_neighborhood
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: (r["hops"], r["n_parents"])
+        for r in seed_neighborhood(edges, seeds, max_hops=2).collect()
+    }
+    # 2 keeps hop 1; its hop-2 path via 3 does not demote it, but 3->2
+    # is NOT a min-distance edge (1 != 1+1), so only seed 1 parents it
+    assert got == {1: (0, 0), 2: (1, 1), 3: (1, 1)}

@@ -154,3 +154,51 @@ def test_host_reciprocity_hand_case(spark):
     assert abs(ef["reciprocity"] - round(4 / 6, 4)) < 1e-9
     assert ("g.org", "g.org") not in out
     assert ("x.org", "y.org") not in out
+
+
+def test_link_spam_signals_hand_case(spark):
+    """A page selling links (mostly-external, host-concentrated, one
+    repeated anchor) scores high; an internal-only page scores 0."""
+    from uniparser_spark.crawl.links import link_spam_signals
+
+    rows = [
+        # page A: 3 external (2 to x.example under one anchor), 1 internal
+        ("https://s.example/p1", "https://x.example/1", "Buy Now", 0, 1, 0),
+        ("https://s.example/p1", "https://x.example/2", " buy now ", 1, 0, 0),
+        ("https://s.example/p1", "https://y.example/1", "other", 2, 0, 0),
+        ("https://s.example/p1", "https://s.example/p2", "home", 3, 0, 1),
+        # page B: internal-only
+        ("https://s.example/p2", "https://s.example/p1", "back", 0, 0, 1),
+        ("https://s.example/p2", "https://s.example/p3", "next", 1, 0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "src string, dst string, anchor string, link_idx int, "
+              "nofollow int, internal int",
+    )
+    out = {r["src"]: r.asDict() for r in link_spam_signals(df).collect()}
+    a = out["https://s.example/p1"]
+    assert a["n_out"] == 4
+    assert a["frac_nofollow"] == 0.25
+    assert a["frac_external"] == 0.75
+    assert a["n_ext_hosts"] == 2
+    assert a["ext_concentration"] == round((3 - 2) / 3, 6)
+    # anchor normalization folds 'Buy Now' and ' buy now ' together
+    assert a["top_anchor_share"] == 0.5
+    assert a["farm_score"] == round(0.75 * 0.5, 6)
+    b = out["https://s.example/p2"]
+    assert b["n_external"] if "n_external" in b else True
+    assert b["frac_external"] == 0.0
+    assert b["n_ext_hosts"] == 0
+    assert b["ext_concentration"] == 0.0
+    assert b["farm_score"] == 0.0
+
+
+def test_link_spam_signals_min_out_gate(spark):
+    from uniparser_spark.crawl.links import link_spam_signals
+
+    df = spark.createDataFrame(
+        [("https://s.example/p1", "https://x.example/1", "a", 0, 0, 0)],
+        "src string, dst string, anchor string, link_idx int, "
+        "nofollow int, internal int",
+    )
+    assert link_spam_signals(df, min_out=2).count() == 0

@@ -185,3 +185,55 @@ def test_page_directives_binary_html_and_no_header_col(spark):
     )
     row = page_directives(pages).collect()[0]
     assert (row["noindex"], row["nofollow"], row["noarchive"]) == (0, 0, 1)
+
+
+def test_robots_agent_matrix_specific_vs_fallback(spark):
+    """Per-(host, agent) effective-group audit: agent-specific groups
+    win, others fall back to '*', group-less hosts read as open, and
+    non-robots.txt URLs never reach the parser."""
+    from uniparser_spark.frontier.robots import robots_agent_matrix
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/robots.txt",
+                "User-agent: fastbot\nDisallow: /x\nCrawl-delay: 9\n\n"
+                "User-agent: *\nAllow: /ok\nDisallow: /a\nDisallow: /b",
+            ),
+            ("https://b.example/robots.txt", "# nothing here\n"),
+            # pruned: not a robots.txt path / trailing suffix
+            ("https://a.example/page", "User-agent: decoy\nDisallow: /"),
+            ("https://c.example/robots.txt.bak", "User-agent: *\nDisallow: /"),
+        ],
+        "url string, text string",
+    )
+    out = {
+        (r["host"], r["agent"]): r.asDict()
+        for r in robots_agent_matrix(pages, ["goodbot", "FastBot"]).collect()
+    }
+    assert set(out) == {
+        ("a.example", "goodbot"), ("a.example", "fastbot"),
+        ("b.example", "goodbot"), ("b.example", "fastbot"),
+    }
+    g = out[("a.example", "goodbot")]
+    assert (g["specific"], g["crawl_delay"], g["n_disallow"], g["n_allow"]) \
+        == (0, None, 2, 1)
+    f = out[("a.example", "fastbot")]
+    assert (f["specific"], f["crawl_delay"], f["n_disallow"], f["n_allow"]) \
+        == (1, 9.0, 1, 0)
+    for agent in ("goodbot", "fastbot"):
+        b = out[("b.example", agent)]
+        assert (b["specific"], b["crawl_delay"], b["n_disallow"],
+                b["n_allow"]) == (0, None, 0, 0)
+
+
+def test_robots_groups_shared_group_map():
+    from uniparser_spark.frontier.robots import robots_groups
+
+    groups = robots_groups(
+        "User-agent: a\nUser-agent: b\nDisallow: /d\nCrawl-delay: 3\n"
+        "User-agent: c\nAllow: /ok\n"
+    )
+    assert groups["a"] == groups["b"]
+    assert groups["a"]["disallow"] == ["/d"] and groups["a"]["delay"] == 3.0
+    assert groups["c"] == {"disallow": [], "allow": ["/ok"], "delay": None}

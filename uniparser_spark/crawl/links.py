@@ -254,3 +254,83 @@ def host_reciprocity(hg: DataFrame, min_links: int = 2) -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+def link_spam_signals(
+    links: DataFrame,
+    min_out: int = 1,
+) -> DataFrame:
+    """Per-PAGE outlink profile over the harvested link relation
+    (:func:`links_from_html` output or any (src, dst, anchor,
+    nofollow, internal) table): the row a link-farm detector reads —
+    a page whose outlinks are mostly external, concentrated on few
+    hosts, under one repeated anchor is selling links, whatever its
+    PageRank says.
+
+    Columns per src:
+
+    - ``n_out``, ``frac_nofollow``, ``frac_external``;
+    - ``n_ext_hosts`` (distinct external destination hosts) and
+      ``ext_concentration`` = (n_external - n_ext_hosts) /
+      n_external in [0, 1) — 40 external links to 2 hosts
+      concentrates, 40 links to 40 hosts doesn't;
+    - ``top_anchor_share`` = most-common normalized anchor count /
+      n_out;
+    - ``farm_score`` = round(frac_external *
+      greatest(top_anchor_share, ext_concentration), 6) — both
+      factors rational, bounded, monotone in the suspicious
+      direction.
+
+    Scale shape: one groupBy(src, anchor) for the repetition signal
+    (map-side combined — anchors repeat, that's the point) feeding a
+    max per src, joined with the main groupBy(src) aggregate
+    (countDistinct external host is the widest part; at production
+    scale swap the HLL sketch in).  Page bytes never shuffle —
+    inputs are already the narrow harvested rows.
+    """
+    ext_host = F.when(
+        F.col("internal") == 0,
+        F.lower(F.regexp_extract(F.col("dst"), r"^https?://([^/?#:]+)", 1)),
+    )
+    base = links.select(
+        "src",
+        F.col("nofollow").cast("long").alias("nofollow"),
+        (1 - F.col("internal").cast("long")).alias("external"),
+        ext_host.alias("ext_host"),
+        F.trim(F.lower(F.col("anchor"))).alias("anchor_norm"),
+    )
+    per_src = base.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum("nofollow").alias("_nf"),
+        F.sum("external").alias("n_external"),
+        F.countDistinct("ext_host").alias("n_ext_hosts"),
+    )
+    top_anchor = (
+        base.groupBy("src", "anchor_norm")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("src")
+        .agg(F.max("_c").alias("_top"))
+    )
+    conc = F.when(
+        F.col("n_external") > 0,
+        (F.col("n_external") - F.col("n_ext_hosts"))
+        / F.col("n_external").cast("double"),
+    ).otherwise(F.lit(0.0))
+    share = F.col("_top") / F.col("n_out").cast("double")
+    frac_ext = F.col("n_external") / F.col("n_out").cast("double")
+    return (
+        per_src.join(top_anchor, "src")
+        .filter(F.col("n_out") >= min_out)
+        .select(
+            "src",
+            "n_out",
+            F.round(F.col("_nf") / F.col("n_out").cast("double"), 6).alias(
+                "frac_nofollow"
+            ),
+            F.round(frac_ext, 6).alias("frac_external"),
+            "n_ext_hosts",
+            F.round(conc, 6).alias("ext_concentration"),
+            F.round(share, 6).alias("top_anchor_share"),
+            F.round(frac_ext * F.greatest(share, conc), 6).alias("farm_score"),
+        )
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -44,15 +45,14 @@ ROBOTS_SCHEMA = StructType(
 )
 
 
-def parse_robots(
-    text: str, user_agent: str = "*"
-) -> Tuple[Optional[float], List[str], List[str]]:
-    """robots.txt body -> (crawl_delay, disallow_prefixes, allow_prefixes)
-    for ``user_agent`` (specific group wins over the '*' group)."""
+def robots_groups(text: str) -> dict:
+    """robots.txt body -> {agent_lower: {disallow, allow, delay}} —
+    the full RFC 9309 group map (consecutive User-agent lines share a
+    rule group).  :func:`parse_robots` selects one agent's effective
+    group from this; :func:`robots_agent_matrix` diffs several."""
     groups: dict = {}
     current: List[str] = []
     prev_was_ua = False
-    ua = user_agent.lower()
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -83,7 +83,16 @@ def parse_robots(
                 continue
             for agent in current:
                 groups[agent]["delay"] = delay
-    grp = groups.get(ua) or groups.get("*")
+    return groups
+
+
+def parse_robots(
+    text: str, user_agent: str = "*"
+) -> Tuple[Optional[float], List[str], List[str]]:
+    """robots.txt body -> (crawl_delay, disallow_prefixes, allow_prefixes)
+    for ``user_agent`` (specific group wins over the '*' group)."""
+    groups = robots_groups(text)
+    grp = groups.get(user_agent.lower()) or groups.get("*")
     if grp is None:
         return None, [], []
     return grp["delay"], grp["disallow"], grp["allow"]
@@ -269,3 +278,70 @@ def page_directives(
             )
 
     return cols.mapInPandas(run, schema=PAGE_DIRECTIVES_SCHEMA)
+
+
+def robots_agent_matrix(
+    pages: DataFrame,
+    agents: List[str],
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(host, agent) effective REP group audit: which of the
+    fleet's user-agents gets an agent-SPECIFIC rule group vs falling
+    back to '*', and what that group actually grants — the diff a
+    multi-agent crawl operation reads before assigning agents to
+    hosts (a host that throttles 'fastbot' to crawl-delay 30 but
+    leaves '*' open changes which identity should fetch it).
+
+    Output: (host, agent, specific, crawl_delay, n_disallow,
+    n_allow) — ``specific=1`` when the body names the agent,
+    else the row describes the '*' fallback (or an open host when
+    neither exists: NULL delay, zero rule counts).
+
+    Scale shape: the scan prunes to /robots.txt URLs BEFORE any
+    Python runs (robots bodies are ~10^-3 of a pages table); one
+    Arrow crossing parses each body once and emits |agents| narrow
+    rows — no shuffle at all until a consumer aggregates.
+
+    Reference scope: the reference has no robots support at all
+    (SURVEY.md §2.3); this extends the north rule's robots cache to
+    agent fleets.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/:]+)", 1)
+    robots_pages = pages.filter(
+        F.col(url_col).rlike(r"^https?://[^/]+/robots\.txt$")
+    ).select(host.alias("host"), F.col(text_col).alias("body"))
+    agent_list = [a.lower() for a in agents]
+
+    schema = StructType(
+        [
+            StructField("host", StringType(), False),
+            StructField("agent", StringType(), False),
+            StructField("specific", IntegerType(), False),
+            StructField("crawl_delay", DoubleType(), True),
+            StructField("n_disallow", IntegerType(), False),
+            StructField("n_allow", IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in schema.fields}
+            for h, body in zip(batch["host"], batch["body"]):
+                groups = robots_groups(body)
+                for agent in agent_list:
+                    grp = groups.get(agent)
+                    specific = int(grp is not None)
+                    if grp is None:
+                        grp = groups.get(
+                            "*", {"disallow": [], "allow": [], "delay": None}
+                        )
+                    out["host"].append(h)
+                    out["agent"].append(agent)
+                    out["specific"].append(specific)
+                    out["crawl_delay"].append(grp["delay"])
+                    out["n_disallow"].append(len(grp["disallow"]))
+                    out["n_allow"].append(len(grp["allow"]))
+            yield pd.DataFrame(out)
+
+    return robots_pages.mapInPandas(run, schema=schema)

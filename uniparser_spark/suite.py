@@ -7706,6 +7706,192 @@ ORACLES["refresh_policy"] = r"""
 """
 
 
+def q_link_spam(spark, sf_dir):
+    """Per-page outlink spam profile (crawl/links.py
+    link_spam_signals): pages keyed on (doc_id%7 host, doc_id%50
+    path) so many docs share a src and group sizes vary; d%4==0
+    links stay internal, the rest go external to e{d%9}.example.net
+    (concentration varies with how many of the 9 ext hosts a group
+    touches); anchors repeat on d%3, nofollow on d%5.  Oracle
+    recomputes the identical aggregates in SQL over the identically
+    synthesized relation."""
+    from .crawl.links import link_spam_signals
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    links = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".example.org/p/"), (d % 50).cast("string"),
+        ).alias("src"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://h"), (d % 7).cast("string"),
+                F.lit(".example.org/i/"), (d % 11).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://e"), (d % 9).cast("string"),
+                F.lit(".example.net/x/"), (d % 5).cast("string"),
+            )
+        ).alias("dst"),
+        F.concat(F.lit("a"), (d % 3).cast("string")).alias("anchor"),
+        F.when(d % 5 == 0, 1).otherwise(0).alias("nofollow"),
+        F.when(d % 4 == 0, 1).otherwise(0).alias("internal"),
+    )
+    return link_spam_signals(links, min_out=1)
+
+
+def q_robots_matrix(spark, sf_dir):
+    """Per-(host, agent) REP fleet audit (frontier/robots.py
+    robots_agent_matrix): 8 hosts cycling 4 body shapes — star-only
+    group, fastbot-specific + star fallback, shared goodbot+fastbot
+    group (RFC 9309 consecutive-UA grouping), comment-only open host
+    — probed for agents goodbot and fastbot.  Noise page rows (one
+    per document) prove the pre-Python robots.txt scan pruning.
+    Oracle is the closed form per (hid % 4, agent)."""
+    from .frontier.robots import robots_agent_matrix
+
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select((F.col("doc_id") % 8).alias("hid")).distinct()
+    hid = F.col("hid")
+    m = hid % 4
+    body = (
+        F.when(m == 0, F.lit(
+            "User-agent: *\nDisallow: /a\nDisallow: /b\n"
+            "Allow: /a/x\nCrawl-delay: 2"))
+        .when(m == 1, F.lit(
+            "User-agent: fastbot\nCrawl-delay: 30\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /tmp"))
+        .when(m == 2, F.lit(
+            "User-agent: goodbot\nUser-agent: fastbot\n"
+            "Allow: /public\nDisallow: /priv\nCrawl-delay: 1.5"))
+        .otherwise(F.lit("# placeholder, no groups\n"))
+    )
+    robots_pages = hosts.select(
+        F.concat(
+            F.lit("https://h"), hid.cast("string"),
+            F.lit(".example.org/robots.txt"),
+        ).alias("url"),
+        body.alias("text"),
+    )
+    noise = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("User-agent: decoy\nDisallow: /never").alias("text"),
+    )
+    return robots_agent_matrix(
+        robots_pages.unionByName(noise), ["goodbot", "fastbot"]
+    )
+
+
+def q_seed_hops(spark, sf_dir):
+    """Bounded 2-hop seed expansion (graph.py seed_neighborhood) from
+    the %97 seed set over the shared circulant edge set: minimum hop
+    distance plus distinct min-distance predecessor count per reached
+    node.  Oracle is the BFS unrolled to two explicit levels."""
+    from .graph import seed_neighborhood
+
+    edges, nodes, _n = _graph_inputs(spark, sf_dir)
+    seeds = nodes.filter(F.col("node") % 97 == 0)
+    return seed_neighborhood(edges, seeds, max_hops=2)
+
+
+QUERIES.update(
+    {
+        "link_spam": q_link_spam,
+        "robots_matrix": q_robots_matrix,
+        "seed_hops": q_seed_hops,
+    }
+)
+
+ORACLES["link_spam"] = r"""
+    WITH l AS (
+      SELECT 'https://h' || (doc_id % 7) || '.example.org/p/'
+               || (doc_id % 50) AS src,
+             CASE WHEN doc_id % 4 = 0 THEN NULL
+                  ELSE 'e' || (doc_id % 9) || '.example.net' END AS ext_host,
+             CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS external,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS nofollow,
+             'a' || (doc_id % 3) AS anchor_norm
+      FROM documents),
+    per AS (
+      SELECT src, count(*) AS n_out, sum(nofollow) AS nf,
+             sum(external) AS n_external,
+             count(DISTINCT ext_host) AS n_ext_hosts
+      FROM l GROUP BY src),
+    ta AS (
+      SELECT src, max(c) AS top FROM (
+        SELECT src, anchor_norm, count(*) AS c
+        FROM l GROUP BY src, anchor_norm)
+      GROUP BY src)
+    SELECT p.src,
+      CAST(p.n_out AS BIGINT) AS n_out,
+      ROUND(CAST(p.nf AS DOUBLE) / p.n_out, 6) AS frac_nofollow,
+      ROUND(CAST(p.n_external AS DOUBLE) / p.n_out, 6) AS frac_external,
+      CAST(p.n_ext_hosts AS BIGINT) AS n_ext_hosts,
+      ROUND(CASE WHEN p.n_external > 0
+            THEN CAST(p.n_external - p.n_ext_hosts AS DOUBLE) / p.n_external
+            ELSE 0.0 END, 6) AS ext_concentration,
+      ROUND(CAST(t.top AS DOUBLE) / p.n_out, 6) AS top_anchor_share,
+      ROUND((CAST(p.n_external AS DOUBLE) / p.n_out)
+            * greatest(
+                CAST(t.top AS DOUBLE) / p.n_out,
+                CASE WHEN p.n_external > 0
+                THEN CAST(p.n_external - p.n_ext_hosts AS DOUBLE)
+                     / p.n_external
+                ELSE 0.0 END), 6) AS farm_score
+    FROM per p JOIN ta t USING (src)
+"""
+
+ORACLES["robots_matrix"] = r"""
+    WITH hosts AS (SELECT DISTINCT doc_id % 8 AS hid FROM documents),
+    agents AS (SELECT * FROM (VALUES ('goodbot'), ('fastbot')) t(agent)),
+    x AS (SELECT hid, hid % 4 AS m, agent FROM hosts CROSS JOIN agents)
+    SELECT 'h' || CAST(hid AS VARCHAR) || '.example.org' AS host,
+      agent,
+      CAST(CASE WHEN m = 2 THEN 1
+                WHEN m = 1 AND agent = 'fastbot' THEN 1
+                ELSE 0 END AS INT) AS specific,
+      CAST(CASE WHEN m = 0 THEN 2.0
+                WHEN m = 1 AND agent = 'fastbot' THEN 30.0
+                WHEN m = 2 THEN 1.5
+                ELSE NULL END AS DOUBLE) AS crawl_delay,
+      CAST(CASE WHEN m = 0 THEN 2 WHEN m IN (1, 2) THEN 1
+                ELSE 0 END AS INT) AS n_disallow,
+      CAST(CASE WHEN m IN (0, 2) THEN 1 ELSE 0 END AS INT) AS n_allow
+    FROM x
+"""
+
+ORACLES["seed_hops"] = _GRAPH_SQL + r"""
+    , h0 AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0)
+    , h1 AS (SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN h0 ON e.src = h0.node
+             WHERE e.dst NOT IN (SELECT node FROM h0))
+    , h2 AS (SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN h1 ON e.src = h1.node
+             WHERE e.dst NOT IN (SELECT node FROM h0)
+               AND e.dst NOT IN (SELECT node FROM h1))
+    , assigned AS (
+        SELECT node, CAST(0 AS INT) AS hops FROM h0
+        UNION ALL SELECT node, CAST(1 AS INT) FROM h1
+        UNION ALL SELECT node, CAST(2 AS INT) FROM h2)
+    , parents AS (
+        SELECT c.node AS node, count(DISTINCT e.src) AS n_parents
+        FROM edges e
+        JOIN assigned p ON e.src = p.node
+        JOIN assigned c ON e.dst = c.node
+        WHERE c.hops = p.hops + 1
+        GROUP BY c.node)
+    SELECT a.node, a.hops,
+           CAST(coalesce(p.n_parents, 0) AS BIGINT) AS n_parents
+    FROM assigned a LEFT JOIN parents p ON a.node = p.node
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
@@ -7770,6 +7956,8 @@ _GATE_PRIORITY = [
     #    weighted_sample, scd2_pages, spam_mass, aimd_rates,
     #    layout_pruning, hll_hosts, path_prefixes, refresh_policy)
     #    join the same rotation queue
+    #  - session-11 additions (link_spam, robots_matrix, seed_hops)
+    #    likewise queue for the round-5 rotation
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
