@@ -427,3 +427,66 @@ def test_seed_neighborhood_min_distance_wins(spark):
     # 2 keeps hop 1; its hop-2 path via 3 does not demote it, but 3->2
     # is NOT a min-distance edge (1 != 1+1), so only seed 1 parents it
     assert got == {1: (0, 0), 2: (1, 1), 3: (1, 1)}
+
+
+# -------------------------------------------- label propagation
+def test_label_propagation_clamp_tie_and_reach(spark):
+    """Seeds stay clamped, ties break lexicographically, labels reach
+    2 hops in 2 rounds, isolated nodes read as 'none'."""
+    import pytest
+
+    from uniparser_spark.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (2, 5), (5, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "node long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "node long, label string"
+    )
+    got = {
+        r["node"]: (r["label"], r["origin"])
+        for r in label_propagation(edges, nodes, seeds, iters=2).collect()
+    }
+    assert got[1] == ("a", "seed")
+    # 5 -> 2 in-edge must NOT overwrite the clamped seed label
+    assert got[2] == ("b", "seed")
+    # node 3 sees {a, b} equally often -> lexicographic winner
+    assert got[3] == ("a", "prop")
+    # 2 hops from seed 1 via 3 in 2 rounds
+    assert got[4] == ("a", "prop")
+    assert got[5] == ("b", "prop")
+    assert got[6] == (None, "none")
+    with pytest.raises(ValueError):
+        label_propagation(edges, nodes, seeds, iters=0)
+
+
+# -------------------------------------------- co-citation pairs
+def test_cocitation_pairs_cap_and_jaccard(spark):
+    """Hub sources above max_out are excluded from the pair join but
+    still count toward in-degrees; jaccard uses uncapped in-sets."""
+    from uniparser_spark.graph import cocitation_pairs
+
+    rows = (
+        [("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y"),
+         ("s3", "x"), ("s3", "z")]
+        + [("hub", t) for t in ("x", "y", "z", "w")]
+    )
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {
+        (r["node_a"], r["node_b"]): r.asDict()
+        for r in cocitation_pairs(edges, min_common=1, max_out=3).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z")}
+    xy = out[("x", "y")]
+    # common sources s1, s2 (hub capped out); in-degrees 4 and 3 uncapped
+    assert xy["n_common"] == 2
+    assert xy["jaccard"] == round(2 / (4 + 3 - 2), 6)
+    xz = out[("x", "z")]
+    assert xz["n_common"] == 1
+    assert xz["jaccard"] == round(1 / (4 + 2 - 1), 6)
+    # min_common gate
+    only = cocitation_pairs(edges, min_common=2, max_out=3).collect()
+    assert [(r["node_a"], r["node_b"]) for r in only] == [("x", "y")]

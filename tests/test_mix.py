@@ -674,3 +674,28 @@ def test_training_order_reproducible_and_complete(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in c} != {
         (r["doc_id"], r["shard"], r["pos"]) for r in a
     }
+
+
+def test_leakage_split_clusters_never_straddle(spark):
+    """Duplicate texts inherit ONE split drawn from the cluster id
+    (min doc id); ratios must be 3 percents summing to 100."""
+    import pytest
+
+    from uniparser_spark.textops.mix import leakage_split
+
+    rows = [(i, f"unique text {i}") for i in range(20)] + [
+        (100, "same text"), (101, "same text"), (102, "same text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in leakage_split(docs).collect()}
+    assert len(out) == 23
+    dup = [out[i] for i in (100, 101, 102)]
+    assert {d["cluster_id"] for d in dup} == {100}
+    assert len({d["split"] for d in dup}) == 1
+    assert len({d["bucket"] for d in dup}) == 1
+    for r in out.values():
+        assert 0 <= r["bucket"] < 100
+        assert (r["bucket"] < 80) == (r["split"] == "train")
+        assert (80 <= r["bucket"] < 90) == (r["split"] == "val")
+    with pytest.raises(ValueError):
+        leakage_split(docs, ratios=(70, 20, 20))

@@ -720,3 +720,138 @@ def seed_neighborhood(
             F.coalesce("n_parents", F.lit(0)).cast("long").alias("n_parents"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """Seed-clamped synchronous label propagation over the link graph
+    (Zhu & Ghahramani '02 / Raghavan '07 shaped): ``seeds`` carries
+    (node, label) category assignments; each round every non-seed node
+    adopts the most common label among its IN-neighbors' current
+    labels (ties -> lexicographically smallest), keeping its previous
+    label when no in-neighbor is labeled yet.  The crawl use is host
+    categorization: a few hundred hand-labeled hosts (news, commerce,
+    spam, ...) spread over the host graph to prioritize the frontier.
+
+    Output: (node, label, origin), origin in {'seed', 'prop', 'none'}
+    (none = never reached, label NULL).
+
+    Scale shape: per round one edges ⋈ labels join on src (the label
+    relation is narrow (node, label) rows), one map-side-combined
+    groupBy(dst, label) count, and one per-node row_number selection;
+    ``iters`` is a small constant, so the plan is a bounded unrolled
+    chain like pagerank's — no driver-side convergence loop.  The
+    deterministic tie-break makes the result partition-invariant.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select("src", "dst")
+    sd = seeds.select("node", F.col("label").alias("_seed"))
+    cur = nodes.select("node").join(sd, "node", "left").select(
+        "node", F.col("_seed").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        counts = (
+            e.join(
+                cur.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("src"), "label"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        cur = (
+            cur.join(best, "node", "left")
+            .join(sd, "node", "left")
+            .select(
+                "node",
+                F.coalesce("_seed", "_new", "label").alias("label"),
+            )
+        )
+    return cur.join(sd, "node", "left").select(
+        "node",
+        "label",
+        F.when(F.col("_seed").isNotNull(), F.lit("seed"))
+        .when(F.col("label").isNotNull(), F.lit("prop"))
+        .otherwise(F.lit("none"))
+        .alias("origin"),
+    )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_out: int = 100,
+) -> DataFrame:
+    """Co-citation similarity (Small '73; the in-link twin of
+    bibliographic coupling): pairs of nodes repeatedly linked FROM the
+    same sources — mirror/topical-sibling candidates that content
+    hashing misses.  ``n_common`` = distinct common in-linking
+    sources; ``jaccard`` = n_common / (in(a) + in(b) - n_common) over
+    the UNCAPPED in-neighbor sets.
+
+    Scale shape: the source-side self-join explodes quadratically on
+    hub sources, so sources with out-degree > ``max_out`` are dropped
+    BEFORE the join (standard practice — a directory page linking 10^4
+    sites co-cites nothing meaningful; n_common becomes a documented
+    lower bound).  After the cap the pair stream is bounded by
+    sum(out^2 | out <= max_out) narrow (id, id) rows; in-degrees join
+    back per-node, not per-pair-row.
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_out"))
+    capped = e.join(
+        deg.filter(F.col("_out") <= max_out).select("src"), "src"
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(
+            F.col("a.dst").alias("node_a"), F.col("b.dst").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        pairs.join(
+            indeg.select(F.col("node").alias("node_a"),
+                         F.col("in_deg").alias("_ia")),
+            "node_a",
+        )
+        .join(
+            indeg.select(F.col("node").alias("node_b"),
+                         F.col("in_deg").alias("_ib")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_ia") + F.col("_ib") - F.col("n_common"))
+                .cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -7800,11 +7800,54 @@ def q_seed_hops(spark, sf_dir):
     return seed_neighborhood(edges, seeds, max_hops=2)
 
 
+def q_label_prop(spark, sf_dir):
+    """Seed-clamped label propagation (graph.py label_propagation)
+    over the shared circulant edge set: %83 seed nodes carry
+    'cat{node%3}'; two synchronous rounds of in-neighbor majority
+    with lexicographic tie-break.  Oracle unrolls both rounds with
+    QUALIFY row_number selections."""
+    from .graph import label_propagation
+
+    edges, nodes, _n = _graph_inputs(spark, sf_dir)
+    seeds = nodes.filter(F.col("node") % 83 == 0).select(
+        "node",
+        F.concat(F.lit("cat"), (F.col("node") % 3).cast("string")).alias(
+            "label"
+        ),
+    )
+    return label_propagation(edges, nodes, seeds, iters=2)
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation pairs (graph.py cocitation_pairs) over the
+    circulant edge set (out-degree 3, under the hub cap, so the
+    capped join is exact here): distinct-common-source counts and
+    in-neighbor jaccard per (a < b) pair."""
+    from .graph import cocitation_pairs
+
+    edges, _nodes, _n = _graph_inputs(spark, sf_dir)
+    return cocitation_pairs(edges, min_common=1, max_out=100)
+
+
+def q_leakage_split(spark, sf_dir):
+    """Cluster-aware train/val/test split (textops/mix.py
+    leakage_split): documents sharing an exact-content fingerprint
+    draw ONE split from the hashed cluster id (min doc id), 80/10/10.
+    The documents table carries genuine duplicate texts, so the
+    no-cluster-straddles-splits property is exercised for real."""
+    from .textops.mix import leakage_split
+
+    return leakage_split(tp(spark, sf_dir, "documents"))
+
+
 QUERIES.update(
     {
         "link_spam": q_link_spam,
         "robots_matrix": q_robots_matrix,
         "seed_hops": q_seed_hops,
+        "label_prop": q_label_prop,
+        "cocitation": q_cocitation,
+        "leakage_split": q_leakage_split,
     }
 )
 
@@ -7891,6 +7934,71 @@ ORACLES["seed_hops"] = _GRAPH_SQL + r"""
     FROM assigned a LEFT JOIN parents p ON a.node = p.node
 """
 
+ORACLES["label_prop"] = _GRAPH_SQL + r"""
+    , sd AS (SELECT doc_id AS node,
+                    'cat' || CAST(doc_id % 3 AS VARCHAR) AS seed
+             FROM documents WHERE doc_id % 83 = 0)
+    , l0 AS (SELECT d.doc_id AS node, s.seed AS label
+             FROM documents d LEFT JOIN sd s ON d.doc_id = s.node)
+    , c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             FROM edges e JOIN l0 l ON e.src = l.node
+             WHERE l.label IS NOT NULL GROUP BY e.dst, l.label)
+    , b1 AS (SELECT node, label FROM c1
+             QUALIFY row_number() OVER (PARTITION BY node
+                       ORDER BY c DESC, label ASC) = 1)
+    , l1 AS (SELECT l0.node, coalesce(s.seed, b.label, l0.label) AS label
+             FROM l0 LEFT JOIN b1 b ON l0.node = b.node
+                     LEFT JOIN sd s ON l0.node = s.node)
+    , c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+             FROM edges e JOIN l1 l ON e.src = l.node
+             WHERE l.label IS NOT NULL GROUP BY e.dst, l.label)
+    , b2 AS (SELECT node, label FROM c2
+             QUALIFY row_number() OVER (PARTITION BY node
+                       ORDER BY c DESC, label ASC) = 1)
+    , l2 AS (SELECT l1.node, coalesce(s.seed, b.label, l1.label) AS label
+             FROM l1 LEFT JOIN b2 b ON l1.node = b.node
+                     LEFT JOIN sd s ON l1.node = s.node)
+    SELECT l2.node, l2.label,
+           CASE WHEN s.seed IS NOT NULL THEN 'seed'
+                WHEN l2.label IS NOT NULL THEN 'prop'
+                ELSE 'none' END AS origin
+    FROM l2 LEFT JOIN sd s ON l2.node = s.node
+"""
+
+ORACLES["cocitation"] = _GRAPH_SQL + r"""
+    , e AS (SELECT DISTINCT src, dst FROM edges)
+    , deg AS (SELECT src, count(*) AS outd FROM e GROUP BY src)
+    , capped AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)
+                 WHERE outd <= 100)
+    , pairs AS (
+        SELECT a.dst AS node_a, b.dst AS node_b, count(*) AS n_common
+        FROM capped a JOIN capped b
+          ON a.src = b.src AND a.dst < b.dst
+        GROUP BY a.dst, b.dst
+        HAVING count(*) >= 1)
+    , ind AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+    SELECT p.node_a, p.node_b, CAST(p.n_common AS BIGINT) AS n_common,
+           ROUND(CAST(p.n_common AS DOUBLE)
+                 / (ia.in_deg + ib.in_deg - p.n_common), 6) AS jaccard
+    FROM pairs p JOIN ind ia ON p.node_a = ia.node
+                 JOIN ind ib ON p.node_b = ib.node
+"""
+
+ORACLES["leakage_split"] = r"""
+    WITH base AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    cl AS (SELECT fp, min(doc_id) AS cluster_id FROM base GROUP BY fp),
+    j AS (SELECT b.doc_id, c.cluster_id,
+            CAST(('0x' || substr(md5('split:'
+                   || CAST(c.cluster_id AS VARCHAR)), 1, 4))::BIGINT
+                 % 100 AS INT) AS bucket
+          FROM base b JOIN cl c USING (fp))
+    SELECT doc_id, cluster_id, bucket,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM j
+"""
+
 
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
@@ -7956,8 +8064,9 @@ _GATE_PRIORITY = [
     #    weighted_sample, scd2_pages, spam_mass, aimd_rates,
     #    layout_pruning, hll_hosts, path_prefixes, refresh_policy)
     #    join the same rotation queue
-    #  - session-11 additions (link_spam, robots_matrix, seed_hops)
-    #    likewise queue for the round-5 rotation
+    #  - session-11/12 additions (link_spam, robots_matrix, seed_hops,
+    #    label_prop, cocitation, leakage_split) likewise queue for the
+    #    round-5 rotation
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]

@@ -981,3 +981,49 @@ def weighted_sample(
     return keyed.select(
         id_col, "stratum", "weight", "draw_key", rk.alias("rk")
     ).filter(F.col("rk") <= k)
+
+
+def leakage_split(
+    docs: DataFrame,
+    ratios: tuple = (80, 10, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is drawn per
+    DEDUP CLUSTER, not per document, so two copies of the same content
+    can never land on opposite sides of the train/eval boundary — the
+    contamination mode per-doc random splits are blind to.
+
+    Cluster = min doc id over the exact-content fingerprint (callers
+    with a near-dup closure should pre-join their cluster id and use
+    it as ``text_col``'s stand-in upstream; the gate logic is
+    identical).  Bucket = leading-16-bit :func:`hex_bucket` of the
+    CLUSTER id mod 100 against cumulative ``ratios`` (train/val/test
+    percents summing to 100).
+
+    Output: (doc_id, cluster_id, bucket, split).
+
+    Scale shape: fingerprints reduce map-side; only (id, fp) rows
+    shuffle (text never crosses the wire); the cluster draw is a hash,
+    not a rand() — stable under task retry and reproducible from
+    (salt, ratios) alone, epoch-reshuffleable by changing the salt.
+    The 16-bit-mod-100 bucket has a <0.2% uniformity bias, irrelevant
+    for split ratios.
+    """
+    if len(ratios) != 3 or sum(ratios) != 100:
+        raise ValueError(f"ratios must be 3 percents summing to 100: {ratios}")
+    t_train, t_val = ratios[0], ratios[0] + ratios[1]
+    base = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+    clusters = base.groupBy("fp").agg(F.min(id_col).alias("cluster_id"))
+    bucket = (hex_bucket(F.col("cluster_id"), salt, 4) % 100).cast("int")
+    return (
+        base.join(clusters, "fp")
+        .select(id_col, "cluster_id", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < t_train, F.lit("train"))
+            .when(F.col("bucket") < t_val, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
