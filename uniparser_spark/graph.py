@@ -682,6 +682,8 @@ def seed_neighborhood(
     connected_components' pointer-doubling job.  The n_parents pass
     is one extra edges ⋈ assigned^2 join over narrow rows.
     """
+    from .engine.ckpt import step_checkpoint
+
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
     e = edges.select(F.col("src"), F.col("dst"))
@@ -697,7 +699,10 @@ def seed_neighborhood(
             .join(assigned.select("node"), "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
         )
-        assigned = assigned.unionByName(nxt)
+        # lineage barrier: assigned is referenced twice next hop (union
+        # + anti-join) and 3x by the parents pass — without truncation
+        # the shared BFS lineage re-executes per reference
+        assigned = step_checkpoint(assigned.unionByName(nxt))
         frontier = nxt
     parents = (
         e.join(
@@ -747,6 +752,8 @@ def label_propagation(
     chain like pagerank's — no driver-side convergence loop.  The
     deterministic tie-break makes the result partition-invariant.
     """
+    from .engine.ckpt import step_checkpoint
+
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select("src", "dst")
@@ -773,7 +780,10 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", F.col("label").alias("_new"))
         )
-        cur = (
+        # lineage barrier: the round's output references cur TWICE
+        # (majority counts + previous-label fallback) — unchecked, the
+        # state lineage doubles per round (2^iters recompute)
+        cur = step_checkpoint(
             cur.join(best, "node", "left")
             .join(sd, "node", "left")
             .select(
