@@ -8000,6 +8000,109 @@ ORACLES["leakage_split"] = r"""
 """
 
 
+# ------------------------------------------------------ session-12 additions
+
+
+def q_wat_scan(spark, sf_dir):
+    """WAT metadata connector (sources/wat.py) round-trip: each
+    partition of the documents table is encoded as a Common-Crawl-style
+    WAT stream (WARC metadata records, compact sorted-keys JSON
+    envelope, gzip member each) and parsed back through the stdlib
+    connector — one Arrow-batched mapInPandas, no shuffle.  Docs ≡ 9
+    (mod 10) additionally emit a CORRUPT-payload record, exercising the
+    error-as-data contract (valid=0, NULL title, zero links).  The
+    oracle predicts every field straight from doc_id, so a JSON
+    escaping, envelope-shape, or record-boundary slip breaks parity."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    from .sources.wat import build_wat, records_to_meta
+
+    base = 1_750_000_000
+    docs = tp(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        for b in batches:
+            data = b""
+            for i in b["doc_id"]:
+                i = int(i)
+                ts = datetime.fromtimestamp(base + i, tz=timezone.utc)
+                data += build_wat(
+                    [
+                        {
+                            "url": f"https://wat.example.org/d/{i}",
+                            "ts": ts,
+                            "title": f'Doc "{i}" & <t>',
+                            "links": [
+                                (f"https://wat.example.org/d/{i + k + 1}", f"a{k}")
+                                for k in range(i % 4)
+                            ],
+                        }
+                    ]
+                )
+                if i % 10 == 9:
+                    import gzip as _gzip
+                    import io as _io
+
+                    body = b"{corrupt"
+                    rec = (
+                        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+                        + f"WARC-Target-URI: https://wat.example.org/bad/{i}".encode()
+                        + b"\r\n"
+                        + f"WARC-Date: {ts:%Y-%m-%dT%H:%M:%SZ}".encode()
+                        + b"\r\nContent-Type: application/json\r\n"
+                        + f"Content-Length: {len(body)}".encode()
+                        + b"\r\n\r\n"
+                        + body
+                        + b"\r\n\r\n"
+                    )
+                    buf = _io.BytesIO()
+                    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                        gz.write(rec)
+                    data += buf.getvalue()
+            metas = list(records_to_meta(data))
+            yield pd.DataFrame(
+                {
+                    "url": [m["url"] for m in metas],
+                    "warc_epoch": [int(m["warc_ts"].timestamp()) for m in metas],
+                    "title": [m["title"] for m in metas],
+                    "n_links": [len(m["links"]) for m in metas],
+                    "first_link": [
+                        m["links"][0][0] if m["links"] else None for m in metas
+                    ],
+                    "valid": [m["valid"] for m in metas],
+                }
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema=(
+            "url string, warc_epoch long, title string, n_links int, "
+            "first_link string, valid int"
+        ),
+    )
+
+
+QUERIES.update({"wat_scan": q_wat_scan})
+
+ORACLES["wat_scan"] = r"""
+    SELECT 'https://wat.example.org/d/' || doc_id AS url,
+           CAST(1750000000 + doc_id AS BIGINT) AS warc_epoch,
+           'Doc "' || doc_id || '" & <t>' AS title,
+           CAST(doc_id % 4 AS INT) AS n_links,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE 'https://wat.example.org/d/' || (doc_id + 1) END
+             AS first_link,
+           CAST(1 AS INT) AS valid
+    FROM documents
+    UNION ALL
+    SELECT 'https://wat.example.org/bad/' || doc_id,
+           CAST(1750000000 + doc_id AS BIGINT),
+           NULL, CAST(0 AS INT), NULL, CAST(0 AS INT)
+    FROM documents WHERE doc_id % 10 = 9
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
