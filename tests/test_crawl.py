@@ -602,3 +602,44 @@ def test_classify_urls_rule_per_class(spark):
         r = got[u]
         assert (r["page_type"], r["type_priority"]) == (ptype, prio), u
         assert (r["path_depth"], r["has_query"]) == (depth, q), u
+
+
+def test_failure_episodes_islands_and_recovery(spark):
+    """Outage detection: maximal failure runs, min_failures gate,
+    recovered flag off when a host's log ends mid-outage."""
+    import datetime as dt
+
+    from uniparser_spark.crawl.sessions import failure_episodes
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # host a: ok, FAIL FAIL FAIL, ok, FAIL (singleton -> gated out)
+        ("a", s(0), 1, 1),
+        ("a", s(10), 2, 0),
+        ("a", s(20), 3, 0),
+        ("a", s(30), 4, 0),
+        ("a", s(40), 5, 1),
+        ("a", s(50), 6, 0),
+        # host b: ends dark — FAIL FAIL at the tail, never recovers
+        ("b", s(0), 7, 1),
+        ("b", s(10), 8, 0),
+        ("b", s(20), 9, 0),
+        # host c: all ok — no episodes
+        ("c", s(0), 10, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, ts timestamp, event_id long, ok int"
+    )
+    out = [
+        r.asDict()
+        for r in failure_episodes(df, min_failures=2)
+        .orderBy("host", "start_us")
+        .collect()
+    ]
+    assert len(out) == 2
+    a, b = out
+    assert a["host"] == "a" and a["n_failures"] == 3
+    assert a["first_event"] == 2 and a["recovered"] == 1
+    assert (a["end_us"] - a["start_us"]) == 20_000_000
+    assert b["host"] == "b" and b["n_failures"] == 2 and b["recovered"] == 0

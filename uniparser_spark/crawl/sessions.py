@@ -80,3 +80,71 @@ def sessionize(
             F.expr("(end_us - start_us) div 1000000").alias("duration_sec"),
         )
     )
+
+
+def failure_episodes(
+    df: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    ok_col: str = "ok",
+    min_failures: int = 2,
+) -> DataFrame:
+    """Host-outage detection: maximal runs of consecutive FAILED
+    fetches per host (gaps-and-islands over the fetch log).
+
+    A retry policy (frontier/retry.py) reacts per URL; outage detection
+    reacts per HOST — a run of consecutive failures across different
+    URLs means the host (or its edge) is down and the scheduler should
+    pause the whole host queue instead of burning budget URL by URL.
+    The reference's asyncio crawler has no fetch history at all
+    (``crawler.py:191-224``); this is beyond-reference ops surface.
+
+    Island construction is the classic two-row_number difference: with
+    events ordered per host, ``rn - row_number() within (host, ok)`` is
+    constant exactly on maximal same-verdict runs.  Both row_numbers
+    share the window sort, and the closing groupBy keys are a superset
+    of the window partitioning — same ONE-Exchange shape as
+    :func:`sessionize` (the grouping runs in place).
+
+    Output, one row per failure episode of ≥ ``min_failures``:
+    ``(key, start_us, end_us, n_failures, first_event, recovered)``
+    where ``recovered=1`` iff the host logged ANY event after the
+    episode (islands are maximal, so that event is a success);
+    ``recovered=0`` marks hosts still dark at the end of the log.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
+    w_ok = Window.partitionBy(key_col, ok_col).orderBy(
+        us.asc(), F.col(id_col).asc()
+    )
+    numbered = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(ok_col),
+        us.alias("_us"),
+        F.row_number().over(w).alias("_rn"),
+        (F.row_number().over(w) - F.row_number().over(w_ok)).alias("_island"),
+        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("_total"),
+    )
+    return (
+        numbered.filter(~F.col(ok_col).cast("boolean"))
+        .groupBy(key_col, "_island")
+        .agg(
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_failures"),
+            F.min(id_col).alias("first_event"),
+            F.max("_rn").alias("_last_rn"),
+            F.max("_total").alias("_tot"),
+        )
+        .filter(F.col("n_failures") >= min_failures)
+        .select(
+            key_col,
+            "start_us",
+            "end_us",
+            "n_failures",
+            "first_event",
+            (F.col("_last_rn") < F.col("_tot")).cast("int").alias("recovered"),
+        )
+    )

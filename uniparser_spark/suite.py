@@ -8083,7 +8083,180 @@ def q_wat_scan(spark, sf_dir):
     )
 
 
-QUERIES.update({"wat_scan": q_wat_scan})
+def q_host_mirrors(spark, sf_dir):
+    """Mirror-host detection (textops/dedup.py host_mirror_pairs):
+    pages bucketed onto 8 synthetic hosts with md5 content
+    fingerprints; the corpus's genuine duplicate texts make shared
+    fingerprints real.  Postings-list pair generation (no fp self-join)
+    with a 6-host document-frequency cap — fingerprints on >6 hosts are
+    boilerplate and excluded, exercising the cap in the oracle too."""
+    from .textops.dedup import host_mirror_pairs
+
+    d = tp(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 8).cast("string")).alias("host"),
+        F.md5("text").alias("fp"),
+    )
+    # every 5th page is ALSO served from a mirror host (x0/x1) — the
+    # partial-mirror case the containment column is built to flag
+    mirrors = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(
+            F.lit("x"), (F.expr("doc_id div 5") % 2).cast("string")
+        ).alias("host"),
+        F.md5("text").alias("fp"),
+    )
+    return host_mirror_pairs(
+        base.unionByName(mirrors), min_shared=1, max_hosts_per_fp=6
+    )
+
+
+def q_host_outages(spark, sf_dir):
+    """Host-outage episodes (crawl/sessions.py failure_episodes):
+    fetch log synthesized onto 11 hosts with a per-host sequence index
+    k = doc_id div 11; fetches fail when k%5 ∈ {1,2} or k%13 = 7,
+    yielding regular 2-runs and occasional 3-runs plus hosts whose log
+    ends mid-outage (recovered=0).  Gaps-and-islands with both
+    row_numbers and the closing groupBy on ONE Exchange."""
+    from .crawl.sessions import failure_episodes
+
+    d = F.col("doc_id")
+    k = F.expr("doc_id div 11")
+    ok = ~((k % 5).isin(1, 2) | (k % 13 == 7))
+    logs = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 11).cast("string")).alias("host"),
+        F.timestamp_seconds(F.lit(1_750_000_000) + d).alias("ts"),
+        d.alias("event_id"),
+        ok.cast("int").alias("ok"),
+    )
+    return failure_episodes(
+        logs, key_col="host", ts_col="ts", id_col="event_id", min_failures=2
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Corpus Zipf audit (textops/quality.py zipf_fit): ln-ln
+    regression slope + r² over the top-200 vocabulary, type/token
+    totals.  One map-side-combined token groupBy, TakeOrdered top-N,
+    deterministic tie-break so both engines regress identical inputs."""
+    from .textops.quality import zipf_fit
+
+    return zipf_fit(tp(spark, sf_dir, "documents"), top_n=200)
+
+
+def q_posting_gaps(spark, sf_dir):
+    """Posting-list compression audit (textops/index.py posting_gaps):
+    per-term delta-gaps priced in exact Elias-γ bits
+    (2·length(bin(x))−1 — integer, no float log), compression ratio vs
+    raw 64-bit ids.  Lag window and closing groupBy share one term
+    Exchange."""
+    from .textops.index import posting_gaps
+
+    return posting_gaps(tp(spark, sf_dir, "documents"), min_df=3)
+
+
+QUERIES.update(
+    {
+        "wat_scan": q_wat_scan,
+        "host_mirrors": q_host_mirrors,
+        "host_outages": q_host_outages,
+        "zipf_fit": q_zipf_fit,
+        "posting_gaps": q_posting_gaps,
+    }
+)
+
+ORACLES["host_mirrors"] = r"""
+    WITH hf AS (
+      SELECT DISTINCT host, fp FROM (
+        SELECT 'm' || (doc_id % 8) AS host, md5(text) AS fp FROM documents
+        UNION ALL
+        SELECT 'x' || ((doc_id // 5) % 2), md5(text)
+        FROM documents WHERE doc_id % 5 = 0)),
+    width AS (SELECT fp, count(*) AS nh FROM hf GROUP BY fp),
+    capped AS (SELECT h.host, h.fp FROM hf h JOIN width w USING (fp)
+               WHERE w.nh BETWEEN 2 AND 6),
+    per_host AS (SELECT host, count(*) AS n_fps FROM hf GROUP BY host),
+    pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.host < b.host
+      GROUP BY a.host, b.host
+      HAVING count(*) >= 1)
+    SELECT p.host_a, p.host_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(pa.n_fps AS BIGINT) AS n_a, CAST(pb.n_fps AS BIGINT) AS n_b,
+           ROUND(CAST(p.n_shared AS DOUBLE) / least(pa.n_fps, pb.n_fps), 6)
+             AS containment,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / (pa.n_fps + pb.n_fps - p.n_shared), 6) AS jaccard
+    FROM pairs p JOIN per_host pa ON p.host_a = pa.host
+                 JOIN per_host pb ON p.host_b = pb.host
+"""
+
+ORACLES["host_outages"] = r"""
+    WITH e AS (
+      SELECT 'h' || (doc_id % 11) AS host,
+             CAST((1750000000 + doc_id) * 1000000 AS BIGINT) AS us,
+             doc_id AS event_id,
+             CASE WHEN (doc_id // 11) % 5 IN (1, 2)
+                    OR (doc_id // 11) % 13 = 7 THEN 0 ELSE 1 END AS ok
+      FROM documents),
+    n AS (
+      SELECT host, event_id, us, ok,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY us, event_id) AS rn,
+             row_number() OVER (PARTITION BY host, ok
+                                ORDER BY us, event_id) AS rno,
+             count(*) OVER (PARTITION BY host) AS total
+      FROM e)
+    SELECT host, MIN(us) AS start_us, MAX(us) AS end_us,
+           COUNT(*) AS n_failures, MIN(event_id) AS first_event,
+           CAST(CASE WHEN MAX(rn) < MAX(total) THEN 1 ELSE 0 END AS INT)
+             AS recovered
+    FROM n WHERE ok = 0
+    GROUP BY host, rn - rno
+    HAVING COUNT(*) >= 2
+"""
+
+ORACLES["zipf_fit"] = r"""
+    WITH c AS (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents)
+      GROUP BY token),
+    totals AS (SELECT count(*) AS n_types,
+                      CAST(sum(n) AS BIGINT) AS n_tokens FROM c),
+    top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+            FROM c ORDER BY n DESC, token ASC LIMIT 200),
+    fit AS (SELECT ROUND(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+                   ROUND(regr_r2(ln(n), ln(rank)), 4) AS zipf_r2
+            FROM top)
+    SELECT CAST(t.n_types AS BIGINT) AS n_types, t.n_tokens,
+           ROUND(CAST(t.n_types AS DOUBLE) / t.n_tokens, 6) AS ttr,
+           f.zipf_slope, f.zipf_r2
+    FROM totals t, fit f
+"""
+
+ORACLES["posting_gaps"] = r"""
+    WITH post AS (
+      SELECT DISTINCT doc_id, token AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents)),
+    g AS (
+      SELECT term, doc_id,
+             lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS prev
+      FROM post),
+    c AS (
+      SELECT term,
+             CASE WHEN prev IS NULL THEN 2 * length(bin(doc_id + 1)) - 1
+                  ELSE 2 * length(bin(doc_id - prev)) - 1 END AS bits
+      FROM g),
+    p AS (SELECT term, count(*) AS df,
+                 CAST(sum(bits) AS BIGINT) AS gamma_bits
+          FROM c GROUP BY term HAVING count(*) >= 3)
+    SELECT term, CAST(df AS BIGINT) AS df, gamma_bits,
+           ROUND(CAST(gamma_bits AS DOUBLE) / df, 4) AS bits_per_posting,
+           ROUND(df * 64.0 / gamma_bits, 4) AS compression_ratio
+    FROM p
+"""
 
 ORACLES["wat_scan"] = r"""
     SELECT 'https://wat.example.org/d/' || doc_id AS url,

@@ -990,3 +990,80 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def host_mirror_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 50,
+) -> DataFrame:
+    """Mirror-host detection: pairs of hosts serving the same content.
+
+    Web-scale crawls burn fetch budget on mirrors (www/non-www splits,
+    country mirrors, CDN vanity hosts, scraped re-publishers).  The
+    reference crawls one seed list and never sees the problem; at the
+    north rule's 10^10-URL scale, detecting that two hosts are mostly
+    the same content — and collapsing one out of the frontier — is a
+    first-order budget lever (cf. DUST's per-URL view in crawl/dust.py;
+    this is the host-level complement driven by CONTENT, not URL text).
+
+    Input is one row per page with a content fingerprint (md5/simhash —
+    anything collision-free in practice); text never enters the plan.
+    Shape (same scale pattern as :func:`containment_pairs`): distinct
+    (host, fp), ONE groupBy(fp) collecting each fingerprint's host
+    list, a document-frequency cap that drops boilerplate fingerprints
+    shared by more than ``max_hosts_per_fp`` hosts (empty pages, parked
+    templates — quadratic fan-out with no mirror signal), pair
+    generation as an in-array combination explode (host_a < host_b),
+    then one narrow groupBy on the pair key.  Per-host distinct-fp
+    denominators are a tiny (n_hosts-row) aggregate broadcast back in.
+
+    Returns ``(host_a, host_b, n_shared, n_a, n_b, containment,
+    jaccard)`` where containment = n_shared / min(n_a, n_b) — a near-1
+    containment with small jaccard is a subset mirror (one host carries
+    extra content); both near 1 is a full mirror.
+    """
+    hf = pages.select(F.col(host_col).alias("host"), F.col(fp_col).alias("fp")).distinct()
+    per_host = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fps"))
+    postings = (
+        hf.groupBy("fp")
+        .agg(F.collect_list("host").alias("hosts"))
+        .filter((F.size("hosts") >= 2) & (F.size("hosts") <= max_hosts_per_fp))
+    )
+    comb = F.flatten(
+        F.transform(
+            "hosts",
+            lambda x: F.transform(
+                F.filter("hosts", lambda y: y > x),
+                lambda y: F.struct(x.alias("host_a"), y.alias("host_b")),
+            ),
+        )
+    )
+    shared = (
+        postings.select(F.explode(comb).alias("pr"))
+        .select("pr.host_a", "pr.host_b")
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    a = per_host.select(
+        F.col("host").alias("host_a"), F.col("n_fps").alias("n_a")
+    )
+    b = per_host.select(
+        F.col("host").alias("host_b"), F.col("n_fps").alias("n_b")
+    )
+    out = shared.join(F.broadcast(a), "host_a").join(F.broadcast(b), "host_b")
+    ns = F.col("n_shared").cast("double")
+    return out.select(
+        "host_a",
+        "host_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(ns / F.least("n_a", "n_b"), 6).alias("containment"),
+        F.round(ns / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6).alias(
+            "jaccard"
+        ),
+    )

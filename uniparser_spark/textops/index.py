@@ -151,3 +151,62 @@ def phrase_positions(
         F.try_element_at(starts, F.lit(1)).cast("long").alias("first_pos"),
         F.try_element_at(starts, F.lit(-1)).cast("long").alias("last_pos"),
     )
+
+
+def posting_gaps(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Posting-list compression audit: per-term delta-gaps and their
+    Elias-γ bit cost.
+
+    Every planet-scale index stores postings delta-gap-encoded; how
+    well that works is a property of the CORPUS (dense common terms
+    compress to ~2 bits/posting, hapax-heavy vocabularies don't).
+    This audit prices the index before building it — the capacity-
+    planning twin of :func:`bm25_index`, on the same postings shape.
+
+    Per term (document-presence postings, ascending ``id_col``): the
+    first posting costs ``γ(doc_id + 1)`` and each subsequent one
+    ``γ(gap)`` where ``γ(x) = 2·⌊log2 x⌋ + 1`` bits — computed exactly
+    as ``2·length(bin(x)) - 1`` (integer, no float log), so the DuckDB
+    oracle is bit-identical.  Gaps are ≥ 1 (ids distinct), γ is total.
+
+    Shape: explode → distinct (term, doc_id) (map-side combined), ONE
+    Exchange on the term; the lag window and the closing groupBy share
+    that partitioning (grouping runs in place, same contract as
+    crawl/sessions.py).  Only ``(term, doc_id)`` ever shuffles.
+
+    Returns ``(term, df, gamma_bits, bits_per_posting,
+    compression_ratio)`` — ratio vs raw 64-bit ids, rounded to 4 dp.
+    """
+    post = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    gamma = lambda x: F.lit(2) * F.length(F.bin(x)) - F.lit(1)  # noqa: E731
+    prev = F.lag(id_col).over(w)
+    cost = F.when(prev.isNull(), gamma(F.col(id_col) + 1)).otherwise(
+        gamma(F.col(id_col) - prev)
+    )
+    per = (
+        post.select("term", F.col(id_col), cost.alias("_bits"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("_bits").alias("gamma_bits"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    return per.select(
+        "term",
+        "df",
+        "gamma_bits",
+        F.round(F.col("gamma_bits") / F.col("df"), 4).alias("bits_per_posting"),
+        F.round(F.col("df") * F.lit(64.0) / F.col("gamma_bits"), 4).alias(
+            "compression_ratio"
+        ),
+    )

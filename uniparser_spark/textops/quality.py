@@ -700,3 +700,61 @@ def length_distribution(
             4,
         ).alias("mean_tokens"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 256,
+) -> DataFrame:
+    """Corpus-level Zipf audit: least-squares slope of
+    ``ln(frequency) ~ ln(rank)`` over the top-``top_n`` vocabulary.
+
+    Natural webtext follows Zipf's law with slope ≈ -1; a corpus slice
+    whose slope collapses toward 0 (flat — machine-generated keyword
+    stuffing) or dives far below -1 (a few tokens dominating —
+    boilerplate/template floods) fails the composition sniff even when
+    every individual document passes quality_scores.  This is the
+    corpus-shape complement to the per-doc Gopher filters
+    (textops/clean.py), and standard data-card material for an LLM
+    training mix.
+
+    Shape: ONE map-side-combined groupBy on the token (the only wide
+    stage — same key as top_tokens), a full-vocab single aggregate for
+    the type/token totals, and a TakeOrdered top-``top_n`` (never a
+    global sort materialization) whose rank window runs over ≤ top_n
+    rows on one partition.  Ties rank deterministically
+    (count DESC, token ASC) so the DuckDB oracle reproduces the exact
+    regression inputs.
+
+    Returns ONE row: ``(n_types, n_tokens, ttr, zipf_slope, zipf_r2)``
+    — type-token ratio and the fit rounded to 4 dp (the module's
+    cross-engine float contract).
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+    ranked = top.select(
+        F.col("n"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+        .alias("rank"),
+    )
+    fit = ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 4).alias("zipf_r2"),
+    )
+    return totals.crossJoin(fit).select(
+        "n_types",
+        "n_tokens",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        "zipf_slope",
+        "zipf_r2",
+    )
