@@ -490,3 +490,62 @@ def test_cocitation_pairs_cap_and_jaccard(spark):
     # min_common gate
     only = cocitation_pairs(edges, min_common=2, max_out=3).collect()
     assert [(r["node_a"], r["node_b"]) for r in only] == [("x", "y")]
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Triangle {1,2,3} + pendant 4 + triangle-free path 5-6-7;
+    reversed duplicate edges collapse in the symmetrize step."""
+    from uniparser_spark.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 1), (3, 4), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r for r in triangle_counts(edges).collect()}
+    assert len(got) == 7
+    assert (got[1]["degree"], got[1]["triangles"], got[1]["clustering"]) == (2, 1, 1.0)
+    assert (got[2]["degree"], got[2]["triangles"], got[2]["clustering"]) == (2, 1, 1.0)
+    assert (got[3]["degree"], got[3]["triangles"]) == (3, 1)
+    assert got[3]["clustering"] == 0.333333
+    for n in (4, 5, 7):
+        assert (got[n]["degree"], got[n]["triangles"], got[n]["clustering"]) == (
+            1, 0, 0.0,
+        )
+    assert (got[6]["degree"], got[6]["triangles"], got[6]["clustering"]) == (2, 0, 0.0)
+
+
+def test_triangle_counts_hub_generates_no_wedges(spark):
+    """A star hub (all edges oriented INTO the high-degree center)
+    yields zero triangles and zero clustering everywhere."""
+    from uniparser_spark.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    rows = triangle_counts(edges).collect()
+    assert all(r["triangles"] == 0 and r["clustering"] == 0.0 for r in rows)
+    assert {r["degree"] for r in rows} == {1, 8}
+
+
+def test_kcore_peel_cascade_and_stability(spark):
+    """Path 1-2-3-4-5 hanging off nothing + triangle {10,11,12}:
+    k=2 peels the path end-in, two nodes per round; the triangle is
+    the stable 2-core."""
+    from uniparser_spark.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    r1 = {r["node"]: r for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    # round 1 removed 1 and 5; 2 and 4 now degree-1 (stable=0)
+    assert set(r1) == {2, 3, 4, 10, 11, 12}
+    assert (r1[2]["degree"], r1[2]["stable"]) == (1, 0)
+    assert (r1[3]["degree"], r1[3]["stable"]) == (2, 1)
+    assert (r1[4]["degree"], r1[4]["stable"]) == (1, 0)
+    r2 = {r["node"]: r for r in kcore_peel(edges, k=2, rounds=2).collect()}
+    # round 2 removed 2 and 4; node 3 isolated -> dropped from output
+    assert set(r2) == {10, 11, 12}
+    assert all(r["degree"] == 2 and r["stable"] == 1 for r in r2.values())
+    r3 = {r["node"]: r for r in kcore_peel(edges, k=3, rounds=1).collect()}
+    assert r3 == {}

@@ -865,3 +865,150 @@ def cocitation_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the undirected simple graph underlying the link edge list.
+
+    Triangle density separates organic neighborhoods (topical sites
+    interlinking — high clustering) from link farms and spam rings
+    (star/bipartite exchange schemes — near-zero clustering despite
+    high degree), complementing the volume-based signals in
+    :func:`spam_mass` and ``link_spam_signals`` with a structural one.
+
+    Scale shape (degree-ordered orientation — the standard trick that
+    makes triangle counting survive power-law webs): symmetrize +
+    dedupe to undirected edges, orient every edge from the endpoint
+    with the smaller ``(degree, id)`` key to the larger, so each
+    triangle is enumerated exactly once at its minimum-key vertex and
+    the wedge self-join fans out by the ORIENTED out-degree — bounded
+    by the graph degeneracy (O(sqrt(m))), not by the max degree.  A
+    10^6-in-link hub generates zero wedges because all its edges point
+    INTO it.  Every stage shuffles narrow (long, long[, long]) rows;
+    wedges close against the oriented edge set with one equi-join.
+
+    Returns ``(node, degree, triangles, clustering)`` for every node
+    incident to an edge — ``clustering = 2T / (d(d-1))`` rounded to
+    6 dp, 0.0 for degree-1 nodes.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("_du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv")), "v")
+    )
+    ku = F.struct(F.col("_du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("_dv").alias("d"), F.col("v").alias("i"))
+    oriented = keyed.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(ku < kv, F.col("_dv")).otherwise(F.col("_du")).alias("td"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    tkey = lambda a: F.struct(  # noqa: E731
+        F.col(f"{a}.td").alias("d"), F.col(f"{a}.t").alias("i")
+    )
+    wedges = w1.join(
+        w2, (F.col("w1.s") == F.col("w2.s")) & (tkey("w1") < tkey("w2"))
+    ).select(
+        F.col("w1.s").alias("x"), F.col("w1.t").alias("y"), F.col("w2.t").alias("z")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("y"), F.col("t").alias("z")), ["y", "z"]
+    )
+    per_node = (
+        closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("degree")
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            d >= 2,
+            F.round(
+                F.coalesce("triangles", F.lit(0)) * 2.0 / (d * (d - 1)), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peel over the undirected link graph:
+    repeatedly delete nodes of degree < ``k`` (and their edges), a
+    fixed ``rounds`` times.  Survivors approximate the k-core from
+    above — the dense interlinked nucleus of the web graph, the
+    classic seed pool for crawl prioritization and the complement of
+    the tendrils/periphery that quality filters already catch.
+
+    A full k-core needs peeling to a fixed point (O(peel-depth)
+    rounds); like :func:`label_propagation` this keeps ``rounds`` a
+    SMALL constant so the whole computation is one unrolled lazy plan
+    with no driver-side convergence loop — each round is one
+    map-side-combined degree count plus two semi-joins filtering the
+    edge list, all narrow (long, long) rows, with a lineage barrier
+    per round (engine/ckpt contract).  The per-node ``stable`` flag is
+    honest about the bound: 1 iff the node would survive one MORE peel
+    (degree still ≥ k); every row stable=1 ⇒ the set IS the k-core,
+    any stable=0 row ⇒ the bound was hit mid-cascade.
+
+    Returns ``(node, degree, stable)`` for surviving nodes still
+    incident to an edge — degree within the peeled subgraph (a
+    survivor isolated by the final round is dropped: it cannot belong
+    to any k ≥ 1 core and the next peel would delete it anyway).
+    """
+    from .engine.ckpt import step_checkpoint
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        # lineage barrier: next round's degree count + both semi-joins
+        # re-reference this round's edge set
+        und = step_checkpoint(
+            und.join(keep.select(F.col("node").alias("u")), "u", "left_semi").join(
+                keep.select(F.col("node").alias("v")), "v", "left_semi"
+            )
+        )
+    final_deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return final_deg.select(
+        "node",
+        "degree",
+        (F.col("degree") >= k).cast("int").alias("stable"),
+    )
