@@ -1023,3 +1023,28 @@ def test_phrase_positions_offsets_and_nulls(spark):
     }
     assert got[4]["n_occurrences"] == 0
     assert got[5]["n_occurrences"] == 0 and got[5]["last_pos"] is None
+
+
+def test_hard_negatives_gates_and_ranking(spark):
+    """Dup bar excludes the exact duplicate, floor drops orthogonal /
+    opposite vectors, survivors rank by similarity desc."""
+    from uniparser_spark.textops.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),   # sim 1.0 -> excluded (>= dup_threshold)
+        (2, [1.0, 1.0]),   # sim 0.707107 -> rank 2
+        (3, [0.0, 1.0]),   # sim 0.0 -> below floor
+        (4, [-1.0, 0.0]),  # sim -1.0 -> below floor
+        (5, [2.0, 1.0]),   # sim 0.894427 -> rank 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["qid"], r["vec_id"], r["rank"], r["sim"])
+        for r in hard_negatives(
+            emb, n_queries=1, k=2, dup_threshold=0.9, floor=0.1
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == [(0, 5, 1, 0.894427), (0, 2, 2, 0.707107)]

@@ -8412,6 +8412,47 @@ ORACLES["kcore"] = r"""
 """
 
 
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (textops/similarity.py
+    hard_negatives): per anchor (vec_id < 8) the 5 most-similar
+    vectors below the 0.35 near-dup bar and above the 0.05 floor —
+    both gates bite on this table's sim distribution (0.35 is
+    embedding_dup_pairs' dup threshold here)."""
+    from .textops.similarity import hard_negatives
+
+    return hard_negatives(
+        tp(spark, sf_dir, "embeddings"),
+        n_queries=8,
+        k=5,
+        dup_threshold=0.35,
+        floor=0.05,
+    )
+
+
+QUERIES.update({"hard_negatives": q_hard_negatives})
+
+ORACLES["hard_negatives"] = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    c AS (
+      SELECT qid, vec_id,
+             ROUND(list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS sim
+      FROM e, q WHERE vec_id <> qid
+    ),
+    g AS (SELECT * FROM c WHERE sim < 0.35 AND sim >= 0.05)
+    SELECT qid, vec_id, CAST(rn AS INT) AS rank, sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM g
+    ) WHERE rn <= 5
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

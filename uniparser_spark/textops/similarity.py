@@ -642,3 +642,56 @@ def quantize_audit(
         F.round(sum_sq / F.size("v"), 10).alias("mse"),
         F.round(cos_q, 6).alias("cos_q"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    dup_threshold: float = 0.9,
+    floor: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / bi-encoder training: per
+    anchor (id < ``n_queries``), the ``k`` most-similar corpus vectors
+    strictly BELOW the near-duplicate bar and at/above ``floor``.
+
+    The negatives that actually teach an embedding model are the
+    maximally-confusable non-duplicates — random negatives are too
+    easy, and anything at/above ``dup_threshold`` is a probable
+    positive whose mislabeling as a negative poisons the loss (the
+    same leakage failure ``leakage_split`` guards against on the text
+    side).  ``floor`` drops the uninformative tail so the emitted set
+    stays small per anchor.
+
+    Test-scale path: brute-force scoring against the broadcast anchor
+    set (:func:`cosine_topk`'s plan plus the two gates — the corpus
+    never shuffles, anchors broadcast).  At 100 TB the same contract
+    composes from the bucketed path: candidates from
+    :func:`rhp_multiprobe_topk`, near-dup exclusion via
+    :func:`embedding_verified_pairs`; rank/sim semantics unchanged.
+
+    Returns ``(qid, vec_id, rank, sim)`` — rank 1 = hardest negative;
+    sim rounded to 6 dp before ranking, ties broken by ``vec_id``.
+    """
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv")
+    )
+    sims = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        .filter((F.col("sim") < dup_threshold) & (F.col("sim") >= floor))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rank", "sim")
+    )
