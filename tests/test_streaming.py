@@ -104,3 +104,41 @@ def test_dedup_stream_stateful(spark, tmp_path):
     q2.awaitTermination(120)
     total = spark.read.parquet(out_dir).count()
     assert total == n_first  # all repeats suppressed by state
+
+
+def test_session_stream_cross_batch_and_flush(spark, tmp_path):
+    """A session spanning two micro-batches is stitched by state; the
+    flush sentinel closes the tail session without starting one."""
+    import datetime as dt
+
+    from uniparser_spark.streaming import run_to_parquet, session_stream
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    sec = lambda n: t0 + dt.timedelta(seconds=n)
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    f1 = [("a", sec(0), 1, 0), ("a", sec(60), 2, 0)]
+    # batch 2 continues the open session (gap 60 <= 1800), then jumps
+    f2 = [("a", sec(120), 3, 0), ("a", sec(9000), 4, 0),
+          ("a", sec(10**7), -1, 1)]
+    schema = "host string, ts timestamp, event_id long, flush int"
+    for i, rows in enumerate((f1, f2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        import os
+        for name in os.listdir(in_dir):
+            p = os.path.join(in_dir, name)
+            if os.path.getmtime(p) > 1_000_000_000 + i * 100:
+                os.utime(p, (1_000_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = run_to_parquet(session_stream(stream, gap_sec=1800), out_dir, ck)
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["session_id"], r["n_events"], r["first_event"], r["duration_sec"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(1, 3, 1, 120), (2, 1, 4, 0)]

@@ -150,3 +150,101 @@ def run_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_stream(
+    events: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_sec: int = 1800,
+    flush_col: str = "flush",
+) -> DataFrame:
+    """Streaming twin of :func:`~uniparser_spark.crawl.sessions.
+    sessionize`: gap-based sessionization as a custom stateful operator
+    (``applyInPandasWithState``), emitting each session exactly once —
+    when it CLOSES (a later event arrives past ``gap_sec``, or a
+    flush sentinel lands).
+
+    State per key is O(1): ``(session_id, start_us, last_us, n_events,
+    first_event)`` for the one open session — a host's full history
+    never accumulates, so state volume is bounded by the live key set
+    regardless of stream length.  Rows where ``flush_col`` = 1 are
+    control events: they close any open session without starting one
+    (the drain protocol for bounded runs / graceful shutdown — the
+    caller appends one sentinel per key after the data; an unbounded
+    deployment would use an event-time timeout instead, same close
+    semantics).
+
+    Ordering contract: events are sorted within each micro-batch, but
+    CROSS-batch reordering must be bounded by the source (land files
+    in time order / use a watermarked upstream) — same discipline
+    every incremental sessionizer requires.  Emitted schema matches
+    the batch operator exactly: ``(key, session_id, n_events,
+    first_event, start_us, end_us, duration_sec)`` with 1-based
+    session ids in time order, so a drained sink is oracle-checkable
+    against batch SQL.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_sec) * 1_000_000
+    out_schema = (
+        f"{key_col} string, session_id long, n_events long, "
+        "first_event long, start_us long, end_us long, duration_sec long"
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: "GroupState") -> Iterator[pd.DataFrame]:
+        sid, start, last, n, first = (
+            state.get if state.exists else (0, None, None, 0, None)
+        )
+        closed = []
+
+        def close():
+            nonlocal start, last, n, first
+            if start is not None:
+                closed.append(
+                    (key[0], sid, n, first, start, last, (last - start) // 1_000_000)
+                )
+                start, last, n, first = None, None, 0, None
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["_us", "_id"])
+            for us, eid, fl in zip(pdf["_us"], pdf["_id"], pdf["_fl"]):
+                us, eid = int(us), int(eid)
+                if int(fl):
+                    close()
+                    continue
+                if start is not None and us - last > gap_us:
+                    close()
+                if start is None:
+                    sid += 1
+                    start, n, first = us, 0, eid
+                last = us
+                n += 1
+                first = min(first, eid)
+        state.update((sid, start, last, n, first))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    key_col, "session_id", "n_events", "first_event",
+                    "start_us", "end_us", "duration_sec",
+                ],
+            )
+
+    keyed = events.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.coalesce(F.col(flush_col), F.lit(0)).cast("int").alias("_fl"),
+    )
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "session_id long, start_us long, last_us long, "
+            "n_events long, first_event long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -204,11 +204,71 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("url", "nofollow", "noarchive")
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization INSIDE a streaming query (streaming.py
+    session_stream, applyInPandasWithState with O(1) per-key state):
+    a fetch log over 7 hosts (per-host sequence k = doc_id div 7,
+    60 s cadence, an hour jump every 10th event) lands as THREE
+    time-ordered files drained one per micro-batch — the k=20..29
+    session straddles the batch boundary, so cross-batch state carry
+    is exercised for real — then a per-host flush sentinel closes the
+    tails.  The drained sink must equal the batch sessionize oracle
+    row-for-row."""
+    from .streaming import session_stream
+
+    d = F.col("doc_id")
+    k = F.expr("doc_id div 7")
+    ev = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.timestamp_seconds(
+            F.lit(BASE_EPOCH) + k * 60 + F.expr("(doc_id div 7) div 10") * 3600
+        ).alias("ts"),
+        d.alias("event_id"),
+        F.lit(0).alias("flush"),
+        k.alias("_k"),
+    )
+    sentinels = ev.select("host").distinct().select(
+        "host",
+        F.timestamp_seconds(F.lit(BASE_EPOCH + 10_000_000)).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(1).alias("flush"),
+    )
+    base = tempfile.mkdtemp(prefix="us_stream_sessions_")
+    in_dir, out_dir, ck = (os.path.join(base, p) for p in ("in", "out", "ck"))
+    cols = ["host", "ts", "event_id", "flush"]
+
+    def land(df, stamp):
+        # the file source orders micro-batches by mtime; rapid writes can
+        # collide on coarse filesystem timestamps, so pin them explicitly
+        before = set(os.listdir(in_dir)) if os.path.isdir(in_dir) else set()
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        for name in set(os.listdir(in_dir)) - before:
+            os.utime(os.path.join(in_dir, name), (stamp, stamp))
+
+    land(ev.filter(F.col("_k") < 25).select(cols), 1_000_000_000)
+    land(ev.filter(F.col("_k") >= 25).select(cols), 1_000_000_100)
+    land(sentinels, 1_000_000_200)
+    stream = (
+        spark.readStream.schema(
+            "host string, ts timestamp, event_id long, flush int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    _await(
+        run_to_parquet(
+            session_stream(stream, gap_sec=1800), out_dir, ck
+        )
+    )
+    return spark.read.parquet(out_dir)
+
+
 STREAM_QUERIES = {
     "stream_host_rates": q_stream_host_rates,
     "stream_extract": q_stream_extract,
     "stream_dedup": q_stream_dedup,
     "stream_links": q_stream_links,
+    "stream_sessions": q_stream_sessions,
     "stream_admission": q_stream_admission,
 }
 
@@ -241,5 +301,30 @@ STREAM_ORACLES = {
                  AS noarchive
         FROM documents
         WHERE doc_id % 5 NOT IN (1, 3, 4)
+    """,
+    "stream_sessions": """
+        WITH e AS (
+          SELECT 'h' || (doc_id % 7) AS host,
+                 (1580732985 + (doc_id // 7) * 60
+                  + ((doc_id // 7) // 10) * 3600) * 1000000 AS us,
+                 doc_id AS event_id
+          FROM documents),
+        n AS (
+          SELECT host, event_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM e
+          WINDOW w AS (PARTITION BY host ORDER BY us, event_id)),
+        s AS (
+          SELECT host, event_id, us,
+                 SUM(ns) OVER (PARTITION BY host ORDER BY us, event_id)
+                   AS session_id
+          FROM n)
+        SELECT host, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(event_id) AS first_event,
+               MIN(us) AS start_us, MAX(us) AS end_us,
+               (MAX(us) - MIN(us)) // 1000000 AS duration_sec
+        FROM s GROUP BY host, session_id
     """,
 }
