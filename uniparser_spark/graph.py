@@ -892,14 +892,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     incident to an edge — ``clustering = 2T / (d(d-1))`` rounded to
     6 dp, 0.0 for degree-1 nodes.
     """
-    und = (
+    from .engine.ckpt import step_checkpoint
+
+    # lineage barriers: und is referenced 3x (degree union x2 + keyed)
+    # and oriented 3x (both wedge sides + the closing join) — without
+    # truncation every reference re-scans and re-shuffles the edge
+    # subtree (measured: 33 Exchanges unbarriered vs 6 with barriers)
+    und = step_checkpoint(
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
+    deg = step_checkpoint(
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -916,6 +922,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(ku < kv, F.col("_dv")).otherwise(F.col("_du")).alias("td"),
     )
+    oriented = step_checkpoint(oriented)
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     tkey = lambda a: F.struct(  # noqa: E731
         F.col(f"{a}.td").alias("d"), F.col(f"{a}.t").alias("i")
