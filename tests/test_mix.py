@@ -699,3 +699,22 @@ def test_leakage_split_clusters_never_straddle(spark):
         assert (80 <= r["bucket"] < 90) == (r["split"] == "val")
     with pytest.raises(ValueError):
         leakage_split(docs, ratios=(70, 20, 20))
+
+
+def test_lang_fertility_ratios_and_empty(spark):
+    from uniparser_spark.textops.mix import lang_fertility
+
+    rows = [
+        ("en", "ab cd"),        # 2 tokens, 5 chars, 5 bytes
+        ("en", "xyz"),          # 1 token, 3 chars
+        ("zh", "中文"), # 1 token, 2 chars, 6 utf-8 bytes
+        ("empty", ""),          # trim -> split('') = [''] -> 1 token, 0 chars
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in lang_fertility(df).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_tokens"], en["n_chars"], en["n_bytes"]) == (2, 3, 8, 8)
+    assert (en["chars_per_token"], en["bytes_per_token"]) == (2.6667, 2.6667)
+    zh = got["zh"]
+    assert (zh["n_chars"], zh["n_bytes"]) == (2, 6)
+    assert zh["bytes_per_token"] == 6.0

@@ -8453,6 +8453,37 @@ ORACLES["hard_negatives"] = """
 """
 
 
+
+def q_lang_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (textops/mix.py lang_fertility):
+    chars/token and UTF-8 bytes/token per language — the per-token cost
+    table a multilingual sampling correction starts from."""
+    from .textops.mix import lang_fertility
+
+    return lang_fertility(tp(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"lang_fertility": q_lang_fertility})
+
+ORACLES["lang_fertility"] = r"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+      FROM documents GROUP BY lang)
+    SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(n_chars / CAST(n_tokens AS DOUBLE), 4) END
+             AS chars_per_token,
+           CASE WHEN n_tokens > 0
+                THEN ROUND(n_bytes / CAST(n_tokens AS DOUBLE), 4) END
+             AS bytes_per_token
+    FROM per
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

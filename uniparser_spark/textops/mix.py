@@ -1027,3 +1027,56 @@ def leakage_split(
             .otherwise(F.lit("test")),
         )
     )
+
+
+def lang_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language tokenizer-fertility profile: characters, UTF-8
+    bytes, and whitespace tokens per language, with chars/token and
+    bytes/token ratios.
+
+    Fertility (units consumed per token) is what actually prices a
+    language in a multilingual training mix: a byte-level or
+    byte-fallback tokenizer spends ~4 bytes per CJK character, so
+    equal-token sampling silently underweights high-fertility
+    languages — the standard correction (XLM-R, BLOOM) starts from
+    exactly this table.  It complements :func:`corpus_mix_report`
+    (docs/tokens/share) and :func:`temperature_mix` (sampling rates)
+    with the per-token COST side of the ledger.
+
+    Whitespace tokens are this engine's corpus-wide token contract
+    (textops/exprs.tokens — the BPE-ish regex variant lives in
+    token_stats); chars are Unicode code points (``length``), bytes
+    UTF-8 (``octet_length``) — both pure codegen, one map-side-combined
+    groupBy on the language, nothing but (lang, 3 longs) shuffles.
+
+    Returns ``(lang, n_docs, n_tokens, n_chars, n_bytes,
+    chars_per_token, bytes_per_token)`` — ratios rounded to 4 dp, NULL
+    when a language has zero tokens.
+    """
+    from .exprs import tokens
+
+    txt = F.col(text_col)
+    per = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(txt))).cast("long").alias("n_tokens"),
+        F.sum(F.length(txt)).cast("long").alias("n_chars"),
+        F.sum(F.octet_length(txt)).cast("long").alias("n_bytes"),
+    )
+    tok = F.col("n_tokens").cast("double")
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.when(tok > 0, F.round(F.col("n_chars") / tok, 4)).alias(
+            "chars_per_token"
+        ),
+        F.when(tok > 0, F.round(F.col("n_bytes") / tok, 4)).alias(
+            "bytes_per_token"
+        ),
+    )
