@@ -263,12 +263,62 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_stream_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN: fetch events arriving as a stream are
+    triaged against a static per-host reputation table computed in
+    batch (the deployment shape: frontier events stream in, the
+    reputation rollup is last round's materialized table).  The static
+    side broadcasts under every micro-batch — no stream-side shuffle —
+    and the triage CASE is pure codegen.  5xx on a low-reputation host
+    backs off the whole host; 5xx on a healthy host just retries the
+    URL; 404s drop.  Drained sink must equal the batch join oracle."""
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 11).cast("string"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = (
+        docs.select(host.alias("host"), d.alias("_d"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_prior"),
+            F.sum((F.col("_d") % 7 == 0).cast("int")).alias("_bad"),
+        )
+        .select(
+            "host",
+            "n_prior",
+            F.round(1 - F.col("_bad") / F.col("n_prior"), 6).alias("rep_score"),
+        )
+    )
+    status = (
+        F.when(d % 9 == 0, F.lit(503))
+        .when(d % 13 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    events = _docs_stream(spark, sf_dir).select(
+        _doc_url(host).alias("url"), host.alias("host"), status.alias("status")
+    )
+    joined = events.join(F.broadcast(rep), "host", "left")
+    action = (
+        F.when((F.col("status") >= 500) & (F.col("rep_score") < 0.9), F.lit("backoff_host"))
+        .when(F.col("status") >= 500, F.lit("retry_url"))
+        .when(F.col("status") == 404, F.lit("drop"))
+        .otherwise(F.lit("ok"))
+    )
+    out = joined.select(
+        "url", "host", "status", "n_prior", "rep_score", action.alias("action")
+    )
+    base = tempfile.mkdtemp(prefix="us_stream_triage_")
+    out_dir, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    _await(run_to_parquet(out, out_dir, ck))
+    return spark.read.parquet(out_dir)
+
+
 STREAM_QUERIES = {
     "stream_host_rates": q_stream_host_rates,
     "stream_extract": q_stream_extract,
     "stream_dedup": q_stream_dedup,
     "stream_links": q_stream_links,
     "stream_sessions": q_stream_sessions,
+    "stream_triage": q_stream_triage,
     "stream_admission": q_stream_admission,
 }
 
@@ -326,5 +376,26 @@ STREAM_ORACLES = {
                MIN(us) AS start_us, MAX(us) AS end_us,
                (MAX(us) - MIN(us)) // 1000000 AS duration_sec
         FROM s GROUP BY host, session_id
+    """,
+    "stream_triage": """
+        WITH rep AS (
+          SELECT 'h' || (doc_id % 11) AS host, count(*) AS n_prior,
+                 ROUND(1 - SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                           / CAST(count(*) AS DOUBLE), 6) AS rep_score
+          FROM documents GROUP BY 1),
+        ev AS (
+          SELECT 'https://h' || (doc_id % 11) || '/d/' || doc_id AS url,
+                 'h' || (doc_id % 11) AS host,
+                 CASE WHEN doc_id % 9 = 0 THEN 503
+                      WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status
+          FROM documents)
+        SELECT e.url, e.host, CAST(e.status AS INT) AS status,
+               r.n_prior, r.rep_score,
+               CASE WHEN e.status >= 500 AND r.rep_score < 0.9
+                      THEN 'backoff_host'
+                    WHEN e.status >= 500 THEN 'retry_url'
+                    WHEN e.status = 404 THEN 'drop'
+                    ELSE 'ok' END AS action
+        FROM ev e LEFT JOIN rep r ON e.host = r.host
     """,
 }
