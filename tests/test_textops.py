@@ -1048,3 +1048,25 @@ def test_hard_negatives_gates_and_ranking(spark):
         .collect()
     ]
     assert got == [(0, 5, 1, 0.894427), (0, 2, 2, 0.707107)]
+
+
+def test_minhash_error_audit_exact_dup_and_bounds(spark):
+    """Identical docs: estimate and exact both 1.0, error 0; every
+    audited pair stays in [0,1] with |err| = |est - jaccard|."""
+    from uniparser_spark.textops.dedup import minhash_error_audit
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox jumps over the lazy cat tonight"),
+        (4, "completely different words appear in this other document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id1"], r["id2"]): r for r in minhash_error_audit(df).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert (r["est_jaccard"], r["jaccard"], r["abs_err"]) == (1.0, 1.0, 0.0)
+    for v in out.values():
+        assert 0.0 <= v["est_jaccard"] <= 1.0
+        assert 0.0 <= v["jaccard"] <= 1.0
+        assert abs(v["abs_err"] - abs(v["est_jaccard"] - v["jaccard"])) < 2e-4

@@ -8484,6 +8484,64 @@ ORACLES["lang_fertility"] = r"""
 """
 
 
+
+def q_minhash_error(spark, sf_dir):
+    """MinHash estimator-error audit (textops/dedup.py
+    minhash_error_audit): per LSH candidate pair, signature-match
+    estimate vs exact shingle Jaccard and |error| — the evidence table
+    for the (n_hashes, bands) budget on this corpus."""
+    from .textops.dedup import minhash_error_audit
+
+    return minhash_error_audit(tp(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"minhash_error": q_minhash_error})
+
+ORACLES["minhash_error"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(0, len(tk) - 2),
+                            i -> array_to_string(tk[i+1:i+3], ' ')) AS s
+      FROM toks WHERE len(tk) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               h -> list_min(list_transform(s,
+                      g -> substr(md5(h || ':' || g), 1, 16)))) AS sg
+      FROM sh WHERE len(s) > 0
+    ),
+    bands AS (
+      SELECT doc_id, j.band_idx,
+             md5(array_to_string(sg[j.band_idx*2+1:j.band_idx*2+2], ',')) AS band_key
+      FROM sig, (SELECT unnest(range(0, 8)) AS band_idx) j
+    ),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    d AS (SELECT doc_id, list_distinct(s) AS sd FROM sh)
+    SELECT id1, id2, ROUND(est, 4) AS est_jaccard,
+           ROUND(inter / (la + lb - inter), 4) AS jaccard,
+           ROUND(ABS(est - inter / (la + lb - inter)), 4) AS abs_err
+    FROM (
+      SELECT id1, id2,
+             len(list_filter(range(1, 17), i -> p.sg[i] = q.sg[i])) / 16.0
+               AS est,
+             CAST(len(list_filter(x.sd, e -> list_contains(y.sd, e)))
+               AS DOUBLE) AS inter,
+             CAST(len(x.sd) AS DOUBLE) AS la, CAST(len(y.sd) AS DOUBLE) AS lb
+      FROM cand
+      JOIN sig p ON p.doc_id = id1 JOIN sig q ON q.doc_id = id2
+      JOIN d x ON x.doc_id = id1 JOIN d y ON y.doc_id = id2
+    )
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

@@ -1067,3 +1067,71 @@ def host_mirror_pairs(
             "jaccard"
         ),
     )
+
+
+def minhash_error_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    impl: str = "pandas",
+) -> DataFrame:
+    """Sketch-quality audit: per LSH candidate pair, the MinHash
+    similarity ESTIMATE (matching signature positions / n_hashes)
+    against the EXACT shingle Jaccard, plus the absolute error.
+
+    The (n_hashes, bands) configuration is a budget decision — this
+    table is the evidence for it on YOUR corpus: E[abs_err] tracks
+    1/sqrt(n_hashes) (~0.25 at 16 hashes), so a dedup threshold at
+    0.5 needs either more hashes or the exact-verify stage
+    (:func:`verified_near_dups`) this engine defaults to.  Auditing
+    ONLY candidate pairs keeps the cost LSH-bounded — the estimator's
+    error on non-candidates is invisible to the pipeline by
+    construction (they never reach a threshold decision).
+
+    Scale shape: signatures and shingle sets compute once over the
+    semi-joined candidate ids; the pair join ships (id, 16×16-hex
+    array) and (id, shingle set) for candidates only.  Returns
+    ``(id1, id2, est_jaccard, jaccard, abs_err)`` rounded to 4 dp.
+    """
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, n_hashes, bands, shingle_k, impl=impl
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .union(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(cand_ids, id_col, "left_semi")
+    sigs = minhash_signatures(
+        sub, text_col, id_col, n_hashes, shingle_k, impl=impl
+    ).localCheckpoint(eager=False)
+    sh = _shingle_sets(sub, text_col, id_col, shingle_k).localCheckpoint(
+        eager=False
+    )
+    s1 = sigs.select(F.col(id_col).alias("id1"), F.col("sig").alias("sg1"))
+    s2 = sigs.select(F.col(id_col).alias("id2"), F.col("sig").alias("sg2"))
+    a = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    b = sh.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
+    matches = F.size(
+        F.filter(F.zip_with("sg1", "sg2", lambda x, y: x == y), lambda m: m)
+    )
+    est = matches / F.lit(float(n_hashes))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size("sh1").cast("double") + F.size("sh2").cast("double") - inter
+    jac = inter / union
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(jac, 4).alias("jaccard"),
+            F.round(F.abs(est - jac), 4).alias("abs_err"),
+        )
+    )
