@@ -45,3 +45,22 @@ def test_layout_file_stats_last_file_partial(spark):
     assert sum(f["n_rows"] for f in files) == 7
     assert files[0]["f_min"] == "a" and files[0]["f_max"] == "b"
     assert files[2]["f_min"] == "d" == files[2]["f_max"]
+
+
+def test_compaction_plan_binning_and_passthrough(spark):
+    """Largest-first running-total cuts at the target; >= target files
+    pass through ungrouped; group totals stay near target."""
+    from uniparser_spark.sources.layout import compaction_plan
+
+    rows = [
+        ("p", "a", 100), ("p", "b", 60), ("p", "c", 50),
+        ("p", "d", 30), ("p", "e", 200),  # e already compact
+        ("q", "f", 10),
+    ]
+    df = spark.createDataFrame(rows, "partition string, file string, size_bytes long")
+    got = {r["file"]: r for r in compaction_plan(df, target_bytes=128).collect()}
+    # order in p: a(100) cum0 g0, b(60) cum100 g0, c(50) cum160 g1, d(30) cum210 g1
+    assert [got[f]["group_id"] for f in "abcd"] == [0, 0, 1, 1]
+    assert all(got[f]["already_compact"] == 0 for f in "abcdf")
+    assert got["e"]["group_id"] is None and got["e"]["already_compact"] == 1
+    assert got["f"]["group_id"] == 0

@@ -113,3 +113,75 @@ def pruning_audit(
         .cast("int")
         .alias("contains"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str = "partition",
+    file_col: str = "file",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-files compaction plan: within each partition, bin the
+    sub-target files into merge groups by running-total cuts.
+
+    A long-running crawl writes thousands of small delta files per
+    partition (every round's seen-set delta, WARC segment index,
+    frontier update); at 10^10 URLs the NameNode/manifest pressure and
+    per-file open cost dominate scan time long before data volume
+    does.  The standard fix is periodic bin-pack compaction (what
+    Iceberg's binpack rewrite does): group small files until the
+    running total reaches the target file size, one output file per
+    group.  This plans the rewrite WITHOUT reading data — input is a
+    file-stats relation (from a manifest/listing), output the group
+    assignment the rewrite job executes.
+
+    Grouping is running-total binning over a deterministic order
+    (size desc, then name — largest-first keeps groups near target and
+    is order-stable): ``group_id = cumsum_before(size) div target``.
+    Files already ≥ target pass through with ``group_id`` NULL
+    (``already_compact`` = 1) — rewriting them buys nothing.
+
+    Scale shape: ONE Exchange on the partition key; the cumulative-sum
+    window and everything downstream run on it (same one-Exchange
+    contract as crawl/sessions.py).  Only (partition, name, size)
+    rows ever shuffle — a manifest relation, ~10^-6 of the data it
+    describes.
+
+    Returns ``(partition, file, size_bytes, group_id,
+    already_compact)``; rewrite job = one task per (partition,
+    group_id), reading the group's files, writing one.
+    """
+    part, name, size = (
+        F.col(partition_col), F.col(file_col), F.col(size_col)
+    )
+    small = files.filter(size < target_bytes)
+    w = Window.partitionBy(partition_col).orderBy(size.desc(), name.asc())
+    cum_before = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    # integer div (not double /): byte totals can exceed 2^53 at fleet
+    # manifest scale, where double division would misplace group cuts
+    planned = small.select(
+        part.alias("partition"),
+        name.alias("file"),
+        size.cast("long").alias("size_bytes"),
+        cum_before.cast("long").alias("_cum"),
+    ).select(
+        "partition",
+        "file",
+        "size_bytes",
+        F.expr(f"_cum div {int(target_bytes)}L").alias("group_id"),
+        F.lit(0).alias("already_compact"),
+    )
+    big = files.filter(size >= target_bytes).select(
+        part.alias("partition"),
+        name.alias("file"),
+        size.cast("long").alias("size_bytes"),
+        F.lit(None).cast("long").alias("group_id"),
+        F.lit(1).alias("already_compact"),
+    )
+    return planned.unionByName(big)

@@ -8542,6 +8542,56 @@ ORACLES["minhash_error"] = rf"""
 """
 
 
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-files compaction plan (sources/layout.py compaction_plan):
+    a synthetic per-partition manifest (7 date partitions, file sizes
+    cycling 1..97 MB with every 11th file already at 160 MB ≥ target)
+    binned into 128 MB merge groups by running-total cuts; compact
+    files pass through ungrouped."""
+    from .sources.layout import compaction_plan
+
+    d = F.col("doc_id")
+    mb = 1024 * 1024
+    manifest = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("dt="), (d % 7).cast("string")).alias("partition"),
+        F.concat(F.lit("part-"), d.cast("string")).alias("file"),
+        F.when(d % 11 == 3, F.lit(160 * mb))
+        .otherwise(((d % 97) + 1) * mb)
+        .cast("long")
+        .alias("size_bytes"),
+    )
+    return compaction_plan(manifest, target_bytes=128 * mb)
+
+
+QUERIES.update({"compaction_plan": q_compaction_plan})
+
+ORACLES["compaction_plan"] = r"""
+    WITH m AS (
+      SELECT 'dt=' || (doc_id % 7) AS partition,
+             'part-' || doc_id AS file,
+             CAST(CASE WHEN doc_id % 11 = 3 THEN 160 * 1048576
+                       ELSE ((doc_id % 97) + 1) * 1048576 END AS BIGINT)
+               AS size_bytes
+      FROM documents),
+    small AS (
+      SELECT partition, file, size_bytes,
+             COALESCE(SUM(size_bytes) OVER (
+               PARTITION BY partition
+               ORDER BY size_bytes DESC, file ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM m WHERE size_bytes < 128 * 1048576)
+    SELECT partition, file, size_bytes,
+           cum // (128 * 1048576) AS group_id,
+           CAST(0 AS INT) AS already_compact
+    FROM small
+    UNION ALL
+    SELECT partition, file, size_bytes, NULL, CAST(1 AS INT)
+    FROM m WHERE size_bytes >= 128 * 1048576
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
