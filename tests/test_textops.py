@@ -1070,3 +1070,26 @@ def test_minhash_error_audit_exact_dup_and_bounds(spark):
         assert 0.0 <= v["est_jaccard"] <= 1.0
         assert 0.0 <= v["jaccard"] <= 1.0
         assert abs(v["abs_err"] - abs(v["est_jaccard"] - v["jaccard"])) < 2e-4
+
+
+def test_centroid_update_hand_values(spark):
+    """2-D, k=2: cluster means and shifts computed by hand; a
+    centroid's own vector participates in its mean."""
+    from uniparser_spark.textops.similarity import centroid_update
+
+    rows = [
+        (0, [1.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0]),   # centroid 1
+        (2, [2.0, 0.0]),   # -> c0 (sim 1.0)
+        (3, [0.0, 3.0]),   # -> c1 (sim 1.0)
+        (4, [0.0, 0.5]),   # -> c1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["centroid_id"]: r for r in centroid_update(emb, k=2).collect()}
+    c0, c1 = got[0], got[1]
+    assert (c0["n_members"], c0["mean_sim"]) == (2, 1.0)
+    # c0 members {(1,0),(2,0)} -> mean (1.5, 0), shift 0.5
+    assert c0["shift"] == 0.5
+    assert (c1["n_members"], c1["mean_sim"]) == (3, 1.0)
+    # c1 members {(0,1),(0,3),(0,.5)} -> mean (0, 1.5), shift 0.5
+    assert c1["shift"] == 0.5

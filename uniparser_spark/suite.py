@@ -8592,6 +8592,63 @@ ORACLES["compaction_plan"] = r"""
 """
 
 
+
+def q_centroid_update(spark, sf_dir):
+    """One Lloyd iteration of spherical k-means (textops/similarity.py
+    centroid_update): E-step assignment (embedding_clusters semantics)
+    plus the M-step mean recomputation — per-cluster member count,
+    cohesion, and centroid shift.  The M-step Exchange carries at most
+    k x dim partial sums per partition, never embeddings."""
+    from .textops.similarity import centroid_update
+
+    return centroid_update(tp(spark, sf_dir, "embeddings"), k=8)
+
+
+QUERIES.update({"centroid_update": q_centroid_update})
+
+ORACLES["centroid_update"] = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    c AS (
+      SELECT vec_id, v, centroid_id,
+             ROUND(list_sum(list_transform(range(1, 65), i -> cv[i] * v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))), 6) AS sim
+      FROM e, cents
+    ),
+    asn AS (
+      SELECT vec_id, v, centroid_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        FROM c
+      ) WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(range(1, 65)) AS dim),
+    m AS (
+      SELECT centroid_id, dim, SUM(v[dim]) AS sx, COUNT(*) AS n
+      FROM asn, dims GROUP BY 1, 2
+    ),
+    newc AS (
+      SELECT centroid_id, MAX(n) AS n_members,
+             list(sx / n ORDER BY dim) AS nc
+      FROM m GROUP BY 1
+    ),
+    coh AS (
+      SELECT centroid_id, ROUND(AVG(sim), 6) AS mean_sim
+      FROM asn GROUP BY 1
+    )
+    SELECT n.centroid_id, CAST(n.n_members AS BIGINT) AS n_members,
+           h.mean_sim,
+           ROUND(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> (n.nc[i] - o.cv[i]) * (n.nc[i] - o.cv[i])))), 6)
+             AS shift
+    FROM newc n JOIN coh h ON n.centroid_id = h.centroid_id
+    JOIN cents o ON n.centroid_id = o.centroid_id
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

@@ -695,3 +695,76 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "rank", "sim")
     )
+
+
+def centroid_update(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One full Lloyd iteration (E+M step) of spherical k-means:
+    assign every vector to its nearest centroid (:func:`centroid_assign`
+    semantics — deterministic id<k init, broadcast centroids, max_by
+    argmax), then recompute each centroid as the member mean and report
+    how far it moved.
+
+    This is the missing M-step that turns the diversity-bucketing
+    assignment into an iterable clustering: production runs
+    assign→update until max shift < ε, re-broadcasting the k new
+    centroids each round (k × dim doubles — trivially broadcastable at
+    any corpus size).
+
+    Scale shape: the M-step's vector mean runs as posexplode →
+    map-side-combined groupBy(centroid, dim) — the Exchange carries at
+    most k × dim partial-sum rows PER PARTITION (k=10³, dim=10³ →
+    ~10⁶ narrow rows regardless of corpus size), never the embeddings
+    themselves; the k-row shift join is a broadcast.  No collect, no
+    driver-side math.
+
+    Returns one row per non-empty cluster: ``(centroid_id, n_members,
+    mean_sim, shift)`` — mean member cosine to the OLD centroid
+    (cohesion), and the L2 distance the centroid moved (convergence
+    signal), both rounded.
+    """
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    assigned = centroid_assign(emb, k, id_col, vec_col)
+    members = assigned.join(base, id_col)
+    sums = (
+        members.select(
+            "centroid_id", "sim", F.posexplode("v").alias("dim", "x")
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    new_c = sums.groupBy("centroid_id").agg(
+        F.max("n").alias("n_members"),
+        F.array_sort(
+            F.collect_list(F.struct("dim", (F.col("sx") / F.col("n")).alias("m")))
+        ).alias("_nc"),
+    )
+    cohesion = members.groupBy("centroid_id").agg(
+        F.round(F.avg("sim"), 6).alias("mean_sim")
+    )
+    old_c = base.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("_oc")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.transform("_nc", lambda s: s["m"]),
+            "_oc",
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        new_c.join(cohesion, "centroid_id")
+        .join(F.broadcast(old_c), "centroid_id")
+        .select(
+            "centroid_id",
+            "n_members",
+            "mean_sim",
+            F.round(F.sqrt(diff2), 6).alias("shift"),
+        )
+    )
