@@ -8716,6 +8716,10 @@ _GATE_PRIORITY = [
     #  - session-11/12 additions (link_spam, robots_matrix, seed_hops,
     #    label_prop, cocitation, leakage_split) likewise queue for the
     #    round-5 rotation
+    #  - session-13 additions (wat_scan, host_mirrors, host_outages,
+    #    zipf_fit, posting_gaps, triangles, kcore, hard_negatives,
+    #    stream_sessions, stream_triage, lang_fertility, minhash_error,
+    #    compaction_plan, centroid_update) join the same queue
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
