@@ -237,3 +237,37 @@ def test_robots_groups_shared_group_map():
     assert groups["a"] == groups["b"]
     assert groups["a"]["disallow"] == ["/d"] and groups["a"]["delay"] == 3.0
     assert groups["c"] == {"disallow": [], "allow": ["/ok"], "delay": None}
+
+
+def test_robots_fetch_policy_branches(spark):
+    """All five RFC 9309 branches: parse, redirect, allow_all (4xx),
+    fresh-unreachable disallow, and grace-expired stale_cache_allow."""
+    import datetime as dt
+
+    from uniparser_spark.frontier.robots import robots_fetch_policy
+
+    t0 = dt.datetime(2026, 1, 1)
+    hr = lambda n: t0 + dt.timedelta(hours=n)
+    rows = [
+        ("ok", hr(0), 200), ("ok", hr(24), 200),
+        ("redir", hr(0), 200), ("redir", hr(24), 308),
+        ("gone", hr(0), 404),
+        ("down", hr(0), 200), ("down", hr(10), 503),   # 10h dark < 720
+        ("dark", hr(0), 200), ("dark", hr(800), 0),    # 800h dark > 720
+        ("neverup", hr(0), 500), ("neverup", hr(1), 503),  # no ok fetch ever
+    ]
+    df = spark.createDataFrame(rows, "host string, ts timestamp, status int")
+    got = {r["host"]: r for r in robots_fetch_policy(df).collect()}
+    assert got["ok"]["policy"] == "parse"
+    assert got["redir"]["policy"] == "follow_redirect"
+    assert got["gone"]["policy"] == "allow_all"
+    assert got["down"]["policy"] == "disallow_all"
+    assert got["down"]["unreachable_hours"] == 10.0
+    assert got["dark"]["policy"] == "stale_cache_allow"
+    assert got["dark"]["unreachable_hours"] == 800.0
+    # never answered: unreachability measured from log start (1h)
+    assert got["neverup"]["policy"] == "disallow_all"
+    assert got["neverup"]["unreachable_hours"] == 1.0
+    # healthy hosts recheck daily, error hosts back off hourly
+    assert got["ok"]["refetch_at_us"] - got["ok"]["last_us"] == 86400_000_000
+    assert got["down"]["refetch_at_us"] - got["down"]["last_us"] == 3600_000_000

@@ -345,3 +345,77 @@ def robots_agent_matrix(
             yield pd.DataFrame(out)
 
     return robots_pages.mapInPandas(run, schema=schema)
+
+
+def robots_fetch_policy(
+    fetches: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    ts_col: str = "ts",
+    grace_hours: int = 720,
+    ttl_ok_sec: int = 86400,
+    ttl_err_sec: int = 3600,
+) -> DataFrame:
+    """Effective crawl policy per host from its /robots.txt FETCH
+    history — the RFC 9309 §2.3.1 status-code rules the parser alone
+    can't answer:
+
+    - 2xx → ``parse`` (use the body; :func:`robots_table` takes over),
+    - 3xx → ``follow_redirect`` (redirect target governs),
+    - 4xx ("unavailable") → ``allow_all`` — the spec says a missing
+      robots.txt means no restrictions,
+    - 5xx / network error (status 0, "unreachable") → ``disallow_all``
+      while fresh, degrading to ``stale_cache_allow`` once the host
+      has been continuously unreachable longer than ``grace_hours``
+      (the spec's "reasonably long time" — crawlers MAY then fall back
+      to a cached copy; 30 days default here).
+
+    The LATEST fetch (ts, then status as tie-break) decides the
+    branch; continuous-unreachability is measured from the last
+    non-5xx fetch (or the log start when the host has never answered).
+    ``refetch_at_us`` prices the next probe: healthy outcomes recheck
+    daily (``ttl_ok_sec``), error outcomes back off hourly
+    (``ttl_err_sec``) — feeding the same scheduler lane as
+    frontier/freshness.py's revalidation planner.
+
+    Shape: ONE map-side-combined groupBy(host) — max_by for the latest
+    fetch, conditional max for the last-reachable timestamp; the whole
+    classification is codegen CASE on the aggregate row.  Returns
+    ``(host, last_status, last_us, unreachable_hours, policy,
+    refetch_at_us)`` — unreachable_hours is 0 outside the 5xx branch.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    st = F.col(status_col).cast("int")
+    agg = fetches.groupBy(F.col(host_col).alias("host")).agg(
+        F.max_by(st, F.struct(us, st)).alias("last_status"),
+        F.max(us).alias("last_us"),
+        F.max(F.when((st > 0) & (st < 500), us)).alias("_last_ok_us"),
+        F.min(us).alias("_first_us"),
+    )
+    ls = F.col("last_status")
+    unreachable = (ls >= 500) | (ls <= 0)
+    hours = F.when(
+        unreachable,
+        (
+            F.col("last_us") - F.coalesce("_last_ok_us", "_first_us")
+        ) / F.lit(3_600_000_000),
+    ).otherwise(F.lit(0.0))
+    policy = (
+        F.when((ls >= 200) & (ls < 300), F.lit("parse"))
+        .when((ls >= 300) & (ls < 400), F.lit("follow_redirect"))
+        .when((ls >= 400) & (ls < 500), F.lit("allow_all"))
+        .when(hours > grace_hours, F.lit("stale_cache_allow"))
+        .otherwise(F.lit("disallow_all"))
+    )
+    err = unreachable
+    refetch = F.col("last_us") + F.when(
+        err, F.lit(int(ttl_err_sec) * 1_000_000)
+    ).otherwise(F.lit(int(ttl_ok_sec) * 1_000_000))
+    return agg.select(
+        "host",
+        "last_status",
+        "last_us",
+        F.round(hours, 4).alias("unreachable_hours"),
+        policy.alias("policy"),
+        refetch.alias("refetch_at_us"),
+    )

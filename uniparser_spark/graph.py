@@ -1019,3 +1019,33 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
         "degree",
         (F.col("degree") >= k).cast("int").alias("stable"),
     )
+
+
+def bibcoupling_pairs(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_in: int = 100,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler '63; the out-link twin of
+    :func:`cocitation_pairs`): pairs of nodes that LINK TO the same
+    targets — pages citing the same sources are topical siblings even
+    before anyone links to them, so coupling works on the crawl
+    frontier's newest pages where co-citation has no in-link signal
+    yet.
+
+    Same quadratic guard, mirrored: the self-join explodes on
+    high-IN-degree targets (everyone links the homepage), so targets
+    with in-degree > ``max_in`` are dropped before the join and
+    ``n_common`` is a documented lower bound; jaccard is over the
+    UNCAPPED out-neighbor sets.  Implemented by running the
+    co-citation plan on the reversed edge list — one relation, both
+    directions, no second code path to keep correct.
+
+    Returns ``(node_a, node_b, n_common, jaccard)`` with node_a <
+    node_b.
+    """
+    return cocitation_pairs(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        min_common=min_common,
+        max_out=max_in,
+    )
