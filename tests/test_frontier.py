@@ -755,3 +755,23 @@ def test_refresh_policy_uniform_beats_proportional(spark):
     assert avg_u > avg_p
     # per-page: uniform freshness varies (convex in lam)
     assert any(r["min_freshness"] < r["avg_freshness"] for r in u)
+
+
+def test_fairness_report_uniform_and_skewed(spark):
+    from uniparser_spark.frontier.politeness import fairness_report
+
+    uni = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "host string"
+    )
+    r = fairness_report(uni).collect()[0]
+    assert (r["n_keys"], r["total"], r["jain_index"]) == (4, 4, 1.0)
+    assert r["max_share"] == 0.25
+    skew = spark.createDataFrame(
+        [("hot", 9), ("c1", 1), ("c2", 1), ("c3", 1)],
+        "host string, fetches int",
+    )
+    r = fairness_report(skew, weight_col="fetches").collect()[0]
+    # J = 144 / (4 * 84) = 0.428571
+    assert (r["jain_index"], r["max_share"], r["top_key"]) == (
+        0.428571, 0.75, "hot",
+    )

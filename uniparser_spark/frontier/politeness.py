@@ -243,3 +243,41 @@ def aimd_rates(
         "n_errs",
         folded.cast("int").alias("final_rate"),
     )
+
+
+def fairness_report(
+    df: DataFrame,
+    key_col: str = "host",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Jain fairness index of the crawl budget across hosts:
+    ``J = (Σx)² / (n·Σx²)`` over per-key totals — 1.0 when every host
+    gets an equal share, → 1/n when one host eats the budget.
+
+    A politeness scheduler can be per-host correct and still globally
+    unfair (retry storms, priority inversion, a hot sitemap flooding
+    one lane); J is the one-number regression test ops dashboards
+    track, next to the max-share line that names the offender.
+
+    Shape: one map-side-combined groupBy(key) then a single global
+    aggregate of three doubles — no sort, no window.  Returns ONE row
+    ``(n_keys, total, jain_index, max_share, top_key)``: the index,
+    the largest per-key share, and its key (equal-weight ties resolve
+    to the lexicographically largest key — max_by over (x, k), a
+    deterministic total order), all shares/index rounded to 6 dp.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(w).cast("double").alias("x")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").cast("long").alias("total"),
+        F.round(
+            (F.sum("x") * F.sum("x"))
+            / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))),
+            6,
+        ).alias("jain_index"),
+        F.round(F.max("x") / F.sum("x"), 6).alias("max_share"),
+        F.max_by("k", F.struct(F.col("x"), F.col("k"))).alias("top_key"),
+    )

@@ -8761,6 +8761,41 @@ ORACLES["robots_policy"] = r"""
 """
 
 
+
+def q_crawl_fairness(spark, sf_dir):
+    """Budget-fairness report (frontier/politeness.py fairness_report):
+    Jain index over a deliberately skewed per-host fetch distribution —
+    host weight ∝ (doc_id % 11 == 0 ? 9 : 1) on 23 hosts, so one-number
+    fairness, max share, and the offending host are all exercised."""
+    from .frontier.politeness import fairness_report
+
+    d = F.col("doc_id")
+    log = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("f"), (d % 23).cast("string")).alias("host"),
+        F.when(d % 11 == 0, F.lit(9)).otherwise(F.lit(1)).alias("fetches"),
+    )
+    return fairness_report(log, weight_col="fetches")
+
+
+QUERIES.update({"crawl_fairness": q_crawl_fairness})
+
+ORACLES["crawl_fairness"] = r"""
+    WITH log AS (
+      SELECT 'f' || (doc_id % 23) AS host,
+             CASE WHEN doc_id % 11 = 0 THEN 9 ELSE 1 END AS fetches
+      FROM documents),
+    per AS (
+      SELECT host AS k, CAST(SUM(fetches) AS DOUBLE) AS x
+      FROM log GROUP BY host)
+    SELECT COUNT(*) AS n_keys, CAST(SUM(x) AS BIGINT) AS total,
+           ROUND(SUM(x) * SUM(x) / (COUNT(*) * SUM(x * x)), 6)
+             AS jain_index,
+           ROUND(MAX(x) / SUM(x), 6) AS max_share,
+           (SELECT k FROM per ORDER BY x DESC, k DESC LIMIT 1) AS top_key
+    FROM per
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
