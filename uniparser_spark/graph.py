@@ -821,10 +821,15 @@ def cocitation_pairs(
     sum(out^2 | out <= max_out) narrow (id, id) rows; in-degrees join
     back per-node, not per-pair-row.
     """
-    e = edges.select("src", "dst").distinct()
+    from .engine.ckpt import step_checkpoint
+
+    # lineage barriers: e is referenced 3x (out-degree, cap join,
+    # in-degree) and capped 2x (both self-join sides) — truncation
+    # keeps the edge subtree from re-scanning per reference
+    e = step_checkpoint(edges.select("src", "dst").distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_out"))
-    capped = e.join(
-        deg.filter(F.col("_out") <= max_out).select("src"), "src"
+    capped = step_checkpoint(
+        e.join(deg.filter(F.col("_out") <= max_out).select("src"), "src")
     )
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (

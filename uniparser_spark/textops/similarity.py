@@ -729,7 +729,12 @@ def centroid_update(
     """
     base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     assigned = centroid_assign(emb, k, id_col, vec_col)
-    members = assigned.join(base, id_col)
+    # barrier: members is referenced by BOTH the M-step sums and the
+    # cohesion aggregate — unchecked, the assignment cross-product runs
+    # twice (measured 17 Exchanges -> 5).  Caching assignment+vector is
+    # the canonical k-means trade (every implementation persists the
+    # dataset between iterations); it is |corpus| x dim doubles.
+    members = assigned.join(base, id_col).localCheckpoint(eager=False)
     sums = (
         members.select(
             "centroid_id", "sim", F.posexplode("v").alias("dim", "x")
