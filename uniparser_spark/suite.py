@@ -8866,7 +8866,8 @@ _GATE_PRIORITY = [
     #  - session-13 additions (wat_scan, host_mirrors, host_outages,
     #    zipf_fit, posting_gaps, triangles, kcore, hard_negatives,
     #    stream_sessions, stream_triage, lang_fertility, minhash_error,
-    #    compaction_plan, centroid_update) join the same queue
+    #    compaction_plan, centroid_update, bibcoupling, robots_policy,
+    #    crawl_fairness) join the same queue
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
