@@ -2,7 +2,14 @@
 against sf0.001 (eager barriers included), oracle keys line up, and
 column names agree with what the oracle SQL emits (the driver's compare
 sorts columns by name before hashing — a name drift fails the gate even
-when values match)."""
+when values match).
+
+Plan hygiene rides the same pass: NO query may contain a
+row-at-a-time Python UDF (BatchEvalPython — Arrow-batched
+ArrowEvalPython/MapInPandas are the sanctioned Python paths) or an
+unbounded CartesianProduct (broadcast nested-loop against a small
+side is the accepted form) — the two anti-patterns that silently
+stop surviving a 100x scale-up."""
 
 import duckdb
 
@@ -21,8 +28,12 @@ def test_suite_contract(spark):
             f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
         )
     for name, fn in qs.items():
-        s_cols = fn(spark, "/root/testdata/sf0.001").columns
+        df = fn(spark, "/root/testdata/sf0.001")
+        s_cols = df.columns
         assert s_cols, name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: unbounded cartesian"
         if name in oracles:
             d_cols = [
                 d[0]
