@@ -76,3 +76,37 @@ def test_hll_p_bounds():
         hll_counts(None, "k", "v", p=3)
     with pytest.raises(ValueError):
         hll_counts(None, "k", "v", p=17)
+
+
+def test_cms_point_estimates_and_merge(spark):
+    """CMS never underestimates; element-wise-sum of two half sketches
+    answers point queries identically to the full-data sketch."""
+    from pyspark.sql import functions as F
+
+    from uniparser_spark.frontier.sketches import cms_counts, cms_estimate
+
+    rows = [("hot",)] * 50 + [(f"cold{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "host string")
+    sketch = cms_counts(df, "host", depth=4, width=64)
+    est = {
+        r["key"]: r["est"]
+        for r in cms_estimate(sketch, df, "host", depth=4, width=64).collect()
+    }
+    assert est["hot"] >= 50
+    assert all(est[f"cold{i}"] >= 1 for i in range(20))
+    # merge: half sketches sum cell-wise == full sketch (same estimates)
+    idx = spark.createDataFrame(
+        [(i, h) for i, (h,) in enumerate(rows)], "i int, host string"
+    )
+    h1 = cms_counts(idx.filter("i < 35"), "host", depth=4, width=64)
+    h2 = cms_counts(idx.filter("i >= 35"), "host", depth=4, width=64)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est_m = {
+        r["key"]: r["est"]
+        for r in cms_estimate(merged, df, "host", depth=4, width=64).collect()
+    }
+    assert est_m == est

@@ -39,6 +39,8 @@ no distinct-count machinery at all).
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 _HASH_BITS = 60  # 15 hex chars of md5: fits signed 64-bit everywhere
@@ -223,4 +225,98 @@ def hll_estimate_from_registers(sketches: DataFrame) -> DataFrame:
         n_present.alias("n_present"),
         (m_col - n_present).cast("int").alias("n_zero"),
         F.round(num / z_scaled, 4).alias("est"),
+    )
+
+
+# ----------------------------------------------------- count-min sketch
+
+def cms_counts(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Mergeable count-min sketch (Cormode & Muthukrishnan '05) of a
+    key's frequency distribution: ``depth`` independent hash rows of
+    ``width`` counters; each occurrence increments one counter per
+    row; two sketches MERGE by element-wise sum — the HLL's additive
+    twin, for "how often" instead of "how many distinct".
+
+    The frontier use is hot-key detection without a full groupBy: a
+    10^10-row fetch log's per-URL/per-host counts are needle-in-
+    haystack (a few hot keys, a huge cold tail), and the CMS answers
+    point queries with ε = e/width overestimate at δ = e^-depth
+    confidence while shuffling at most depth × width counter rows per
+    group — per-partition sketches compose across executors, rounds,
+    and days exactly like the HLL registers.
+
+    Determinism: row i's bucket is 60-bit md5 of ``i || ':' || key``
+    mod width (same portable hash family as :func:`hll_counts`) — the
+    DuckDB oracle reproduces every counter bit-exactly.
+
+    Returns one row per (group, row_idx, bucket) with ``cnt`` —
+    the sparse sketch relation (absent bucket = 0).
+    """
+    gcols = list(group_cols or [])
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("row_idx"),
+                F.pmod(
+                    _hash60(
+                        F.concat_ws(":", i.cast("string"), F.col(key_col))
+                    ),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            ),
+        )
+    ).alias("_rc")
+    return (
+        df.select(*gcols, rows)
+        .select(*gcols, "_rc.row_idx", "_rc.bucket")
+        .groupBy(*gcols, "row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a :func:`cms_counts` sketch: for each key in
+    ``keys``, est = MIN over the depth rows of its counter (absent
+    counter = 0) — an upper bound on the true count, tight for heavy
+    hitters (what the sketch exists to find).
+
+    Shape: keys expand to depth narrow probe rows, LEFT join the
+    sparse sketch on (row_idx, bucket), one min-groupBy per key.  The
+    sketch side is ≤ depth × width rows per group — broadcastable at
+    any corpus size.
+
+    Returns ``(key, est)``.
+    """
+    probes = keys.select(F.col(key_col).alias("key")).distinct().select(
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("row_idx"),
+                    F.pmod(
+                        _hash60(F.concat_ws(":", i.cast("string"), F.col("key"))),
+                        F.lit(width),
+                    ).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("_rc"),
+    ).select("key", "_rc.row_idx", "_rc.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )

@@ -8796,6 +8796,69 @@ ORACLES["crawl_fairness"] = r"""
 """
 
 
+
+def q_cms_hot_hosts(spark, sf_dir):
+    """Count-min heavy-hitter detection (frontier/sketches.py
+    cms_counts + cms_estimate): a skewed fetch log — every 11th doc's
+    host fetched 9x — sketched into 4x256 counters, point-queried for
+    all 23 hosts, with the exact count joined back so the CMS
+    overestimate-only guarantee is visible (overestimate >= 0
+    everywhere, 0 for the hot keys the sketch exists to find)."""
+    from .frontier.sketches import cms_counts, cms_estimate
+
+    d = F.col("doc_id")
+    log = (
+        tp(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("c"), (d % 23).cast("string")).alias("host"),
+            F.when(d % 11 == 0, F.lit(9)).otherwise(F.lit(1)).alias("_w"),
+        )
+        .select("host", F.explode(F.sequence(F.lit(1), F.col("_w"))).alias("_i"))
+        .select("host")
+    )
+    sketch = cms_counts(log, "host", depth=4, width=256)
+    est = cms_estimate(sketch, log, "host", depth=4, width=256)
+    true = log.groupBy(F.col("host").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    return est.join(true, "key").select(
+        "key",
+        "est",
+        "true_n",
+        (F.col("est") - F.col("true_n")).alias("overestimate"),
+    )
+
+
+QUERIES.update({"cms_hot_hosts": q_cms_hot_hosts})
+
+ORACLES["cms_hot_hosts"] = r"""
+    WITH log AS (
+      SELECT 'c' || (doc_id % 23) AS host
+      FROM documents, unnest(range(1,
+        CASE WHEN doc_id % 11 = 0 THEN 10 ELSE 2 END)) AS t(i)),
+    cells AS (
+      SELECT host, i.r AS row_idx,
+             CAST(('0x' || substr(md5(i.r || ':' || host), 1, 15))::BIGINT
+                  % 256 AS INT) AS bucket
+      FROM log, (SELECT unnest(range(0, 4)) AS r) i),
+    sketch AS (
+      SELECT row_idx, bucket, count(*) AS cnt
+      FROM cells GROUP BY row_idx, bucket),
+    probes AS (
+      SELECT DISTINCT host AS key, i.r AS row_idx,
+             CAST(('0x' || substr(md5(i.r || ':' || host), 1, 15))::BIGINT
+                  % 256 AS INT) AS bucket
+      FROM log, (SELECT unnest(range(0, 4)) AS r) i),
+    est AS (
+      SELECT p.key, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+      FROM probes p LEFT JOIN sketch s USING (row_idx, bucket)
+      GROUP BY p.key),
+    tr AS (SELECT host AS key, count(*) AS true_n FROM log GROUP BY host)
+    SELECT e.key, e.est, t.true_n, e.est - t.true_n AS overestimate
+    FROM est e JOIN tr t USING (key)
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
