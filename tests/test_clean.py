@@ -198,3 +198,22 @@ def test_wordlist_filter_exact_token_matching(spark):
         "flagged_frac": 0.0, "admitted": 1,
     }
     assert got[5]["n_flagged"] == 3 and got[5]["flagged_frac"] == 1.0
+
+
+def test_lang_script_check_verdicts(spark):
+    from uniparser_spark.textops.quality import lang_script_check
+
+    rows = [
+        (1, "en", "plain english words here"),
+        (2, "zh", "actually latin text tagged zh"),
+        (3, "zh", "猫狗鸟鱼虫木火水"),
+        (4, "tlh", "no expectation for klingon"),
+        (5, "ru", "кот система"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in lang_script_check(df).collect()}
+    assert got[1]["verdict"] == "ok"
+    assert (got[2]["verdict"], got[2]["main_script"]) == ("mismatch", "latin")
+    assert got[3]["verdict"] == "ok"
+    assert got[4]["verdict"] == "no_expectation"
+    assert (got[5]["verdict"], got[5]["expected_script"]) == ("ok", "cyrillic")

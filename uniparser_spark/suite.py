@@ -8859,6 +8859,71 @@ ORACLES["cms_hot_hosts"] = r"""
 """
 
 
+
+def q_lang_script(spark, sf_dir):
+    """Declared-language vs dominant-script consistency
+    (textops/quality.py lang_script_check): raw Latin-script corpus
+    text makes every zh-tagged doc a genuine mismatch except the
+    doc_id%3==0 ones that get a Han suffix appended (ok); doc_id%29==0
+    docs are re-tagged 'xx' (no_expectation)."""
+    from .textops.quality import lang_script_check
+
+    d = F.col("doc_id")
+    docs = tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 29 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        F.when(
+            (F.col("lang") == "zh") & (d % 3 == 0),
+            F.concat(F.col("text"), F.lit(" \u732b\u72d7\u9e1f\u9c7c\u866b\u6728\u706b\u6c34\u571f\u91d1\u732b\u72d7\u9e1f\u9c7c\u866b\u6728\u706b\u6c34\u571f\u91d1\u732b\u72d7\u9e1f\u9c7c\u866b\u6728\u706b\u6c34\u571f\u91d1")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return lang_script_check(docs)
+
+
+QUERIES.update({"lang_script": q_lang_script})
+
+ORACLES["lang_script"] = r"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 29 = 0 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN lang = 'zh' AND doc_id % 3 = 0
+                  THEN text || ' 猫狗鸟鱼虫木火水土金猫狗鸟鱼虫木火水土金猫狗鸟鱼虫木火水土金'
+                  ELSE text END AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+             length(t) - length(regexp_replace(t, '[\p{Latin}]', '', 'g')) AS latin,
+             length(t) - length(regexp_replace(t, '[\p{Cyrillic}]', '', 'g')) AS cyrillic,
+             length(t) - length(regexp_replace(t, '[\p{Han}]', '', 'g')) AS han,
+             length(t) - length(regexp_replace(t, '[\p{Arabic}]', '', 'g')) AS arabic
+      FROM m),
+    p AS (
+      SELECT doc_id, lang,
+             CASE WHEN latin >= cyrillic AND latin >= han AND latin >= arabic AND latin > 0 THEN 'latin'
+                  WHEN cyrillic >= han AND cyrillic >= arabic AND cyrillic > 0 THEN 'cyrillic'
+                  WHEN han >= arabic AND han > 0 THEN 'han'
+                  WHEN arabic > 0 THEN 'arabic'
+                  ELSE 'other' END AS main_script,
+             CASE lang WHEN 'en' THEN 'latin' WHEN 'de' THEN 'latin'
+               WHEN 'fr' THEN 'latin' WHEN 'es' THEN 'latin'
+               WHEN 'it' THEN 'latin' WHEN 'pt' THEN 'latin'
+               WHEN 'nl' THEN 'latin' WHEN 'pl' THEN 'latin'
+               WHEN 'tr' THEN 'latin' WHEN 'vi' THEN 'latin'
+               WHEN 'id' THEN 'latin'
+               WHEN 'ru' THEN 'cyrillic' WHEN 'uk' THEN 'cyrillic'
+               WHEN 'bg' THEN 'cyrillic' WHEN 'sr' THEN 'cyrillic'
+               WHEN 'zh' THEN 'han' WHEN 'ja' THEN 'han'
+               WHEN 'ar' THEN 'arabic' WHEN 'fa' THEN 'arabic'
+               WHEN 'ur' THEN 'arabic' END AS expected_script
+      FROM c)
+    SELECT doc_id, lang, main_script, expected_script,
+           CASE WHEN expected_script IS NULL THEN 'no_expectation'
+                WHEN expected_script = main_script THEN 'ok'
+                ELSE 'mismatch' END AS verdict
+    FROM p
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

@@ -601,7 +601,10 @@ _SCRIPTS = [
 
 
 def script_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Unicode-script character profile — the writing-system signal the
     n-gram ``langid`` can't give (langid's stopword vote only separates
@@ -634,6 +637,7 @@ def script_profile(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n.cast("long").alias("n_chars"),
         counts["latin"].alias("latin"),
         counts["cyrillic"].alias("cyrillic"),
@@ -757,4 +761,57 @@ def zipf_fit(
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
         "zipf_slope",
         "zipf_r2",
+    )
+
+
+#: Expected dominant Unicode script per ISO language code — the pairs a
+#: web corpus actually carries in volume; langs absent here get verdict
+#: 'no_expectation' (extend the map, don't guess).
+LANG_SCRIPT_EXPECTATIONS = {
+    "en": "latin", "de": "latin", "fr": "latin", "es": "latin",
+    "it": "latin", "pt": "latin", "nl": "latin", "pl": "latin",
+    "tr": "latin", "vi": "latin", "id": "latin",
+    "ru": "cyrillic", "uk": "cyrillic", "bg": "cyrillic", "sr": "cyrillic",
+    "zh": "han", "ja": "han",
+    "ar": "arabic", "fa": "arabic", "ur": "arabic",
+}
+
+
+def lang_script_check(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Declared-language vs dominant-script consistency check — the
+    cheapest high-precision mislabel detector in a cleaning stack: a
+    page tagged ``zh`` whose characters are overwhelmingly Latin is
+    either mislabeled, mojibake'd, or boilerplate-in-disguise, and
+    every downstream per-language decision (sampling temperature,
+    quality thresholds, fertility pricing) inherits the error.
+    Script counting is pure codegen (:func:`script_profile`); the
+    expectation map is a Python-side constant folded into a CASE —
+    no join, no Python at runtime, one projected scan.
+
+    Returns ``(id, lang, main_script, expected_script, verdict)`` with
+    verdict ∈ {ok, mismatch, no_expectation}.
+    """
+    base = df.select(
+        F.col(id_col), F.col(lang_col).alias("lang"), F.col(text_col)
+    )
+    prof = script_profile(base, text_col, id_col, keep_cols=("lang",))
+    expected = F.lit(None).cast("string")
+    for code, script in sorted(LANG_SCRIPT_EXPECTATIONS.items()):
+        expected = F.when(F.col("lang") == code, F.lit(script)).otherwise(
+            expected
+        )
+    return prof.select(
+        id_col,
+        "lang",
+        "main_script",
+        expected.alias("expected_script"),
+        F.when(expected.isNull(), F.lit("no_expectation"))
+        .when(expected == F.col("main_script"), F.lit("ok"))
+        .otherwise(F.lit("mismatch"))
+        .alias("verdict"),
     )
