@@ -86,3 +86,34 @@ def test_cdx_seed_latest_capture_wins_over_stale_200(spark):
     caps = parse_cdx_lines(_lines(spark, rows))
     got = {r["url"] for r in cdx_seed_candidates(caps).collect()}
     assert got == {"https://a.org/back"}
+
+
+def test_cdxj_lines_roundtrip_and_error_rows(spark):
+    """Writer output re-parses exactly; a relative URL (NULL SURT) is
+    dropped by the writer, and hand-checked line shape matches the
+    CDXJ contract (urlkey SP ts14 SP compact-json)."""
+    import datetime as dt
+
+    from uniparser_spark.sources.cdx import cdxj_lines, parse_cdx_lines
+
+    rows = [
+        ("https://www.a.example.org:443/x?q=1", dt.datetime(2026, 2, 1, 3, 4, 5),
+         200, "text/html", "md5:abc", 123, "s1.warc.gz"),
+        ("/relative/only", dt.datetime(2026, 2, 1), 200, "text/html",
+         "md5:def", 5, "s1.warc.gz"),
+    ]
+    idx = spark.createDataFrame(
+        rows,
+        "url string, ts timestamp, status int, mime string, digest string, "
+        "length long, filename string",
+    )
+    lines = cdxj_lines(idx).collect()
+    assert len(lines) == 1  # relative URL dropped (error-as-data contract)
+    line = lines[0]["value"]
+    assert line.startswith("org,example,a)/x?q=1 20260201030405 {")
+    back = parse_cdx_lines(spark.createDataFrame([(line,)], "value string")).collect()[0]
+    assert (back["url"], back["status"], back["digest"], back["length"],
+            back["filename"], back["valid"]) == (
+        "https://www.a.example.org:443/x?q=1", 200, "md5:abc", 123,
+        "s1.warc.gz", 1,
+    )

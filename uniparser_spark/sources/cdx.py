@@ -124,3 +124,59 @@ def cdx_seed_candidates(
         .agg(F.min("url").alias("url"))
         .select("url", F.lit(0.0).alias("priority"))
     )
+
+
+def cdxj_lines(
+    index: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    status_col: str = "status",
+    mime_col: str = "mime",
+    digest_col: str = "digest",
+    length_col: str = "length",
+    filename_col: str = "filename",
+) -> DataFrame:
+    """Capture/index rows → CDXJ text lines: the WRITE side of this
+    connector, so a crawl indexes its own WARC output in the exact
+    format :func:`parse_cdx_lines` (and standard web-archive tooling —
+    pywb/OpenWayback cluster indexes) consumes.  Composed with
+    sources/warc.records_index this closes the loop: crawl → WARC →
+    record index → CDXJ shards → next crawl's discovery feed.
+
+    Line = ``urlkey SP yyyyMMddHHmmss SP {json}`` — urlkey is the SURT
+    key (frontier/seen.surt_key_expr, the sort order that makes a
+    domain's captures contiguous, so shards written
+    ``sortWithinPartitions("value")`` range-merge with archive
+    indexes); the JSON is compact with keys in the fixed canonical
+    order real CC indexes use (url, mime, status, digest, length,
+    filename) — field order is part of byte-reproducibility, so
+    to_json over a fixed struct, never a map.
+
+    Everything is codegen string building — one projected scan, no
+    shuffle (ordering/sharding is the writer's `repartitionByRange`
+    decision, documented not imposed).  Rows with a NULL SURT key
+    (non-absolute URL — same error-as-data contract as the parser)
+    are dropped.  Returns one ``value`` string column.
+    """
+    from ..frontier.seen import surt_key_expr
+
+    key = surt_key_expr(url_col)
+    ts14 = F.date_format(F.col(ts_col).cast("timestamp"), "yyyyMMddHHmmss")
+    js = F.to_json(
+        F.struct(
+            F.col(url_col).cast("string").alias("url"),
+            F.col(mime_col).cast("string").alias("mime"),
+            F.col(status_col).cast("string").alias("status"),
+            F.col(digest_col).cast("string").alias("digest"),
+            F.col(length_col).cast("string").alias("length"),
+            F.col(filename_col).cast("string").alias("filename"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    return (
+        index.select(
+            key.alias("_k"), F.concat_ws(" ", key, ts14, js).alias("value")
+        )
+        .filter(F.col("_k").isNotNull())
+        .select("value")
+    )

@@ -8924,6 +8924,63 @@ ORACLES["lang_script"] = r"""
 """
 
 
+
+def q_cdx_write(spark, sf_dir):
+    """CDXJ writer round-trip (sources/cdx.py cdxj_lines -> 
+    parse_cdx_lines): a synthesized capture index (www-prefixed hosts
+    so the SURT normalization does real work) is serialized to CDXJ
+    text lines and re-parsed by this connector's own scanner; every
+    typed field must survive byte-exactly.  Closes the crawl -> WARC ->
+    index -> discovery loop."""
+    from .sources.cdx import cdxj_lines, parse_cdx_lines
+
+    d = F.col("doc_id")
+    index = tp(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://www.h"), (d % 7).cast("string"),
+            F.lit(".example.org/p/"), d.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_750_000_000) + d).alias("ts"),
+        F.when(d % 9 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.lit("text/html").alias("mime"),
+        F.concat(F.lit("md5:"), F.md5(d.cast("string"))).alias("digest"),
+        ((d % 997) + 100).alias("length"),
+        F.concat(F.lit("seg-"), (d % 4).cast("string"), F.lit(".warc.gz")).alias(
+            "filename"
+        ),
+    )
+    parsed = parse_cdx_lines(cdxj_lines(index))
+    return parsed.select(
+        "urlkey",
+        F.unix_micros("ts").alias("ts_us"),
+        "url",
+        "status",
+        "mime",
+        "digest",
+        "length",
+        "filename",
+        "valid",
+    )
+
+
+QUERIES.update({"cdx_write": q_cdx_write})
+
+ORACLES["cdx_write"] = r"""
+    SELECT 'org,example,h' || (doc_id % 7) || ')/p/' || doc_id AS urlkey,
+           CAST((1750000000 + doc_id) * 1000000 AS BIGINT) AS ts_us,
+           'https://www.h' || (doc_id % 7) || '.example.org/p/' || doc_id
+             AS url,
+           CAST(CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS INT)
+             AS status,
+           'text/html' AS mime,
+           'md5:' || md5(CAST(doc_id AS VARCHAR)) AS digest,
+           CAST((doc_id % 997) + 100 AS BIGINT) AS length,
+           'seg-' || (doc_id % 4) || '.warc.gz' AS filename,
+           CAST(1 AS INT) AS valid
+    FROM documents
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
