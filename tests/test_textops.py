@@ -1093,3 +1093,19 @@ def test_centroid_update_hand_values(spark):
     assert (c1["n_members"], c1["mean_sim"]) == (3, 1.0)
     # c1 members {(0,1),(0,3),(0,.5)} -> mean (0, 1.5), shift 0.5
     assert c1["shift"] == 0.5
+
+
+def test_embedding_health_counters(spark):
+    from uniparser_spark.textops.similarity import embedding_health
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [0.0, 0.0]),          # zero norm
+        (3, None),                # null
+        (4, [1.0]),               # wrong dim
+        (5, [float("nan"), 1.0]), # non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_health(df, expected_dim=2).collect()[0]
+    assert (r["n_vecs"], r["n_null"], r["n_wrong_dim"]) == (5, 1, 2)
+    assert (r["n_nonfinite"], r["n_zero_norm"]) == (1, 1)

@@ -8981,6 +8981,57 @@ ORACLES["cdx_write"] = r"""
 """
 
 
+
+def q_embedding_health(spark, sf_dir):
+    """ANN index-health audit (textops/similarity.py embedding_health)
+    over the embeddings table plus three injected pathologies — a NULL
+    vector, a truncated (wrong-dim) vector, and a zero vector — so
+    every failure counter is exercised against the oracle."""
+    from .textops.similarity import embedding_health
+
+    base = tp(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bad = spark.range(3).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.when(F.col("id") == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("id") == 1, F.expr("array(cast(1.0 as float))"))
+        .otherwise(F.expr("transform(sequence(1, 64), x -> cast(0.0 as float))"))
+        .alias("embedding"),
+    )
+    return embedding_health(base.unionByName(bad))
+
+
+QUERIES.update({"embedding_health": q_embedding_health})
+
+ORACLES["embedding_health"] = r"""
+    WITH all_v AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL SELECT NULL
+      UNION ALL SELECT [CAST(1.0 AS DOUBLE)]
+      UNION ALL SELECT list_transform(range(1, 65), x -> CAST(0.0 AS DOUBLE))
+    ),
+    staged AS (
+      SELECT CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_null,
+             CASE WHEN v IS NULL OR len(v) <> 64 THEN 1 ELSE 0 END AS wrong_dim,
+             CASE WHEN v IS NULL THEN 0
+                  WHEN len(list_filter(v, x -> isnan(x) OR abs(x) > 1e308)) > 0
+                  THEN 1 ELSE 0 END AS nonfin,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE sqrt(list_sum(list_transform(v, x -> x * x))) END AS norm
+      FROM all_v)
+    SELECT COUNT(*) AS n_vecs,
+           CAST(SUM(is_null) AS BIGINT) AS n_null,
+           CAST(SUM(wrong_dim) AS BIGINT) AS n_wrong_dim,
+           CAST(SUM(nonfin) AS BIGINT) AS n_nonfinite,
+           CAST(SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           ROUND(quantile_cont(norm, 0.1), 4) AS norm_p10,
+           ROUND(quantile_cont(norm, 0.5), 4) AS norm_p50,
+           ROUND(quantile_cont(norm, 0.9), 4) AS norm_p90
+    FROM staged
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

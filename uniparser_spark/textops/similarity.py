@@ -773,3 +773,55 @@ def centroid_update(
             F.round(F.sqrt(diff2), 6).alias("shift"),
         )
     )
+
+
+def embedding_health(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int = 64,
+) -> DataFrame:
+    """Index-health audit an ANN build should run BEFORE spending a
+    cluster-day on it: one row summarizing everything that silently
+    breaks similarity search — NULL vectors, wrong dimensionality,
+    NaN/Inf components, zero-norm vectors (cosine undefined), and the
+    L2-norm distribution (a collapsed or bimodal norm histogram is the
+    classic sign of a bad encoder batch or mixed checkpoints).
+
+    One projected scan + one global aggregate: per-vector norm and
+    flag columns are pure codegen folds (F.aggregate / exists), the
+    percentile is Spark ``percentile`` == DuckDB ``quantile_cont``
+    (type-7) over one double per vector — no shuffle wider than that.
+
+    Returns ``(n_vecs, n_null, n_wrong_dim, n_nonfinite, n_zero_norm,
+    norm_p10, norm_p50, norm_p90)``, norms rounded to 4 dp.
+    """
+    v = F.col(vec_col)
+    dv = F.transform(v, lambda x: x.cast("double"))
+    nonfinite = F.exists(dv, lambda x: x.isNaN() | (F.abs(x) > 1e308))
+    norm2 = F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)
+    staged = emb.select(
+        v.isNull().cast("int").alias("is_null"),
+        F.when(v.isNull() | (F.size(v) != expected_dim), 1)
+        .otherwise(0)
+        .alias("wrong_dim"),
+        F.when(v.isNull(), 0).otherwise(nonfinite.cast("int")).alias("nonfin"),
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.sqrt(norm2))
+        .alias("norm"),
+    )
+    zero = F.when(F.col("norm") == 0.0, 1).otherwise(0)
+    pct = F.percentile(
+        F.col("norm"), F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))
+    )
+    p = lambda i: F.round(pct.getItem(i), 4)  # noqa: E731
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.sum("wrong_dim").cast("long").alias("n_wrong_dim"),
+        F.sum("nonfin").cast("long").alias("n_nonfinite"),
+        F.sum(zero).cast("long").alias("n_zero_norm"),
+        p(0).alias("norm_p10"),
+        p(1).alias("norm_p50"),
+        p(2).alias("norm_p90"),
+    )
