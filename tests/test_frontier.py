@@ -775,3 +775,25 @@ def test_fairness_report_uniform_and_skewed(spark):
     assert (r["jain_index"], r["max_share"], r["top_key"]) == (
         0.428571, 0.75, "hot",
     )
+
+
+def test_frontier_backlog_lindley_recursion(spark):
+    """Prefix-min closed form equals the step-by-step recursion
+    B_r = max(0, B_{r-1} + arrivals - C), including drain-to-zero."""
+    from uniparser_spark.frontier.politeness import frontier_backlog
+
+    arrivals = [10, 2, 0, 9, 0, 0, 0]  # C=4: B = 6,4,0,5,1,0,0
+    rows = [("h", r, a) for r, a in enumerate(arrivals)]
+    df = spark.createDataFrame(rows, "host string, round long, arrivals long")
+    out = {
+        r["round"]: r
+        for r in frontier_backlog(df, capacity_per_round=4).collect()
+    }
+    expected_b, b = [], 0
+    for a in arrivals:
+        b = max(0, b + a - 4)
+        expected_b.append(b)
+    assert [out[i]["backlog"] for i in range(7)] == expected_b
+    # work conservation: served = arrivals + prev_backlog - backlog
+    assert [out[i]["served"] for i in range(7)] == [4, 4, 4, 4, 4, 1, 0]
+    assert [out[i]["saturated"] for i in range(7)] == [1, 1, 0, 1, 1, 0, 0]

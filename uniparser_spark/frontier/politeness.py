@@ -281,3 +281,59 @@ def fairness_report(
         F.round(F.max("x") / F.sum("x"), 6).alias("max_share"),
         F.max_by("k", F.struct(F.col("x"), F.col("k"))).alias("top_key"),
     )
+
+
+def frontier_backlog(
+    df: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    arrivals_col: str = "arrivals",
+    capacity_per_round: int = 6,
+) -> DataFrame:
+    """Per-host frontier queue evolution under a fixed politeness
+    capacity — the Lindley waiting-line recursion
+    ``B_r = max(0, B_{r-1} + arrivals_r − capacity)`` computed WITHOUT
+    iteration, via its prefix closed form
+    ``B_r = cumX_r − min(0, min_{j≤r} cumX_j)`` with
+    ``X = arrivals − capacity``.
+
+    This answers the capacity question a politeness budget creates:
+    with at most C fetches per host per round, which hosts' discovery
+    rates outrun service (backlog grows without bound → raise C, shard
+    the host, or shed load) and which merely burst (backlog returns to
+    0)?  The recursion looks inherently sequential; the prefix-min
+    form makes it two windows over ONE (host) Exchange — running sum
+    and running min share the sort, exactly the sessionize/
+    failure_episodes plan contract, so a 10^7-host log is one shuffle
+    of (host, round, int) rows.
+
+    Returns per (host, round): ``(host, round, arrivals, served,
+    backlog, saturated)`` — served = arrivals + B_{r-1} − B_r (work
+    conservation, = capacity whenever the queue stays nonempty),
+    saturated = 1 iff the round ends with work still queued.
+    """
+    C = int(capacity_per_round)
+    w = Window.partitionBy(host_col).orderBy(F.col(round_col).asc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(arrivals_col).cast("long") - F.lit(C)
+    cum = F.sum(x).over(run)
+    staged = df.select(
+        F.col(host_col).alias("host"),
+        F.col(round_col).cast("long").alias("round"),
+        F.col(arrivals_col).cast("long").alias("arrivals"),
+        (cum - F.least(F.lit(0), F.min(cum).over(run))).alias("backlog"),
+    )
+    prev = F.coalesce(
+        F.lag("backlog").over(
+            Window.partitionBy("host").orderBy(F.col("round").asc())
+        ),
+        F.lit(0),
+    )
+    return staged.select(
+        "host",
+        "round",
+        "arrivals",
+        (F.col("arrivals") + prev - F.col("backlog")).alias("served"),
+        "backlog",
+        (F.col("backlog") > 0).cast("int").alias("saturated"),
+    )

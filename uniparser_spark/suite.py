@@ -9032,6 +9032,63 @@ ORACLES["embedding_health"] = r"""
 """
 
 
+
+def q_frontier_backlog(spark, sf_dir):
+    """Frontier queue evolution under a 6-fetch politeness cap
+    (frontier/politeness.py frontier_backlog, Lindley recursion as
+    prefix windows): per-host arrivals cycle 0-4 (drains) with an
+    8-URL discovery burst whenever round%7 hits the host's phase —
+    backlogs build through the burst and drain after, exercising both
+    branches of the max()."""
+    from .frontier.politeness import frontier_backlog
+
+    d = F.col("doc_id")
+    h = d % 13
+    r = F.expr("doc_id div 13")
+    arrivals = (d % 5) + F.when(r % 7 == h % 7, F.lit(8)).otherwise(F.lit(0))
+    log = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("q"), h.cast("string")).alias("host"),
+        r.alias("round"),
+        arrivals.alias("arrivals"),
+    )
+    return frontier_backlog(log, capacity_per_round=6)
+
+
+QUERIES.update({"frontier_backlog": q_frontier_backlog})
+
+ORACLES["frontier_backlog"] = r"""
+    WITH log AS (
+      SELECT 'q' || (doc_id % 13) AS host,
+             CAST(doc_id // 13 AS BIGINT) AS round,
+             CAST((doc_id % 5)
+                  + CASE WHEN (doc_id // 13) % 7 = (doc_id % 13) % 7
+                         THEN 8 ELSE 0 END AS BIGINT) AS arrivals
+      FROM documents),
+    c0 AS (
+      SELECT host, round, arrivals,
+             SUM(arrivals - 6) OVER
+               (PARTITION BY host ORDER BY round
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM log),
+    c AS (
+      SELECT host, round, arrivals, cum,
+             MIN(cum) OVER
+               (PARTITION BY host ORDER BY round
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+      FROM c0),
+    b AS (
+      SELECT host, round, arrivals,
+             cum - LEAST(0, mn) AS backlog
+      FROM c)
+    SELECT host, round, arrivals,
+           arrivals + COALESCE(LAG(backlog) OVER
+             (PARTITION BY host ORDER BY round), 0) - backlog AS served,
+           backlog,
+           CAST(CASE WHEN backlog > 0 THEN 1 ELSE 0 END AS INT) AS saturated
+    FROM b
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
