@@ -549,3 +549,67 @@ def test_kcore_peel_cascade_and_stability(spark):
     assert all(r["degree"] == 2 and r["stable"] == 1 for r in r2.values())
     r3 = {r["node"]: r for r in kcore_peel(edges, k=3, rounds=1).collect()}
     assert r3 == {}
+
+
+def test_triangle_and_kcore_vs_bruteforce_random_graphs(spark):
+    """Seeded random graphs vs pure-Python brute force: triangle
+    counts per node, clustering, and the full k-core peel fixpoint."""
+    import itertools
+    import random
+
+    from uniparser_spark.graph import kcore_peel, triangle_counts
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 12
+        edges = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(n)
+                if a != b and rng.random() < 0.25
+            }
+        )
+        und = {tuple(sorted(e)) for e in edges}
+        adj = {v: set() for v in range(n)}
+        for u, v in und:
+            adj[u].add(v)
+            adj[v].add(u)
+        tri = {v: 0 for v in range(n)}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    tri[v] += 1
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r for r in triangle_counts(df).collect()}
+        for v, nbrs in adj.items():
+            if not nbrs:
+                assert v not in got
+                continue
+            d = len(nbrs)
+            assert got[v]["degree"] == d, (seed, v)
+            assert got[v]["triangles"] == tri[v], (seed, v)
+            expect_c = round(2 * tri[v] / (d * (d - 1)), 6) if d >= 2 else 0.0
+            assert abs(got[v]["clustering"] - expect_c) < 1e-9, (seed, v)
+        # k-core: enough rounds to reach the fixpoint == true 2-core
+        alive = {v for v in range(n) if adj[v]}
+        cur = {u_v for u_v in und}
+        while True:
+            deg = {}
+            for u, v in cur:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {v for v, dg in deg.items() if dg >= 2}
+            nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        true_deg = {}
+        for u, v in cur:
+            true_deg[u] = true_deg.get(u, 0) + 1
+            true_deg[v] = true_deg.get(v, 0) + 1
+        got_k = {
+            r["node"]: r for r in kcore_peel(df, k=2, rounds=n).collect()
+        }
+        assert {v: r["degree"] for v, r in got_k.items()} == true_deg, seed
+        assert all(r["stable"] == 1 for r in got_k.values()), seed
