@@ -202,3 +202,26 @@ def test_sitemap_roundtrip_fuzz():
             assert e["priority"] == p
 
     roundtrip()
+
+
+def test_cross_submission_audit_verdicts(spark):
+    from uniparser_spark.sources.sitemap import cross_submission_audit
+
+    entries = spark.createDataFrame(
+        [
+            ("https://a.com/sm.xml", "https://a.com/p1"),       # same host
+            ("https://a.com/sm.xml", "https://WWW.a.com/p2"),   # www differs!
+            ("https://a.com/sm.xml", "https://b.com/p3"),       # validated
+            ("https://a.com/sm.xml", "https://c.com/p4"),       # not validated
+        ],
+        "sitemap_url string, loc string",
+    )
+    robots = spark.createDataFrame(
+        [("b.com", "https://a.com/sm.xml")], "host string, sitemap_url string"
+    )
+    got = {r["loc"]: r["verdict"] for r in cross_submission_audit(entries, robots).collect()}
+    assert got["https://a.com/p1"] == "same_host"
+    # protocol rule: www.a.com is a DIFFERENT host, and undeclared
+    assert got["https://WWW.a.com/p2"] == "cross_unvalidated"
+    assert got["https://b.com/p3"] == "cross_validated"
+    assert got["https://c.com/p4"] == "cross_unvalidated"

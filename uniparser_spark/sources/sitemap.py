@@ -417,3 +417,61 @@ def seeds_from_entries(entries: DataFrame) -> DataFrame:
         .groupBy("url")
         .agg(F.max("priority").alias("priority"))
     )
+
+
+def cross_submission_audit(
+    entries: DataFrame,
+    robots_sitemaps: DataFrame,
+    sitemap_col: str = "sitemap_url",
+    loc_col: str = "loc",
+) -> DataFrame:
+    """sitemaps.org cross-submission validation: a sitemap hosted on A
+    may list URLs on B ONLY if B's robots.txt declares that exact
+    sitemap URL (``Sitemap:`` line) — otherwise anyone could publish a
+    sitemap claiming a competitor's URLs and poison a crawler's
+    frontier with fake lastmods/priorities.  Unvalidated cross-host
+    entries must be dropped from discovery; this audit labels every
+    entry so the seed feed filters on the verdict.
+
+    ``robots_sitemaps`` is the (host, sitemap_url) relation the robots
+    scanner already extracts (``Sitemap:`` discovery lines).  Host
+    comparison is exact lowercased authority (the protocol's rule —
+    www.a.com and a.com are DIFFERENT hosts for submission purposes).
+
+    Shape: host extraction is codegen regexp; same-host entries short-
+    circuit without touching the join; cross-host entries left-join
+    the (tiny, broadcast) robots-declaration relation on (loc_host,
+    sitemap_url).  Returns ``(sitemap_url, loc, sitemap_host,
+    loc_host, verdict)`` with verdict ∈ {same_host, cross_validated,
+    cross_unvalidated}.
+    """
+    host_of = lambda c: F.lower(  # noqa: E731
+        F.regexp_extract(c, r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#]*)", 1)
+    )
+    base = entries.select(
+        F.col(sitemap_col).alias("sitemap_url"),
+        F.col(loc_col).alias("loc"),
+        host_of(F.col(sitemap_col)).alias("sitemap_host"),
+        host_of(F.col(loc_col)).alias("loc_host"),
+    )
+    declared = (
+        robots_sitemaps.select(
+            F.lower(F.col("host")).alias("loc_host"),
+            F.col("sitemap_url"),
+            F.lit(1).alias("_ok"),
+        )
+        .distinct()
+    )
+    joined = base.join(
+        F.broadcast(declared), ["loc_host", "sitemap_url"], "left"
+    )
+    return joined.select(
+        "sitemap_url",
+        "loc",
+        "sitemap_host",
+        "loc_host",
+        F.when(F.col("sitemap_host") == F.col("loc_host"), F.lit("same_host"))
+        .when(F.col("_ok").isNotNull(), F.lit("cross_validated"))
+        .otherwise(F.lit("cross_unvalidated"))
+        .alias("verdict"),
+    )

@@ -9089,6 +9089,80 @@ ORACLES["frontier_backlog"] = r"""
 """
 
 
+
+def q_sitemap_cross(spark, sf_dir):
+    """Cross-submission validation (sources/sitemap.py
+    cross_submission_audit): sitemaps on 5 hosts list same-host URLs
+    except every 3rd entry, which points at other{0..3}.example.net;
+    only other0/other1 declare the submitting sitemaps in robots.txt,
+    so all three verdicts appear."""
+    from .sources.sitemap import cross_submission_audit
+
+    d = F.col("doc_id")
+    entries = tp(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://s"), (d % 5).cast("string"),
+            F.lit(".example.org/sitemap.xml"),
+        ).alias("sitemap_url"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("https://other"), (d % 4).cast("string"),
+                F.lit(".example.net/p/"), d.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://s"), (d % 5).cast("string"),
+                F.lit(".example.org/p/"), d.cast("string"),
+            )
+        )
+        .alias("loc"),
+    )
+    robots = (
+        spark.range(2)
+        .crossJoin(spark.range(5).withColumnRenamed("id", "j"))
+        .select(
+            F.concat(F.lit("other"), F.col("id").cast("string"),
+                     F.lit(".example.net")).alias("host"),
+            F.concat(F.lit("https://s"), F.col("j").cast("string"),
+                     F.lit(".example.org/sitemap.xml")).alias("sitemap_url"),
+        )
+    )
+    return cross_submission_audit(entries, robots)
+
+
+QUERIES.update({"sitemap_cross": q_sitemap_cross})
+
+ORACLES["sitemap_cross"] = r"""
+    WITH entries AS (
+      SELECT 'https://s' || (doc_id % 5) || '.example.org/sitemap.xml'
+               AS sitemap_url,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'https://other' || (doc_id % 4) || '.example.net/p/'
+                       || doc_id
+                  ELSE 'https://s' || (doc_id % 5) || '.example.org/p/'
+                       || doc_id END AS loc,
+             's' || (doc_id % 5) || '.example.org' AS sitemap_host,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'other' || (doc_id % 4) || '.example.net'
+                  ELSE 's' || (doc_id % 5) || '.example.org' END AS loc_host
+      FROM documents),
+    robots AS (
+      SELECT 'other' || i.i || '.example.net' AS loc_host,
+             'https://s' || j.j || '.example.org/sitemap.xml' AS sitemap_url
+      FROM (SELECT unnest(range(0, 2)) AS i) i,
+           (SELECT unnest(range(0, 5)) AS j) j)
+    SELECT e.sitemap_url, e.loc, e.sitemap_host, e.loc_host,
+           CASE WHEN e.sitemap_host = e.loc_host THEN 'same_host'
+                WHEN r.loc_host IS NOT NULL THEN 'cross_validated'
+                ELSE 'cross_unvalidated' END AS verdict
+    FROM entries e
+    LEFT JOIN robots r
+      ON e.loc_host = r.loc_host AND e.sitemap_url = r.sitemap_url
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
