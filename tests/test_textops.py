@@ -179,7 +179,7 @@ def test_multimodal_header_decode(spark):
     assert set(feats) == set(range(27))
     for mid, r in feats.items():
         fmt = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3", "flac",
-               "ico")[mid % 9]
+               "ico", "webp")[mid % 10]
         assert r["fmt"] == fmt
         if fmt in ("wav", "flac"):
             assert r["width"] is None and r["duration_ms"] == 1000 + mid % 1000
@@ -1109,3 +1109,16 @@ def test_embedding_health_counters(spark):
     r = embedding_health(df, expected_dim=2).collect()[0]
     assert (r["n_vecs"], r["n_null"], r["n_wrong_dim"]) == (5, 1, 2)
     assert (r["n_nonfinite"], r["n_zero_norm"]) == (1, 1)
+
+
+def test_webp_header_roundtrip():
+    from uniparser_spark.textops.multimodal import make_webp, parse_media_header
+
+    meta = parse_media_header(make_webp(320, 200))
+    assert meta == {"fmt": "webp", "width": 320, "height": 200, "n_frames": 1}
+    # VP8X canvas fields are 24-bit: dims up to 16384 round-trip
+    meta = parse_media_header(make_webp(16384, 1))
+    assert (meta["width"], meta["height"]) == (16384, 1)
+    # a bare lossy WEBP without VP8X is the honest codec seam: no sniff
+    blob = b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8
+    assert parse_media_header(blob) == {}

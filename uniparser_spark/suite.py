@@ -2847,7 +2847,7 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_media_dims(spark, sf_dir):
     """REAL stdlib container decode: synthesize valid PNG/GIF/JPEG/WAV/
-    BMP/TIFF/MP3/FLAC/ICO binaries (dims derived from doc_id) and
+    BMP/TIFF/MP3/FLAC/ICO/WEBP binaries (dims derived from doc_id) and
     recover width/height/frames/duration by parsing the actual bytes
     (struct/zlib/wave) — the codec-seam closure for formats the stdlib
     can carry."""
@@ -4762,24 +4762,25 @@ ORACLES = {
     # predicts what the struct/zlib/wave parsers must recover from bytes
     "media_dims": """
         SELECT doc_id AS media_id,
-               CASE doc_id % 9 WHEN 1 THEN 'video'
-                               WHEN 3 THEN 'audio'
-                               WHEN 6 THEN 'audio'
-                               WHEN 7 THEN 'audio'
-                               ELSE 'image' END AS media_type,
-               (['png','gif','jpeg','wav','bmp','tiff','mp3','flac','ico'])
-                 [(doc_id % 9) + 1] AS fmt,
-               CASE WHEN doc_id % 9 NOT IN (3, 6, 7)
+               CASE doc_id % 10 WHEN 1 THEN 'video'
+                                WHEN 3 THEN 'audio'
+                                WHEN 6 THEN 'audio'
+                                WHEN 7 THEN 'audio'
+                                ELSE 'image' END AS media_type,
+               (['png','gif','jpeg','wav','bmp','tiff','mp3','flac','ico',
+                 'webp'])
+                 [(doc_id % 10) + 1] AS fmt,
+               CASE WHEN doc_id % 10 NOT IN (3, 6, 7)
                     THEN CAST(16 + doc_id % 240 AS INTEGER) END AS width,
-               CASE WHEN doc_id % 9 NOT IN (3, 6, 7)
+               CASE WHEN doc_id % 10 NOT IN (3, 6, 7)
                     THEN CAST(16 + (7 * doc_id) % 240 AS INTEGER) END AS height,
-               CASE WHEN doc_id % 9 = 1 THEN CAST(1 + (doc_id // 4) % 4 AS INTEGER)
-                    WHEN doc_id % 9 IN (0, 2, 4, 5, 8) THEN CAST(1 AS INTEGER)
-                    WHEN doc_id % 9 = 6 THEN CAST(10 + doc_id % 20 AS INTEGER)
+               CASE WHEN doc_id % 10 = 1 THEN CAST(1 + (doc_id // 4) % 4 AS INTEGER)
+                    WHEN doc_id % 10 IN (0, 2, 4, 5, 8, 9) THEN CAST(1 AS INTEGER)
+                    WHEN doc_id % 10 = 6 THEN CAST(10 + doc_id % 20 AS INTEGER)
                     END AS n_frames,
-               CASE WHEN doc_id % 9 IN (3, 7)
+               CASE WHEN doc_id % 10 IN (3, 7)
                     THEN CAST(1000 + doc_id % 1000 AS BIGINT)
-                    WHEN doc_id % 9 = 6
+                    WHEN doc_id % 10 = 6
                     THEN CAST((10 + doc_id % 20) * 1152 * 1000 // 44100 AS BIGINT)
                     END AS duration_ms
         FROM documents

@@ -297,6 +297,20 @@ def _parse_ico(b: bytes) -> Optional[dict]:
     }
 
 
+def _parse_webp(b: bytes) -> Optional[dict]:
+    """WEBP (RIFF) extended header: a VP8X chunk carries the canvas
+    size as two 24-bit little-endian (value − 1) fields — dims without
+    touching VP8 bitstream data.  Simple lossy/lossless files without
+    VP8X are left to a real codec (None → the codec seam)."""
+    if len(b) < 30 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    if b[12:16] != b"VP8X":
+        return None
+    w = 1 + int.from_bytes(b[24:27], "little")
+    h = 1 + int.from_bytes(b[27:30], "little")
+    return {"fmt": "webp", "width": w, "height": h, "n_frames": 1}
+
+
 def parse_media_header(blob: bytes) -> dict:
     """Sniff + parse a media container header; {} when unrecognized."""
     for parser in (
@@ -309,6 +323,7 @@ def parse_media_header(blob: bytes) -> dict:
         _parse_mp3,
         _parse_flac,
         _parse_ico,
+        _parse_webp,
     ):
         meta = parser(blob)
         if meta is not None:
@@ -425,25 +440,43 @@ def make_ico(w: int, h: int) -> bytes:
     return b"\x00\x00\x01\x00" + struct.pack("<H", 1) + entry + png
 
 
+def make_webp(w: int, h: int) -> bytes:
+    """Minimal RIFF/WEBP with a VP8X extended-header chunk (canvas
+    dims only — no image data, which is exactly what a header scan
+    reads)."""
+    payload = (
+        b"\x00\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """documents → media table of VALID container binaries whose dims
-    derive from the id (``id%9`` picks
-    png/gif/jpeg/wav/bmp/tiff/mp3/flac/ico; width ``16+id%240``,
+    derive from the id (``id%10`` picks
+    png/gif/jpeg/wav/bmp/tiff/mp3/flac/ico/webp; width ``16+id%240``,
     height ``16+(7*id)%240``, gif frames ``1+(id//4)%4``, wav and flac
     samples ``8*(1000+id%1000)`` @8kHz → ``1000+id%1000`` ms, mp3
     frames ``10+id%20`` @1152 samples/44.1 kHz) — the SQL oracle
     predicts exactly what the header parser must recover."""
-    fmts = ("png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3", "flac", "ico")
+    fmts = (
+        "png", "gif", "jpeg", "wav", "bmp", "tiff", "mp3", "flac", "ico",
+        "webp",
+    )
     types = {
         "png": "image", "gif": "video", "jpeg": "image", "wav": "audio",
         "bmp": "image", "tiff": "image", "mp3": "audio", "flac": "audio",
         "ico": "image",
+        "webp": "image",
     }
     mimes = {
         "png": "image/png", "gif": "video/gif", "jpeg": "image/jpeg",
         "wav": "audio/wav", "bmp": "image/bmp", "tiff": "image/tiff",
         "mp3": "audio/mpeg", "flac": "audio/flac",
         "ico": "image/vnd.microsoft.icon",
+        "webp": "image/webp",
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -451,7 +484,7 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for mid in batch["media_id"]:
                 mid = int(mid)
-                fmt = fmts[mid % 9]
+                fmt = fmts[mid % 10]
                 w, h = 16 + mid % 240, 16 + (7 * mid) % 240
                 if fmt == "png":
                     blob = make_png(w, h)
@@ -469,6 +502,8 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     blob = make_flac(8 * (1000 + mid % 1000))
                 elif fmt == "ico":
                     blob = make_ico(w, h)
+                elif fmt == "webp":
+                    blob = make_webp(w, h)
                 else:
                     blob = make_mp3(10 + mid % 20)
                 rows["media_id"].append(mid)
