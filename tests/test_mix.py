@@ -718,3 +718,27 @@ def test_lang_fertility_ratios_and_empty(spark):
     zh = got["zh"]
     assert (zh["n_chars"], zh["n_bytes"]) == (2, 6)
     assert zh["bytes_per_token"] == 6.0
+
+
+def test_pmi_collocations_hand_values(spark):
+    """'new york' always adjacent -> high PMI; independent filler pair
+    scores ~0; min_count gates rare pairs."""
+    import math
+
+    from uniparser_spark.textops.mix import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york " + ("a b " * 5).strip()) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in pmi_collocations(docs, min_count=5, top_k=10).collect()}
+    # per doc: tokens = [new, york, a, b, a, b, ...] (12 tokens, 11 bigrams)
+    # c(new,york)=6, N_big=66, c(new)=c(york)=6, N_uni=72
+    expect = math.log((6 / 66) / ((6 / 72) * (6 / 72)))
+    assert abs(got[("new", "york")]["pmi"] - round(expect, 4)) < 1e-9
+    # (a,b) occurs 5x/doc=30, c(a)=c(b)=30: pmi = ln((30/66)/(30/72 * 30/72))
+    expect_ab = math.log((30 / 66) / ((30 / 72) ** 2))
+    assert abs(got[("a", "b")]["pmi"] - round(expect_ab, 4)) < 1e-9
+    assert got[("a", "b")]["pmi"] < got[("new", "york")]["pmi"]
+    # (york, a) occurs 6x -> present; (b, a) occurs 4x/doc=24 -> present
+    assert ("york", "a") in got and ("b", "a") in got

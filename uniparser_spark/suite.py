@@ -9164,6 +9164,48 @@ ORACLES["sitemap_cross"] = r"""
 """
 
 
+
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI collocation table (textops/mix.py pmi_collocations): top-200
+    corpus bigrams with their pointwise mutual information — the
+    multiword-unit / tokenizer-merge evidence next to zipf_fit."""
+    from .textops.mix import pmi_collocations
+
+    return pmi_collocations(tp(spark, sf_dir, "documents"), min_count=5, top_k=200)
+
+
+QUERIES.update({"pmi_bigrams": q_pmi_bigrams})
+
+ORACLES["pmi_bigrams"] = rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    grams AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS t(i)),
+    pairs AS (
+      SELECT w1, w2, count(*) AS cnt FROM grams GROUP BY w1, w2
+      HAVING count(*) >= 5),
+    uni AS (
+      SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM toks)
+      GROUP BY w),
+    totals AS (
+      SELECT CAST(SUM(len(tk)) AS DOUBLE) AS n_uni,
+             CAST(SUM(len(tk) - 1) AS DOUBLE) AS n_big
+      FROM toks),
+    head AS (
+      SELECT w1, w2, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rank
+      FROM pairs ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 200)
+    SELECT h.w1, h.w2, h.cnt,
+           ROUND(ln((h.cnt / t.n_big)
+                 / ((u1.c / t.n_uni) * (u2.c / t.n_uni))), 4) AS pmi,
+           CAST(h.rank AS INT) AS rank
+    FROM head h
+    JOIN uni u1 ON u1.w = h.w1
+    JOIN uni u2 ON u2.w = h.w2
+    CROSS JOIN totals t
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

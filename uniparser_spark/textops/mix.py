@@ -1080,3 +1080,76 @@ def lang_fertility(
             "bytes_per_token"
         ),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information over adjacent token bigrams —
+    collocation mining: ``pmi = ln(p(w1,w2) / (p(w1)·p(w2)))`` with
+    ``p(w1,w2) = c12/N_big`` and ``p(w) = c/N_uni``.
+
+    What it's for in a training-data pipeline: high-PMI pairs are the
+    multiword units a tokenizer should merge (the statistic BPE
+    implicitly chases), near-zero PMI across the corpus head is a
+    machine-generated-text smell (independent token draws), and the
+    top-k table is data-card material next to :func:`zipf_fit`.  The
+    ``min_count`` gate kills the classic PMI pathology (rare pairs
+    scoring highest on noise).
+
+    Scale shape: bigrams by per-doc tail-zip (narrow), ONE map-side-
+    combined groupBy for pair counts and one for unigrams; the unigram
+    relation joins back per-SIDE onto the ranked pair head (top_k rows
+    after a TakeOrdered, never a global sort).  ln() is transcendental
+    — the module's cross-engine contract rounds it to 4 dp, same as
+    the entropy column in :func:`host_language_profile`.
+
+    Returns ``(w1, w2, cnt, pmi, rank)`` — rank by count desc then
+    (w1, w2) asc.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        docs.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = docs.agg(
+        F.sum(n).cast("double").alias("n_uni"),
+        F.sum(n - 1).cast("double").alias("n_big"),
+    )
+    head = pairs.orderBy(
+        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+    joined = (
+        head.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("cnt") / F.col("n_big"))
+        / ((F.col("_c1") / F.col("n_uni")) * (F.col("_c2") / F.col("n_uni")))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return joined.select(
+        "w1",
+        "w2",
+        "cnt",
+        F.round(pmi, 4).alias("pmi"),
+        F.row_number().over(w).alias("rank"),
+    )
