@@ -797,3 +797,62 @@ def test_frontier_backlog_lindley_recursion(spark):
     # work conservation: served = arrivals + prev_backlog - backlog
     assert [out[i]["served"] for i in range(7)] == [4, 4, 4, 4, 4, 1, 0]
     assert [out[i]["saturated"] for i in range(7)] == [1, 1, 0, 1, 1, 0, 0]
+
+
+def test_effective_budgets_compose_into_scheduler(spark):
+    """Outage (recovered=0) and disallow_all hosts schedule NOTHING;
+    healthy hosts keep their robots-derived budget — the health
+    signals compose end-to-end through schedule_batch."""
+    import datetime as dt
+
+    from uniparser_spark.crawl.sessions import failure_episodes
+    from uniparser_spark.frontier.politeness import (
+        effective_budgets,
+        schedule_batch,
+    )
+    from uniparser_spark.frontier.robots import robots_fetch_policy
+
+    t0 = dt.datetime(2026, 1, 1)
+    log = spark.createDataFrame(
+        [
+            ("dark.example", t0, 1, 0),
+            ("dark.example", t0 + dt.timedelta(seconds=9), 2, 0),
+            ("ok.example", t0, 3, 1),
+        ],
+        "host string, ts timestamp, event_id long, ok int",
+    )
+    outages = failure_episodes(log, min_failures=2)
+    robots_log = spark.createDataFrame(
+        [("blocked.example", t0, 503), ("ok.example", t0, 200)],
+        "host string, ts timestamp, status int",
+    )
+    policies = robots_fetch_policy(robots_log)
+    budgets = spark.createDataFrame(
+        [("dark.example", 5), ("blocked.example", 5), ("ok.example", 2)],
+        "host string, budget int",
+    )
+    eff = {
+        r["host"]: r["budget"]
+        for r in effective_budgets(budgets, outages, policies).collect()
+    }
+    assert eff == {"dark.example": 0, "blocked.example": 0, "ok.example": 2}
+    pending = spark.createDataFrame(
+        [
+            (f"https://{h}/u/{i}", h, 1, 0, 0, None, i)
+            for h in ("dark.example", "blocked.example", "ok.example")
+            for i in range(3)
+        ],
+        "url_canon string, host string, priority int, depth int, "
+        "discovered_round int, parent_url string, list_index int",
+    )
+    out = schedule_batch(
+        pending, effective_budgets(budgets, outages, policies)
+    )
+    sched = {
+        h: n
+        for h, n in out.filter("scheduled")
+        .groupBy("host")
+        .count()
+        .collect()
+    }
+    assert sched == {"ok.example": 2}

@@ -337,3 +337,46 @@ def frontier_backlog(
         "backlog",
         (F.col("backlog") > 0).cast("int").alias("saturated"),
     )
+
+
+def effective_budgets(
+    budgets: DataFrame,
+    outages: Optional[DataFrame] = None,
+    robots_policies: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Compose the round's (host, budget) table with operational
+    health before :func:`schedule_batch` sees it: a host still dark at
+    the end of the fetch log (``failure_episodes`` row with
+    recovered=0 — the whole host is down, per-URL retries just burn
+    budget) or whose robots fetch policy is ``disallow_all`` (RFC 9309
+    unreachable rule, :func:`~uniparser_spark.frontier.robots.
+    robots_fetch_policy`) gets budget 0 this round; everyone else
+    passes through unchanged.
+
+    Both health relations are per-host aggregates — tiny, broadcast;
+    the composition is one left join + a codegen CASE, so the
+    scheduler's plan shape is untouched.
+    """
+    blocked = None
+    if outages is not None:
+        blocked = (
+            outages.filter(F.col("recovered") == 0).select("host").distinct()
+        )
+    if robots_policies is not None:
+        dis = (
+            robots_policies.filter(F.col("policy") == "disallow_all")
+            .select("host")
+            .distinct()
+        )
+        blocked = dis if blocked is None else blocked.unionByName(dis).distinct()
+    if blocked is None:
+        return budgets
+    return budgets.join(
+        F.broadcast(blocked.withColumn("_blk", F.lit(1))), "host", "left"
+    ).select(
+        "host",
+        F.when(F.col("_blk").isNotNull(), F.lit(0))
+        .otherwise(F.col("budget"))
+        .cast("int")
+        .alias("budget"),
+    )
