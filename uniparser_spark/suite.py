@@ -9206,6 +9206,80 @@ ORACLES["pmi_bigrams"] = rf"""
 """
 
 
+
+def q_discovery_merge(spark, sf_dir):
+    """Unified discovery intake (crawl/discovery.py
+    merge_discovery_feeds): four channels emit overlapping URL sets —
+    every URL arrives via 'link'; every 2nd also via 'sitemap' (wins on
+    precedence); every 5th via 'cdx' (loses); every 7th via 'seed'
+    (wins everything) — then a 60-URL cdx quota and a 150-URL link
+    quota gate admission."""
+    from .crawl.discovery import merge_discovery_feeds
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://d.example.org/p/"), d.cast("string"))
+    base = tp(spark, sf_dir, "documents").select(
+        url.alias("url"), (d % 100).cast("int").alias("priority")
+    )
+    feeds = (
+        base.select("url", F.lit("link").alias("source"), "priority")
+        .unionByName(
+            base.filter(d % 2 == 0).select(
+                "url", F.lit("sitemap").alias("source"), "priority"
+            )
+        )
+        .unionByName(
+            base.filter(d % 5 == 0).select(
+                "url", F.lit("cdx").alias("source"), "priority"
+            )
+        )
+        .unionByName(
+            base.filter(d % 7 == 0).select(
+                "url", F.lit("seed").alias("source"), "priority"
+            )
+        )
+    )
+    return merge_discovery_feeds(feeds, quotas={"cdx": 60, "link": 150})
+
+
+QUERIES.update({"discovery_merge": q_discovery_merge})
+
+ORACLES["discovery_merge"] = r"""
+    WITH base AS (
+      SELECT 'https://d.example.org/p/' || doc_id AS url,
+             CAST(doc_id % 100 AS INT) AS priority, doc_id
+      FROM documents),
+    feeds AS (
+      SELECT url, 'link' AS source, priority FROM base
+      UNION ALL
+      SELECT url, 'sitemap', priority FROM base WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT url, 'cdx', priority FROM base WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT url, 'seed', priority FROM base WHERE doc_id % 7 = 0),
+    ranked AS (
+      SELECT url, source, priority,
+             CASE source WHEN 'seed' THEN 0 WHEN 'sitemap' THEN 1
+                         WHEN 'feed' THEN 2 WHEN 'link' THEN 3
+                         WHEN 'cdx' THEN 4 ELSE 5 END AS src_rank
+      FROM feeds),
+    winners AS (
+      SELECT url, source, priority, src_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY url ORDER BY src_rank, priority, source) AS rn
+        FROM ranked) WHERE rn = 1),
+    quota AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY priority, url) AS qrn,
+             CASE source WHEN 'cdx' THEN 60 WHEN 'link' THEN 150 END AS q
+      FROM winners)
+    SELECT url, source, priority, CAST(src_rank AS INT) AS src_rank,
+           CAST(CASE WHEN q IS NULL OR qrn <= q THEN 1 ELSE 0 END AS INT)
+             AS admitted
+    FROM quota
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
