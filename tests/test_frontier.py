@@ -856,3 +856,42 @@ def test_effective_budgets_compose_into_scheduler(spark):
         .collect()
     }
     assert sched == {"ok.example": 2}
+
+
+def test_retention_plan_gfs_reasons(spark):
+    """14 daily snapshots: newest 3 'recent', week winners beyond the
+    recent horizon 'weekly', month winner beyond weeks 'monthly',
+    everything else expires."""
+    import datetime as dt
+
+    from uniparser_spark.frontier.freshness import retention_plan
+
+    t0 = dt.datetime(2026, 3, 2)  # a Monday
+    rows = [
+        (f"s{i}", t0 + dt.timedelta(days=i)) for i in range(14)
+    ]  # two ISO weeks: Mar 2-8, Mar 9-15
+    df = spark.createDataFrame(rows, "snapshot_id string, ts timestamp")
+    got = {
+        r["snapshot_id"]: r
+        for r in retention_plan(
+            df, keep_last=3, keep_weekly=1, keep_monthly=1
+        ).collect()
+    }
+    # newest 3: s13, s12, s11 -> recent (s13 is also week/month winner,
+    # but recent wins the precedence)
+    assert all(got[f"s{i}"]["reason"] == "recent" for i in (11, 12, 13))
+    # keep_weekly=1 -> only the newest week counts; its winner s13 is
+    # already 'recent', so no weekly row survives from week 1, and
+    # week Mar 2-8's winner s6 is OUTSIDE the weekly horizon
+    assert got["s6"]["reason"] == "expire"
+    # month winner is s13 (taken by recent); everything else expires
+    assert sum(r["keep"] for r in got.values()) == 3
+    # widen the weekly horizon: s6 (winner of the older week) is kept
+    got2 = {
+        r["snapshot_id"]: r
+        for r in retention_plan(
+            df, keep_last=3, keep_weekly=2, keep_monthly=1
+        ).collect()
+    }
+    assert got2["s6"]["reason"] == "weekly"
+    assert got2["s5"]["reason"] == "expire"

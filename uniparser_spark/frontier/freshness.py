@@ -425,3 +425,62 @@ def refresh_policy_freshness(
         F.col("_e.avg_freshness").alias("avg_freshness"),
         F.col("_e.min_freshness").alias("min_freshness"),
     )
+
+
+def retention_plan(
+    snapshots: DataFrame,
+    id_col: str = "snapshot_id",
+    ts_col: str = "ts",
+    keep_last: int = 7,
+    keep_weekly: int = 4,
+    keep_monthly: int = 6,
+) -> DataFrame:
+    """Grandfather-father-son retention over crawl snapshots / WARC
+    segment generations / seen-set compactions: keep the newest
+    ``keep_last`` outright, the newest snapshot of each of the last
+    ``keep_weekly`` calendar weeks, the newest of each of the last
+    ``keep_monthly`` months; expire the rest.  A 10^10-URL crawl's
+    storage bill is mostly history — this is the standard dial between
+    "can diff against yesterday" and "can afford the bucket".
+
+    Windows only: a recency row_number, per-week / per-month winner
+    flags (max ts within the truncated bucket), and dense_rank over
+    buckets for the "last M" cut.  The global windows are single-
+    partition BY DESIGN — the input is one row per snapshot
+    (10^2-10^4 rows for years of crawling), not per URL; never point
+    this at a per-URL relation.
+
+    Returns ``(snapshot_id, ts_us, keep, reason)``, reason ∈
+    {recent, weekly, monthly, expire} by first match.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    week = F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+    month = F.date_trunc("month", F.col(ts_col).cast("timestamp"))
+    order = (F.col("_us").desc(), F.col(id_col).desc())
+    staged = snapshots.select(
+        F.col(id_col), us.alias("_us"), week.alias("_wk"), month.alias("_mo")
+    )
+    w_all = Window.orderBy(*order)
+    w_wk = Window.partitionBy("_wk").orderBy(*order)
+    w_mo = Window.partitionBy("_mo").orderBy(*order)
+    ranked = staged.select(
+        id_col,
+        "_us",
+        F.row_number().over(w_all).alias("_recent"),
+        (F.row_number().over(w_wk) == 1).alias("_wk_win"),
+        (F.row_number().over(w_mo) == 1).alias("_mo_win"),
+        F.dense_rank().over(Window.orderBy(F.col("_wk").desc())).alias("_wk_rank"),
+        F.dense_rank().over(Window.orderBy(F.col("_mo").desc())).alias("_mo_rank"),
+    )
+    reason = (
+        F.when(F.col("_recent") <= keep_last, F.lit("recent"))
+        .when(F.col("_wk_win") & (F.col("_wk_rank") <= keep_weekly), F.lit("weekly"))
+        .when(F.col("_mo_win") & (F.col("_mo_rank") <= keep_monthly), F.lit("monthly"))
+        .otherwise(F.lit("expire"))
+    )
+    return ranked.select(
+        id_col,
+        F.col("_us").alias("ts_us"),
+        (reason != "expire").cast("int").alias("keep"),
+        reason.alias("reason"),
+    )

@@ -9280,6 +9280,58 @@ ORACLES["discovery_merge"] = r"""
 """
 
 
+
+def q_retention_plan(spark, sf_dir):
+    """GFS snapshot retention (frontier/freshness.py retention_plan):
+    daily-ish snapshots (one per doc_id, 26 h apart so weeks vary in
+    population), keep 7 recent / 4 weekly / 6 monthly — all four
+    verdict reasons appear at sf0.01's ~500-snapshot history."""
+    from .frontier.freshness import retention_plan
+
+    d = F.col("doc_id")
+    snaps = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("snap-"), d.cast("string")).alias("snapshot_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + d * 93_600).alias("ts"),
+    )
+    return retention_plan(snaps)
+
+
+QUERIES.update({"retention_plan": q_retention_plan})
+
+ORACLES["retention_plan"] = r"""
+    WITH s AS (
+      SELECT 'snap-' || doc_id AS snapshot_id,
+             make_timestamp((1700000000 + doc_id * 93600) * 1000000) AS ts,
+             CAST((1700000000 + doc_id * 93600) * 1000000 AS BIGINT) AS us
+      FROM documents),
+    r AS (
+      SELECT snapshot_id, us,
+             ROW_NUMBER() OVER (ORDER BY us DESC, snapshot_id DESC)
+               AS recent,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('week', ts)
+                                ORDER BY us DESC, snapshot_id DESC) AS wkr,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('month', ts)
+                                ORDER BY us DESC, snapshot_id DESC) AS mor,
+             DENSE_RANK() OVER (ORDER BY date_trunc('week', ts) DESC)
+               AS wk_rank,
+             DENSE_RANK() OVER (ORDER BY date_trunc('month', ts) DESC)
+               AS mo_rank
+      FROM s),
+    v AS (
+      SELECT snapshot_id, us,
+             CASE WHEN recent <= 7 THEN 'recent'
+                  WHEN wkr = 1 AND wk_rank <= 4 THEN 'weekly'
+                  WHEN mor = 1 AND mo_rank <= 6 THEN 'monthly'
+                  ELSE 'expire' END AS reason
+      FROM r)
+    SELECT snapshot_id, us AS ts_us,
+           CAST(CASE WHEN reason <> 'expire' THEN 1 ELSE 0 END AS INT)
+             AS keep,
+           reason
+    FROM v
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
