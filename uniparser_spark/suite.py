@@ -9404,7 +9404,8 @@ _GATE_PRIORITY = [
     #    stream_sessions, stream_triage, lang_fertility, minhash_error,
     #    compaction_plan, centroid_update, bibcoupling, robots_policy,
     #    crawl_fairness, cms_hot_hosts, lang_script, cdx_write,
-    #    embedding_health, frontier_backlog) join the same queue
+    #    embedding_health, frontier_backlog, sitemap_cross, pmi_bigrams,
+    #    discovery_merge, retention_plan) join the same queue
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
