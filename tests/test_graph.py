@@ -613,3 +613,24 @@ def test_triangle_and_kcore_vs_bruteforce_random_graphs(spark):
         }
         assert {v: r["degree"] for v, r in got_k.items()} == true_deg, seed
         assert all(r["stable"] == 1 for r in got_k.values()), seed
+
+
+def test_seed_attribution_min_hops_then_min_seed(spark):
+    from uniparser_spark.graph import seed_attribution
+
+    # seeds 1 and 9. node 5: hop1 from 9, hop2 from 1 -> owned by 9.
+    # node 6: hop1 from both -> min seed 1. node 7: hop2 via 5 -> seed 9.
+    edges = spark.createDataFrame(
+        [(9, 5), (1, 4), (4, 5), (1, 6), (9, 6), (5, 7)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {
+        r["node"]: (r["hops"], r["seed"])
+        for r in seed_attribution(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {
+        1: (0, 1), 9: (0, 9),
+        4: (1, 1), 5: (1, 9), 6: (1, 1),
+        7: (2, 9),
+    }

@@ -1054,3 +1054,53 @@ def bibcoupling_pairs(
         min_common=min_common,
         max_out=max_in,
     )
+
+
+def seed_attribution(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+) -> DataFrame:
+    """Crawl provenance: attribute every reachable node to the seed
+    that discovers it — at its minimum hop distance, tie-broken by
+    smallest seed id, so the attribution is unique and deterministic.
+
+    This is the accounting :func:`seed_neighborhood` doesn't do: that
+    op says *how far* a node is from the seed SET; this one says
+    *which seed* owns it, which is what per-seed budgeting, seed-list
+    pruning ("seed 12 contributed 3 admitted docs in 90 days — drop
+    it"), and vertical-corpus attribution reports need.
+
+    Same bounded-round shape as the BFS (``max_hops`` a small
+    constant, frontier shrinks, per-round lineage barrier); state is
+    one narrow (node, hops, seed) row per reached node, and each round
+    resolves ties with one map-side-combined min-struct aggregate —
+    never a window sort.
+
+    Returns ``(node, hops, seed)`` for every node within ``max_hops``
+    of some seed (seeds themselves at hops 0, seed = own id).
+    """
+    from .engine.ckpt import step_checkpoint
+
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = edges.select("src", "dst")
+    assigned = seeds.select("node").distinct().select(
+        "node", F.lit(0).alias("hops"), F.col("node").alias("seed")
+    )
+    frontier = assigned
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("src"), "seed"), "src"
+            )
+            .select(F.col("dst").alias("node"), "seed")
+            .join(assigned.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("seed").alias("seed"))
+            .select("node", F.lit(h).alias("hops"), "seed")
+        )
+        # barrier: assigned is referenced by the anti-join AND the union
+        assigned = step_checkpoint(assigned.unionByName(nxt))
+        frontier = nxt
+    return assigned

@@ -9332,6 +9332,39 @@ ORACLES["retention_plan"] = r"""
 """
 
 
+
+def q_seed_attribution(spark, sf_dir):
+    """Per-seed crawl provenance (graph.py seed_attribution) over the
+    shared circulant edge set from the %89 seed set: every node within
+    2 hops attributed to ONE seed (min hops, then min seed id) — the
+    accounting that prices each seed's contribution."""
+    from .graph import seed_attribution
+
+    edges, nodes, _n = _graph_inputs(spark, sf_dir)
+    seeds = nodes.filter(F.col("node") % 89 == 0)
+    return seed_attribution(edges, seeds, max_hops=2)
+
+
+QUERIES.update({"seed_attribution": q_seed_attribution})
+
+ORACLES["seed_attribution"] = _GRAPH_SQL + r"""
+    , h0 AS (SELECT doc_id AS node, doc_id AS seed
+             FROM documents WHERE doc_id % 89 = 0)
+    , h1 AS (SELECT e.dst AS node, MIN(h0.seed) AS seed
+             FROM edges e JOIN h0 ON e.src = h0.node
+             WHERE e.dst NOT IN (SELECT node FROM h0)
+             GROUP BY e.dst)
+    , h2 AS (SELECT e.dst AS node, MIN(h1.seed) AS seed
+             FROM edges e JOIN h1 ON e.src = h1.node
+             WHERE e.dst NOT IN (SELECT node FROM h0)
+               AND e.dst NOT IN (SELECT node FROM h1)
+             GROUP BY e.dst)
+    SELECT node, CAST(0 AS INT) AS hops, seed FROM h0
+    UNION ALL SELECT node, CAST(1 AS INT), seed FROM h1
+    UNION ALL SELECT node, CAST(2 AS INT), seed FROM h2
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the
