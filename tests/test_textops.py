@@ -1122,3 +1122,28 @@ def test_webp_header_roundtrip():
     # a bare lossy WEBP without VP8X is the honest codec seam: no sniff
     blob = b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8
     assert parse_media_header(blob) == {}
+
+
+def test_syndication_bursts_and_yield(spark):
+    from uniparser_spark.textops.dedup import syndication_bursts
+    from uniparser_spark.textops.quality import host_yield
+
+    pages = spark.createDataFrame(
+        [("h1", "wire"), ("h2", "wire"), ("h3", "wire"), ("h3", "wire"),
+         ("h1", "solo"), ("h2", "pair"), ("h3", "pair")],
+        "host string, fp string",
+    )
+    got = {r["fp"]: r for r in syndication_bursts(pages, min_hosts=3).collect()}
+    assert list(got) == ["wire"]
+    assert (got["wire"]["n_hosts"], got["wire"]["n_docs"]) == (3, 4)
+    assert got["wire"]["sample_hosts"] == ["h1", "h2", "h3"]
+
+    docs = spark.createDataFrame(
+        [("a", "<x>" + "pad" * 100 + "</x>one two", "one two"),
+         ("b", "<x>one two</x>", "one two")],
+        "host string, html string, text string",
+    )
+    y = {r["host"]: r for r in host_yield(docs).collect()}
+    assert y["a"]["n_tokens"] == y["b"]["n_tokens"] == 2
+    assert y["a"]["tokens_per_mb"] < y["b"]["tokens_per_mb"]
+    assert y["b"]["text_ratio"] == round(7 / 14, 4)

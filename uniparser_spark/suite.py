@@ -9365,6 +9365,94 @@ ORACLES["seed_attribution"] = _GRAPH_SQL + r"""
 """
 
 
+
+def q_syndication(spark, sf_dir):
+    """Syndication-burst detection (textops/dedup.py
+    syndication_bursts): pages on 12 hosts; every 4th doc's text is
+    ALSO served by hosts (d+1)%12 and (d+2)%12 (wire-copy style), so
+    genuine >= 3-host bursts exist on top of the corpus's natural
+    duplicate texts."""
+    from .textops.dedup import syndication_bursts
+
+    d = F.col("doc_id")
+    base = tp(spark, sf_dir, "documents")
+    own = base.select(
+        F.concat(F.lit("n"), (d % 12).cast("string")).alias("host"),
+        F.md5("text").alias("fp"),
+    )
+    wire = base.filter(d % 4 == 0)
+    syndicated = own.unionByName(
+        wire.select(
+            F.concat(F.lit("n"), ((d + 1) % 12).cast("string")).alias("host"),
+            F.md5("text").alias("fp"),
+        )
+    ).unionByName(
+        wire.select(
+            F.concat(F.lit("n"), ((d + 2) % 12).cast("string")).alias("host"),
+            F.md5("text").alias("fp"),
+        )
+    )
+    return syndication_bursts(syndicated, min_hosts=3)
+
+
+def q_host_yield(spark, sf_dir):
+    """Token yield per fetched MB (textops/quality.py host_yield):
+    each host pads its HTML with host-index-proportional boilerplate
+    (600·(d%9) 'x' bytes), so yields genuinely rank hosts."""
+    from .textops.quality import host_yield
+
+    d = F.col("doc_id")
+    pages = tp(spark, sf_dir, "documents").select(
+        F.concat(F.lit("y"), (d % 9).cast("string")).alias("host"),
+        F.concat(
+            F.lit("<html><body>"),
+            F.col("text"),
+            F.repeat(F.lit("x"), (d % 9 * 600).cast("int")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+        F.col("text"),
+    )
+    return host_yield(pages)
+
+
+QUERIES.update({"syndication": q_syndication, "host_yield": q_host_yield})
+
+ORACLES["syndication"] = r"""
+    WITH own AS (
+      SELECT 'n' || (doc_id % 12) AS host, md5(text) AS fp FROM documents
+      UNION ALL
+      SELECT 'n' || ((doc_id + 1) % 12), md5(text)
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT 'n' || ((doc_id + 2) % 12), md5(text)
+      FROM documents WHERE doc_id % 4 = 0)
+    SELECT fp, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           count(*) AS n_docs,
+           list_sort(list_distinct(list(host)))[1:5] AS sample_hosts
+    FROM own GROUP BY fp HAVING count(DISTINCT host) >= 3
+"""
+
+ORACLES["host_yield"] = r"""
+    WITH pages AS (
+      SELECT 'y' || (doc_id % 9) AS host,
+             '<html><body>' || text || repeat('x', (doc_id % 9) * 600)
+               || '</body></html>' AS html,
+             text
+      FROM documents),
+    per AS (
+      SELECT host, count(*) AS n_pages,
+             CAST(SUM(strlen(html)) AS BIGINT) AS fetched_bytes,
+             CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM pages GROUP BY host)
+    SELECT host, n_pages, fetched_bytes, n_tokens,
+           ROUND(n_tokens * 1048576.0 / fetched_bytes, 4) AS tokens_per_mb,
+           ROUND(text_bytes / CAST(fetched_bytes AS DOUBLE), 4) AS text_ratio
+    FROM per
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

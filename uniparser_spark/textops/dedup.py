@@ -1135,3 +1135,38 @@ def minhash_error_audit(
             F.round(F.abs(est - jac), 4).alias("abs_err"),
         )
     )
+
+
+def syndication_bursts(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    min_hosts: int = 3,
+    sample_k: int = 5,
+) -> DataFrame:
+    """Content syndicated across many hosts — press releases, wire
+    copy, scraped re-publications: one content fingerprint served by
+    ≥ ``min_hosts`` distinct hosts.  :func:`host_mirror_pairs` asks
+    "which host PAIRS share content"; this asks "which CONTENT
+    spreads", which is the admission question (keep one canonical
+    copy, down-weight the rest — syndicated text otherwise enters the
+    training mix once per subscriber host).
+
+    ONE map-side-combined groupBy(fp) over distinct (fp, host) rows;
+    the host sample is sorted-then-sliced so the output is
+    deterministic and bounded regardless of burst width.
+
+    Returns ``(fp, n_hosts, n_docs, sample_hosts)`` for bursts only.
+    """
+    rows = pages.select(F.col(fp_col).alias("fp"), F.col(host_col).alias("host"))
+    return (
+        rows.groupBy("fp")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(F.array_sort(F.collect_set("host")), 1, sample_k).alias(
+                "sample_hosts"
+            ),
+        )
+        .filter(F.col("n_hosts") >= min_hosts)
+    )

@@ -815,3 +815,47 @@ def lang_script_check(
         .otherwise(F.lit("mismatch"))
         .alias("verdict"),
     )
+
+
+def host_yield(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl economics per host: tokens of USABLE text produced per
+    megabyte of HTML fetched.  Two hosts with identical page counts
+    can differ 100× in yield (markup-heavy template sites vs article
+    pages); at a fixed fetch budget, yield is the ranking that
+    maximizes tokens per dollar — the budget feed's quality-per-cost
+    complement to trap scores (cost side) and quality filters
+    (value side).
+
+    One map-side-combined groupBy(host): byte counts (octet_length)
+    and token counts (whitespace contract) are codegen; ratios at
+    emission.  Returns ``(host, n_pages, fetched_bytes, n_tokens,
+    tokens_per_mb, text_ratio)`` — text_ratio = text bytes / html
+    bytes, both rounded to 4 dp.
+    """
+    from .exprs import tokens
+
+    html_b = F.octet_length(F.col(html_col))
+    text_b = F.octet_length(F.col(text_col))
+    per = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(html_b).cast("long").alias("fetched_bytes"),
+        F.sum(text_b).cast("long").alias("_text_bytes"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    return per.select(
+        "host",
+        "n_pages",
+        "fetched_bytes",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") * 1048576.0 / F.col("fetched_bytes"), 4
+        ).alias("tokens_per_mb"),
+        F.round(F.col("_text_bytes") / F.col("fetched_bytes").cast("double"), 4).alias(
+            "text_ratio"
+        ),
+    )
