@@ -1147,3 +1147,22 @@ def test_syndication_bursts_and_yield(spark):
     assert y["a"]["n_tokens"] == y["b"]["n_tokens"] == 2
     assert y["a"]["tokens_per_mb"] < y["b"]["tokens_per_mb"]
     assert y["b"]["text_ratio"] == round(7 / 14, 4)
+
+
+def test_stopword_candidates_df_gate(spark):
+    from uniparser_spark.textops.quality import stopword_candidates
+
+    rows = [
+        (1, "en", "the cat sat"),
+        (2, "en", "the dog ran"),
+        (3, "en", "a the bird"),
+        (4, "en", "cat nap"),     # 'the' df=3/4, 'cat' df=2/4, rest 1/4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["token"]: r
+        for r in stopword_candidates(df, min_df_ratio=0.5).collect()
+    }
+    assert set(got) == {"the", "cat"}
+    assert (got["the"]["rank"], got["the"]["df_ratio"]) == (1, 0.75)
+    assert (got["cat"]["rank"], got["cat"]["df_ratio"]) == (2, 0.5)

@@ -9453,6 +9453,40 @@ ORACLES["host_yield"] = r"""
 """
 
 
+
+def q_stopwords(spark, sf_dir):
+    """Empirical stopword discovery (textops/quality.py
+    stopword_candidates): per-language tokens with document frequency
+    >= 50%, top-20 by df — the data-derived lists langid and quality
+    ratios want for languages without curated ones."""
+    from .textops.quality import stopword_candidates
+
+    return stopword_candidates(tp(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"stopwords": q_stopwords})
+
+ORACLES["stopwords"] = r"""
+    WITH post AS (
+      SELECT DISTINCT lang, doc_id, token FROM (
+        SELECT lang, doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents)),
+    dfc AS (SELECT lang, token, count(*) AS df FROM post GROUP BY 1, 2),
+    nd AS (SELECT lang, count(DISTINCT doc_id) AS n FROM documents
+           GROUP BY lang),
+    ranked AS (
+      SELECT d.lang, d.token, d.df,
+             ROUND(d.df / CAST(nd.n AS DOUBLE), 4) AS df_ratio,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY d.df DESC, d.token ASC) AS rank
+      FROM dfc d JOIN nd ON d.lang = nd.lang
+      WHERE d.df >= nd.n * 0.5)
+    SELECT lang, token, df, df_ratio, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 20
+"""
+
+
 # ----------------------------------------------- driver-gate registration order
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # per round.  Rounds 1-3 registered legacy-first, which re-verified the

@@ -859,3 +859,63 @@ def host_yield(
             "text_ratio"
         ),
     )
+
+
+def stopword_candidates(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df_ratio: float = 0.5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Empirical per-language stopword discovery: tokens present in at
+    least ``min_df_ratio`` of a language's documents, ranked by
+    document frequency.  Hand-curated stopword lists don't exist for
+    most of the web's languages and drift for the rest; the df-ratio
+    definition is what langid votes and quality ratios actually want
+    — "the words this corpus's language uses everywhere".
+
+    Shape: distinct (lang, token, doc) → ONE map-side-combined
+    groupBy(lang, token) df count + a tiny per-lang doc-count
+    broadcast; the rank window runs over the already-thresholded
+    head (≤ vocabulary passing 50% df — dozens of rows per language).
+
+    Returns ``(lang, token, df, df_ratio, rank)`` — top ``top_k`` per
+    language, ties by token asc; ratio rounded to 4 dp.
+    """
+    from .exprs import tokens
+
+    post = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .distinct()
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ndocs = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.countDistinct(id_col).alias("_n")
+    )
+    ranked = (
+        post.join(F.broadcast(ndocs), "lang")
+        .filter(F.col("df") >= F.col("_n") * min_df_ratio)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("df").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+    return ranked.select(
+        "lang",
+        "token",
+        "df",
+        F.round(F.col("df") / F.col("_n"), 4).alias("df_ratio"),
+        "rank",
+    )
