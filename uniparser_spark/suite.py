@@ -9560,7 +9560,8 @@ _GATE_PRIORITY = [
     #    compaction_plan, centroid_update, bibcoupling, robots_policy,
     #    crawl_fairness, cms_hot_hosts, lang_script, cdx_write,
     #    embedding_health, frontier_backlog, sitemap_cross, pmi_bigrams,
-    #    discovery_merge, retention_plan) join the same queue
+    #    discovery_merge, retention_plan, seed_attribution, syndication,
+    #    host_yield, stopwords) join the same queue
     "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
