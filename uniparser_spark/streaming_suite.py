@@ -330,7 +330,7 @@ STREAM_ORACLES = {
                ) AS VARCHAR) AS win_start,
                'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
                COUNT(*) AS n_pages,
-               SUM(length(text)) AS bytes_text
+               CAST(SUM(length(text)) AS BIGINT) AS bytes_text
         FROM documents
         GROUP BY 1, 2
     """,

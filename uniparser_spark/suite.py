@@ -3820,7 +3820,7 @@ ORACLES = {
           SELECT url, digest FROM latest
           WHERE status = 200 AND mime LIKE 'text/html%'
         )
-        SELECT MIN(url) AS url, 0.0 AS priority
+        SELECT MIN(url) AS url, CAST(0.0 AS DOUBLE) AS priority
         FROM ok GROUP BY digest
     """,
     "retry_schedule": """
@@ -3952,7 +3952,7 @@ ORACLES = {
           FROM c
         ),
         f AS (
-          SELECT dst, SUM(n) AS top_anchor_links,
+          SELECT dst, CAST(SUM(n) AS BIGINT) AS top_anchor_links,
                  string_agg(lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor,
                             '|' ORDER BY lpad(CAST(rk AS VARCHAR), 2, '0') || ':' || anchor)
                    AS top_anchors
@@ -5550,7 +5550,7 @@ ORACLES.update(
           SELECT doc_id, count(*) AS n, sum(w) AS ws FROM ws GROUP BY doc_id)
         SELECT d.doc_id,
           coalesce(s.n, 0) AS n_feats,
-          coalesce(s.ws, 0) AS w_sum,
+          CAST(coalesce(s.ws, 0) AS BIGINT) AS w_sum,
           ROUND(s.ws / (1000.0 * s.n), 6) AS mean_w,
           coalesce(CAST(s.ws > 0 AS INT), 0) AS admitted
         FROM documents d LEFT JOIN scored s USING (doc_id)
@@ -6871,7 +6871,7 @@ ORACLES["wordlist_filter"] = rf"""
       FROM flat GROUP BY doc_id)
     SELECT d.doc_id,
       coalesce(p.n, 0) AS n_tokens,
-      coalesce(p.h, 0) AS n_flagged,
+      CAST(coalesce(p.h, 0) AS BIGINT) AS n_flagged,
       ROUND(CAST(coalesce(p.h, 0) AS DOUBLE)
           / CAST(greatest(coalesce(p.n, 0), 1) AS DOUBLE), 4) AS flagged_frac,
       CAST(coalesce(p.h, 0) = 0 AS INT) AS admitted
@@ -7102,7 +7102,7 @@ ORACLES["dsir_weights"] = rf"""
     SELECT d.doc_id,
       CAST(d.doc_id % 5 = 0 AS INT) AS is_target,
       coalesce(s.n_feats, 0) AS n_feats,
-      coalesce(s.llr_q, 0) AS llr_q,
+      CAST(coalesce(s.llr_q, 0) AS BIGINT) AS llr_q,
       ROUND(coalesce(s.llr_q, 0) / 1000000.0, 4) AS dsir_weight,
       CAST(coalesce(s.llr_q, 0) > 0 AS INT) AS leans_target
     FROM documents d LEFT JOIN scored s USING (doc_id)
@@ -8584,11 +8584,11 @@ ORACLES["compaction_plan"] = r"""
                AS cum
       FROM m WHERE size_bytes < 128 * 1048576)
     SELECT partition, file, size_bytes,
-           cum // (128 * 1048576) AS group_id,
+           CAST(cum // (128 * 1048576) AS BIGINT) AS group_id,
            CAST(0 AS INT) AS already_compact
     FROM small
     UNION ALL
-    SELECT partition, file, size_bytes, NULL, CAST(1 AS INT)
+    SELECT partition, file, size_bytes, CAST(NULL AS BIGINT), CAST(1 AS INT)
     FROM m WHERE size_bytes >= 128 * 1048576
 """
 
@@ -9079,11 +9079,12 @@ ORACLES["frontier_backlog"] = r"""
       FROM c0),
     b AS (
       SELECT host, round, arrivals,
-             cum - LEAST(0, mn) AS backlog
+             CAST(cum - LEAST(0, mn) AS BIGINT) AS backlog
       FROM c)
     SELECT host, round, arrivals,
-           arrivals + COALESCE(LAG(backlog) OVER
-             (PARTITION BY host ORDER BY round), 0) - backlog AS served,
+           CAST(arrivals + COALESCE(LAG(backlog) OVER
+             (PARTITION BY host ORDER BY round), 0) - backlog AS BIGINT)
+             AS served,
            backlog,
            CAST(CASE WHEN backlog > 0 THEN 1 ELSE 0 END AS INT) AS saturated
     FROM b
