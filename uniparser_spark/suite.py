@@ -3247,7 +3247,7 @@ ORACLES = {
     "rule_css1": """
         SELECT 'https://docs.example.org/s/' || doc_id AS url,
                'Doc ' || doc_id AS title,
-               NULL AS miss_css1,
+               CAST(NULL AS VARCHAR) AS miss_css1,
                '' AS miss_se1,
                '/d/' || doc_id || '/' AS href
         FROM documents
@@ -9500,70 +9500,59 @@ ORACLES["stopwords"] = r"""
 # then the long-certified legacy rows.  Dict order changes nothing
 # semantically — every entry still runs in the local sweep.
 _GATE_PRIORITY = [
-    # never driver-certified (streaming first)
-    "stream_host_rates", "stream_extract", "stream_dedup", "stream_links",
-    "stream_admission",
-    # cleaning family (textops/clean.py)
-    "c4_line_filter", "repetition_stats", "pii_redact", "para_dedup",
-    "top_tokens", "ngram_repetition", "doc_filter", "text_normalize",
-    # graph / CC (star default is new in r4)
-    "link_degrees", "pagerank3", "dedup_clusters", "canonical_docs",
-    # DUST / traps / links / retry / freshness
-    "url_aliases", "dust_rules", "host_traps",
-    "links_extract", "anchor_index", "retry_schedule",
-    "fetch_history", "recrawl_priority", "host_stats",
-    # remaining never-certified
-    "media_dims", "readability", "doc_keywords", "content_extract",
-    # fixed this round (red / no_oracle in r3)
-    "corpus_stats", "minhash_lsh_pairs_xx",
-    # new this round (corpus assembly + budget feedback) — never certified
-    "decontaminate", "corpus_sample", "seq_pack", "lm_scores",
-    "crawl_budget", "page_directives", "dup_spans", "host_blocklist",
-    "corpus_pipeline", "embedding_clusters", "warc_sink_roundtrip",
-    "epoch_mix",
-    # session-3/4 distinct contracts — fill the window's last seats
-    "trustrank", "dedup_incremental",
-    "surt_keys", "linear_scores", "chunk_text", "host_quota",
+    # round-4 red rows, re-fixed this round (oracle HUGEINT→BIGINT cast;
+    # values were identical all along) — must show green driver rows
+    "stream_host_rates", "anchor_index", "linear_scores",
+    # the last no_oracle ghost: re-scoped to oracle-pairable columns in
+    # r4 but never re-seated; its standing driver row is r3's no_oracle
+    "dedup_verified_pairs_xx",
+    # latent HUGEINT/DECIMAL oracles found by the r4 judge's type sweep,
+    # fixed this round — certify them now that they'd actually pass
+    "wordlist_filter", "dsir_weights", "compaction_plan",
+    "frontier_backlog",
+    # session-6 queue (oldest never-certified block)
+    "winnow_fingerprints", "boilerplate_lines", "bpe_pairs",
+    "redirect_chains", "soft404", "politeness_audit", "shard_plan",
+    "ngram_lm", "quality_buckets", "temperature_mix", "feed_scan",
+    "extraction_health", "host_reciprocity",
+    # queued-first rollup variants from the r4 boundary comment
+    "url_templates", "host_graph", "strip_spans",
+    # session-8 queue
+    "html_tables", "quantize_audit", "mojibake_repair", "training_order",
+    "bitext_candidates", "opic", "url_classes", "phrase_search",
+    # session-9/10 queue
+    "asn_tag", "ip_politeness", "weighted_sample", "scd2_pages",
+    "spam_mass", "aimd_rates", "layout_pruning", "hll_hosts",
+    "path_prefixes", "refresh_policy",
+    # session-11/12 queue
+    "link_spam", "robots_matrix", "seed_hops", "label_prop",
+    "cocitation", "leakage_split",
+    # complete the streaming family's certification (local-sweep only
+    # until now; stream_extract/dedup/links/admission/host_rates were
+    # driver-rowed r4)
+    "stream_sessions", "stream_triage",
     # ---- window boundary (50 rows above) ----
-    # Rows below share most of their contract with an in-window sibling
-    # and queue for the round-5 rotation (certified rows rotate out,
-    # uncertified in):
-    #  - url_templates / host_graph: rollup variants of the in-window
-    #    DUST/link contracts
-    #  - strip_spans: the action twin of dup_spans (same fingerprint
-    #    machinery; rebuild logic is pytest-pinned)
-    #  - dedup_verified_pairs_xx: the xxhash64 path is certified by
-    #    minhash_lsh_pairs_xx; the md5 verified twin was driver-green r3
-    #  - the CC twins run the SAME oracle as dedup_clusters (one row
-    #    certifies the closure; algorithm agreement is differential-
-    #    tested in pytest)
-    #  - session-6 additions (winnow_fingerprints, boilerplate_lines,
-    #    bpe_pairs, redirect_chains, soft404, politeness_audit,
-    #    shard_plan, ngram_lm, quality_buckets, temperature_mix,
-    #    feed_scan, extraction_health, host_reciprocity) queue behind
-    #    these — all green in the local sweep, none yet driver-rowed
-    #  - session-8 additions (dsir_weights, html_tables, quantize_audit,
-    #    mojibake_repair, training_order, bitext_candidates, opic,
-    #    url_classes, wordlist_filter, phrase_search) likewise queue for
-    #    the round-5 rotation: once CORRECTNESS_r04 certifies the 50
-    #    in-window rows, rotate them out and these (+ the session-6/7
-    #    queue) in
-    #  - session-9/10 additions (asn_tag, ip_politeness,
-    #    weighted_sample, scd2_pages, spam_mass, aimd_rates,
-    #    layout_pruning, hll_hosts, path_prefixes, refresh_policy)
-    #    join the same rotation queue
-    #  - session-11/12 additions (link_spam, robots_matrix, seed_hops,
-    #    label_prop, cocitation, leakage_split) likewise queue for the
-    #    round-5 rotation
-    #  - session-13 additions (wat_scan, host_mirrors, host_outages,
-    #    zipf_fit, posting_gaps, triangles, kcore, hard_negatives,
-    #    stream_sessions, stream_triage, lang_fertility, minhash_error,
-    #    compaction_plan, centroid_update, bibcoupling, robots_policy,
-    #    crawl_fairness, cms_hot_hosts, lang_script, cdx_write,
-    #    embedding_health, frontier_backlog, sitemap_cross, pmi_bigrams,
-    #    discovery_merge, retention_plan, seed_attribution, syndication,
-    #    host_yield, stopwords) join the same queue
-    "url_templates", "host_graph", "strip_spans", "dedup_verified_pairs_xx",
+    # Rows certified green in r1–r4 rotate out (their driver rows
+    # stand); the remaining never-certified rows (session-5 retrieval/
+    # charset block, session-13 additions) queue behind — all green in
+    # this round's STRICT Arrow-path local sweep (208/208).
+    # Next-in-queue (window position 51+; a future rotation's first
+    # seats).  The CC twins (dedup_clusters_star/_hashmin) run the SAME
+    # oracle as the driver-green dedup_clusters — one row certifies the
+    # closure; algorithm agreement is differential-tested in pytest.
+    # The session-5 retrieval/charset block (bm25_index, fetch_sessions,
+    # registrable_domains, charset_sniff, encoding_health, binary_extract,
+    # containment_pairs, hits_scores, sentence_stats, corpus_mix,
+    # length_distribution, phrase/posting variants) and the session-13
+    # additions (wat_scan, host_mirrors, host_outages, zipf_fit,
+    # posting_gaps, triangles, kcore, hard_negatives, lang_fertility,
+    # minhash_error, centroid_update, bibcoupling, robots_policy,
+    # crawl_fairness, cms_hot_hosts, lang_script, cdx_write,
+    # embedding_health, sitemap_cross, pmi_bigrams, discovery_merge,
+    # retention_plan, seed_attribution, syndication, host_yield,
+    # stopwords) follow — every one green in the strict Arrow-path
+    # local sweep (tools/check_oracle.py, 208/208 this round).
+    "bm25_index", "containment_pairs", "charset_sniff", "binary_extract",
     "dedup_clusters_star", "dedup_clusters_hashmin",
 ]
 assert set(_GATE_PRIORITY) <= set(QUERIES), sorted(
