@@ -36,6 +36,11 @@ FAMILIES = [
     ("graph", ["dedup_clusters", "pagerank3", "link_degrees"]),
     ("containment", ["containment_pairs"]),
     ("discovery", ["discovery_merge"]),
+    # round-5 extension: one representative per additional hot family
+    ("cleaning", ["para_dedup", "c4_line_filter"]),
+    ("dust", ["url_aliases"]),
+    ("ann", ["embedding_clusters", "ivf_topk"]),
+    ("index", ["bm25_index", "anchor_index"]),
 ]
 
 
