@@ -41,6 +41,13 @@ def run_queries(spark, sf_dir: str) -> tuple:
     # measurement of the query itself.
     first = next(iter(QUERIES.values()))
     first(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # the r5 gate rotation put a streaming query first, which leaves the
+    # batch scan/codegen/Arrow paths cold for the early suite rows
+    # (measured: linear_scores 4.8 s cold vs 1.8 s warm at suite
+    # position 3) — warm one representative batch query as well
+    QUERIES["pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     timings = {}
     for name, fn in QUERIES.items():
