@@ -3438,10 +3438,11 @@ ORACLES = {
           ROUND(sw / n_tok, 4) AS stopword_ratio,
           ROUND(punct / n_chars, 4) AS punct_ratio,
           ROUND(n_distinct / n_tok, 4) AS distinct_ratio,
-          ROUND(0.4 * least(1.0, n_chars / 500.0)
+          floor((0.4 * least(1.0, n_chars / 500.0)
               + 0.3 * (n_distinct / n_tok)
               + 0.2 * (1.0 - punct / n_chars)
-              + 0.1 * least(1.0, (sw / n_tok) * 5.0), 4) AS quality
+              + 0.1 * least(1.0, (sw / n_tok) * 5.0)) * 10000.0 + 0.5)
+            / 10000.0 AS quality
         FROM base
     """,
     "langid": rf"""
@@ -3508,10 +3509,10 @@ ORACLES = {
                  WHEN vde = greatest(ven, vde, vfr, ves) THEN 'de'
                  WHEN vfr = greatest(ven, vde, vfr, ves) THEN 'fr'
                  ELSE 'es' END AS pred_lang,
-            ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+            floor((0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
               + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
               + 0.2 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)))
-              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS quality,
+              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0)) * 10000.0 + 0.5) / 10000.0 AS quality,
             substr(md5({_NORM}), 1, 16) AS fp
           FROM v
         ),
@@ -3527,20 +3528,20 @@ ORACLES = {
                COUNT(*) AS n_docs,
                CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
                CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-               ROUND(CAST(SUM(CAST(ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+               ROUND(CAST(SUM(CAST(floor((0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
               + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
               + 0.2 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)))
-              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_quality
+              + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_quality
         FROM documents
         GROUP BY 1, 2
     """,
     "host_stats": rf"""
         WITH e AS (
           SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
-                 CAST(ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                 CAST(floor((0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
                    + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
                    + 0.2 * (1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)))
-                   + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS DECIMAL(18,4)) AS q,
+                   + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS q,
                  substr(md5({_NORM}), 1, 16) AS fp
           FROM documents
         )
@@ -4154,7 +4155,7 @@ ORACLES = {
         ),
         q AS (
           SELECT doc_id,
-                 ROUND(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+                 floor((0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
                      + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
                               / CAST(len({_TOKS}) AS DOUBLE))
                      + 0.2 * (1.0 - CAST(length(text)
@@ -4162,7 +4163,8 @@ ORACLES = {
                               / CAST(length(text) AS DOUBLE))
                      + 0.1 * least(1.0, (CAST(len(list_filter({_TOKS},
                               t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
-                              / CAST(len({_TOKS}) AS DOUBLE)) * 5.0), 4) AS quality
+                              / CAST(len({_TOKS}) AS DOUBLE)) * 5.0)) * 10000.0 + 0.5)
+                   / 10000.0 AS quality
           FROM documents
         )
         SELECT node AS doc_id, cluster_id,
@@ -7103,7 +7105,7 @@ ORACLES["dsir_weights"] = rf"""
       CAST(d.doc_id % 5 = 0 AS INT) AS is_target,
       coalesce(s.n_feats, 0) AS n_feats,
       CAST(coalesce(s.llr_q, 0) AS BIGINT) AS llr_q,
-      ROUND(coalesce(s.llr_q, 0) / 1000000.0, 4) AS dsir_weight,
+      floor(coalesce(s.llr_q, 0) / 100.0 + 0.5) / 10000.0 AS dsir_weight,
       CAST(coalesce(s.llr_q, 0) > 0 AS INT) AS leans_target
     FROM documents d LEFT JOIN scored s USING (doc_id)
 """

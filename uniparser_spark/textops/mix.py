@@ -863,9 +863,17 @@ def dsir_weights(
         "is_target",
         F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce("llr_q", F.lit(0)).cast("long").alias("llr_q"),
-        F.round(F.coalesce(F.col("llr_q"), F.lit(0)) / 1000000.0, 4).alias(
-            "dsir_weight"
-        ),
+        # tie-stable 4-dp (see textops.quality.round4_stable): llr_q is
+        # an exact integer of micro-nats, so llr_q/100.0 lands EXACTLY
+        # on x.5 whenever llr_q % 100 == 50 — F.round (HALF_UP) and
+        # DuckDB ROUND then disagree; floor(x/100 + 0.5)/1e4 is
+        # IEEE-identical on both engines
+        (
+            F.floor(
+                F.coalesce(F.col("llr_q"), F.lit(0)) / F.lit(100.0) + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("dsir_weight"),
         (F.coalesce(F.col("llr_q"), F.lit(0)) > 0).cast("int").alias(
             "leans_target"
         ),

@@ -83,6 +83,21 @@ def sentence_stats(
     )
 
 
+def round4_stable(col: Column) -> Column:
+    """4-dp rounding with engine-agnostic tie behavior.
+
+    ``F.round`` HALF_UPs the shortest decimal representation of the
+    double (JVM ``BigDecimal.valueOf``), while DuckDB rounds the scaled
+    binary value — on half-ulp boundaries (0.69805 stores as
+    0.698049999...948) the two disagree by 1e-4, which flips the
+    oracle value hash at larger sf even though both are "correct"
+    roundings.  ``floor(x*1e4 + 0.5)/1e4`` is pure IEEE-754 arithmetic:
+    bit-identical on any engine given the same input double.  Oracles
+    use the same SQL idiom (suite.py quality/dsir sites).
+    """
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def quality_expr(text_col: str = "text") -> Column:
     """The 0-1 quality score as a single reusable Column expression."""
     toks = tokens(F.col(text_col))
@@ -94,12 +109,11 @@ def quality_expr(text_col: str = "text") -> Column:
         - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")).cast("double")
     )
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    return F.round(
+    return round4_stable(
         F.lit(0.4) * F.least(F.lit(1.0), n_chars / F.lit(500.0))
         + F.lit(0.3) * distinct_ratio
         + F.lit(0.2) * (F.lit(1.0) - punct / n_chars)
-        + F.lit(0.1) * F.least(F.lit(1.0), sw_ratio * F.lit(5.0)),
-        4,
+        + F.lit(0.1) * F.least(F.lit(1.0), sw_ratio * F.lit(5.0))
     )
 
 
